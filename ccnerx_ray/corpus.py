@@ -1,0 +1,158 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the graft input table ``(repo, path, commit, lang, content)``
+(BASELINE.json ``input_hint``; FIXTURES.md F1) with entity surfaces planted
+from a generated catalog, so expected mentions are known. Everything is a
+pure function of ``seed`` and the row index — generation is order-free and
+parallelizable, and any subset of rows regenerates identically.
+
+Skew is deliberate: ~50% of rows live in one monorepo (FIXTURES.md F1) to
+exercise the salted canonicalization groupby.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ccnerx_ray.state.catalog import EntityCatalog
+
+_SYL = ["ba", "co", "da", "fe", "gi", "ho", "ja", "ke", "lu", "mi",
+        "no", "pa", "qu", "ra", "su", "ti", "vo", "wa", "xe", "zo"]
+_VERBS = ["parse", "read", "write", "load", "dump", "merge", "split",
+          "fetch", "build", "scan", "emit", "pack", "clone", "hash"]
+_LANGS = [("python", ".py"), ("java", ".java"), ("go", ".go"),
+          ("js", ".js"), ("rust", ".rs")]
+_FILLER_VARS = ["x", "y", "val", "tmp", "out", "buf", "idx", "acc", "cur", "res"]
+
+
+def _rng(seed: int, *parts) -> np.random.Generator:
+    h = hashlib.blake2b(("|".join(str(p) for p in parts)).encode(),
+                        digest_size=8, key=seed.to_bytes(8, "little")).digest()
+    return np.random.default_rng(int.from_bytes(h, "little"))
+
+
+def _name(rng: np.random.Generator, n_syl: int) -> str:
+    return "".join(_SYL[i] for i in rng.integers(0, len(_SYL), n_syl))
+
+
+def build_catalog(seed: int = 42, n_per_label: int = 80) -> EntityCatalog:
+    """Entity catalog (F3 ``entity_catalog.jsonl`` analogue): generated
+    surfaces with label-characteristic shapes; ~15% are 3-token dotted
+    qualified names to exercise multi-token BIOES spans."""
+    cat = EntityCatalog()
+    rng = _rng(seed, "catalog")
+    for k in range(n_per_label):
+        base = _name(rng, 2 + int(rng.integers(0, 2)))
+        func = f"{_VERBS[int(rng.integers(0, len(_VERBS)))]}_{base}"
+        cls = base.capitalize() + _name(rng, 1).capitalize() + "er"
+        lib = "lib" + base
+        const = (base + "_" + _name(rng, 1)).upper()
+        cat.add((func,), "FUNC")
+        cat.add((cls,), "CLASS")
+        cat.add((lib,), "LIB")
+        cat.add((const,), "CONST")
+        if k % 7 == 0:  # dotted multi-token surfaces
+            cat.add((lib, ".", func), "FUNC")
+            cat.add((cls, ".", base.capitalize()), "CLASS")
+    return cat
+
+
+def _commit(seed: int, repo: str, path: str) -> str:
+    return hashlib.sha256(f"{seed}|{repo}|{path}".encode()).hexdigest()[:40]
+
+
+def _gen_row(seed: int, i: int, surfaces: list[tuple[tuple[str, ...], str]],
+             n_rows: int) -> tuple[dict, list[tuple[tuple[str, ...], str]]]:
+    rng = _rng(seed, "row", i)
+    # skew: half the corpus in one monorepo (FIXTURES.md F1)
+    if rng.random() < 0.5:
+        repo = "bigcorp/monorepo"
+    else:
+        repo = f"org{int(rng.integers(0, 8))}/repo{int(rng.integers(0, 4))}"
+    lang, ext = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    path = "/".join(_name(rng, 1) for _ in range(1 + int(rng.integers(0, 3)))) \
+        + f"/{_name(rng, 2)}{ext}"
+
+    # size distribution: mostly small, occasional big files
+    r = rng.random()
+    n_lines = int(rng.integers(3, 30)) if r < 0.9 else (
+        int(rng.integers(100, 400)) if r < 0.99 else int(rng.integers(2000, 4000)))
+
+    lines: list[str] = []
+    planted: list[tuple[tuple[str, ...], str]] = []
+
+    def pick() -> tuple[str, tuple[str, ...], str]:
+        surf, lab = surfaces[int(rng.integers(0, len(surfaces)))]
+        planted.append((surf, lab))
+        return " ".join(surf), surf, lab
+
+    for _ in range(n_lines):
+        t = rng.random()
+        if t < 0.25:
+            s, *_ = pick()
+            lines.append(f"import {s}")
+        elif t < 0.45:
+            s, *_ = pick()
+            v = _FILLER_VARS[int(rng.integers(0, len(_FILLER_VARS)))]
+            lines.append(f"def {s} ( {v} ) :")
+        elif t < 0.60:
+            s1, *_ = pick()
+            s2, *_ = pick()
+            lines.append(f"{_FILLER_VARS[int(rng.integers(0, 10))]} = {s1} ( {s2} )")
+        elif t < 0.70:
+            s, *_ = pick()
+            lines.append(f"class {s} :")
+        else:
+            v = _FILLER_VARS[int(rng.integers(0, len(_FILLER_VARS)))]
+            lines.append(f"{v} = {v} + {int(rng.integers(0, 100))}")
+
+    content = "\n".join(lines)
+    return ({"repo": repo, "path": path, "commit": _commit(seed, repo, path),
+             "lang": lang, "content": content}, planted)
+
+
+CORPUS_SCHEMA = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                           ("commit", pa.string()), ("lang", pa.string()),
+                           ("content", pa.string())])
+
+
+def generate_corpus(n_rows: int, seed: int = 42,
+                    with_gold: bool = False):
+    """Generate the corpus table; optionally also the per-row planted-gold
+    mention multiset ``[(row_idx, surface, label), ...]``."""
+    cat = build_catalog(seed)
+    surfaces = sorted(cat.surface2label.items())
+    rows, gold = [], []
+    for i in range(n_rows):
+        row, planted = _gen_row(seed, i, surfaces, n_rows)
+        rows.append(row)
+        if with_gold:
+            for surf, lab in planted:
+                gold.append((i, surf, lab))
+    table = pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    if with_gold:
+        return table, gold
+    return table
+
+
+def write_corpus(path_dir: str, n_rows: int, seed: int = 42,
+                 num_files: int = 8) -> str:
+    """Write the corpus as a directory of Parquet shards (the multi-file
+    layout a real 10^12-file corpus would have), cached: if the directory
+    already holds ``num_files`` parquet files it is reused."""
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(path_dir, exist_ok=True)
+    existing = [f for f in os.listdir(path_dir) if f.endswith(".parquet")]
+    if len(existing) == num_files:
+        return path_dir
+    table = generate_corpus(n_rows, seed)
+    per = (n_rows + num_files - 1) // num_files
+    for k in range(num_files):
+        shard = table.slice(k * per, per)
+        pq.write_table(shard, os.path.join(path_dir, f"part-{k:05d}.parquet"))
+    return path_dir

@@ -1,0 +1,168 @@
+"""Deterministic lexicon-fusion tagging model (numpy).
+
+Plays the role of the reference's LEBert + BiLSTM + CRF inference stack:
+
+* hash-seeded token embeddings stand in for BERT wordpiece embeddings
+  (``CC/loaders/le_loader.py:156``, fallback style of ``embedding.py:67-69``
+  made content-deterministic);
+* **lexicon fusion**: trie-matched catalog words inject their BIOES label
+  prior into the per-position emission scores — the same information flow
+  as LEBert's word-attention adapter (``CC/LEBert.py:172-196``), reduced to
+  an additive prior with strength ``lexicon_boost``;
+* a seeded 2-layer MLP produces the base emission scores (the BiLSTM+fc
+  analogue, ``CC/birnncrf.py:6-41`` / ``crf.py:44-45``);
+* transitions are seeded and structured to the BIOES grammar, decode is the
+  reference-exact viterbi (:mod:`ccnerx_ray.model.crf`).
+
+All weights derive from ``PipelineConfig.model_seed`` alone, so every actor,
+every retry and the single-process oracle produce identical tags for
+identical token sequences regardless of batch composition (SURVEY.md §7 M3
+"decode determinism across batch boundaries").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ccnerx_ray.config import PipelineConfig, bioes_tag_list
+from ccnerx_ray.model.crf import CRFParams, IMPOSSIBLE, viterbi_decode
+from ccnerx_ray.state.catalog import EntityCatalog
+from ccnerx_ray.state.trie import Trie
+
+
+def _token_seed(token: str, salt: int) -> int:
+    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8,
+                        key=salt.to_bytes(8, "little")).digest()
+    return int.from_bytes(h, "little")
+
+
+def _structured_transitions(tags: list[str], seed: int) -> np.ndarray:
+    """BIOES-grammar transition matrix in the reference layout
+    ``transitions[to, from]`` (crf.py:31-34), with small (0.15σ) seeded noise on the
+    allowed arcs — a deterministic stand-in for trained weights."""
+    T = len(tags) + 2
+    start_idx, stop_idx = T - 2, T - 1
+    rng = np.random.default_rng(seed)
+    trans = np.full((T, T), IMPOSSIBLE, dtype=np.float64)
+
+    def allowed(frm: str, to: str) -> bool:
+        fh = frm[0]
+        th = to[0]
+        if fh in ("O", "E", "S"):
+            return th in ("O", "B", "S")
+        # B-X / I-X may only continue to I-X / E-X of the SAME label
+        if fh in ("B", "I"):
+            return th in ("I", "E") and to[1:] == frm[1:]
+        return False
+
+    for i, frm in enumerate(tags):          # i = from
+        for j, to in enumerate(tags):       # j = to
+            if allowed(frm, to):
+                trans[j, i] = 0.15 * rng.standard_normal()
+    # START may open O/B/S; O/E/S may close to STOP
+    for j, to in enumerate(tags):
+        if to[0] in ("O", "B", "S"):
+            trans[j, start_idx] = 0.15 * rng.standard_normal()
+    for i, frm in enumerate(tags):
+        if frm[0] in ("O", "E", "S"):
+            trans[stop_idx, i] = 0.15 * rng.standard_normal()
+    trans[start_idx, :] = IMPOSSIBLE   # crf.py:33
+    trans[:, stop_idx] = IMPOSSIBLE    # crf.py:34
+    return trans
+
+
+class TaggerModel:
+    """Seeded deterministic tagger: tokens → BIOES tag strings."""
+
+    def __init__(self, catalog: EntityCatalog, cfg: PipelineConfig = PipelineConfig(),
+                 extra_lexicon: list[tuple[str, ...]] | None = None):
+        self.cfg = cfg
+        self.catalog = catalog
+        self.tags = bioes_tag_list(cfg.entity_labels)
+        self.tag2id = {t: i for i, t in enumerate(self.tags)}
+        self.num_tags = len(self.tags)
+        T = self.num_tags + 2
+
+        words = list(catalog.words())
+        if extra_lexicon:
+            words.extend(extra_lexicon)
+        # deterministic build order (vocab-id determinism, SURVEY.md §7)
+        self.trie = Trie.from_words(sorted(set(words)), use_single=cfg.use_single,
+                                    max_scan_num=cfg.max_scan_num)
+
+        rng = np.random.default_rng(cfg.model_seed)
+        D, H = cfg.embed_dim, cfg.hidden_dim
+        self.W1 = rng.standard_normal((D, H)) / np.sqrt(D)
+        self.b1 = rng.standard_normal(H) * 0.1
+        self.W2 = rng.standard_normal((H, T)) * 0.4 / np.sqrt(H)
+        self.b2 = rng.standard_normal(T) * 0.1
+        self.o_bias = 3.0  # favor O absent lexicon evidence
+        self.crf = CRFParams(_structured_transitions(self.tags, cfg.model_seed + 1),
+                             T - 2, T - 1)
+        self._emb_cache: dict[str, np.ndarray] = {}
+        self._emb_salt = cfg.model_seed + 2
+
+    # --- embeddings -----------------------------------------------------
+    def _embed(self, token: str) -> np.ndarray:
+        vec = self._emb_cache.get(token)
+        if vec is None:
+            r = np.random.default_rng(_token_seed(token, self._emb_salt))
+            vec = r.uniform(-1.0, 1.0, self.cfg.embed_dim)
+            if len(self._emb_cache) < 500_000:
+                self._emb_cache[token] = vec
+        return vec
+
+    # --- emissions ------------------------------------------------------
+    def emissions(self, tokens: list[str]) -> np.ndarray:
+        """Per-position unary scores [L, num_tags+2] = MLP(embedding) +
+        lexicon-fusion label priors + O bias; START/STOP columns impossible."""
+        L = len(tokens)
+        T = self.num_tags + 2
+        if L == 0:
+            return np.zeros((0, T))
+        X = np.stack([self._embed(t) for t in tokens])
+        e = np.tanh(X @ self.W1 + self.b1) @ self.W2 + self.b2
+        e[:, self.tag2id["O"]] += self.o_bias
+        e[:, -2:] = IMPOSSIBLE  # never emit START/STOP mid-sequence
+
+        # lexicon fusion: candidate spans from the trie, labels from catalog
+        boost = self.cfg.lexicon_boost
+        for start, end, word in self.trie.spans(tokens, max_words=self.cfg.max_word_num):
+            lab = self.catalog.label(word)
+            if lab is None:
+                continue
+            n = end - start
+            if n == 1:
+                e[start, self.tag2id[f"S-{lab}"]] += boost
+            else:
+                e[start, self.tag2id[f"B-{lab}"]] += boost
+                for k in range(start + 1, end - 1):
+                    e[k, self.tag2id[f"I-{lab}"]] += boost
+                e[end - 1, self.tag2id[f"E-{lab}"]] += boost
+        return e
+
+    # --- decode ---------------------------------------------------------
+    def tag_segments(self, segments: list[list[str]]) -> list[list[str]]:
+        """Tag a batch of token segments → BIOES tag strings per segment.
+
+        Pads to the batch max length and decodes with masks, like the
+        reference's batched predict (``predicter.py:130-171``); per-row
+        output is independent of batch composition.
+        """
+        if not segments:
+            return []
+        B = len(segments)
+        L = max((len(s) for s in segments), default=0)
+        if L == 0:
+            return [[] for _ in segments]
+        T = self.num_tags + 2
+        feats = np.zeros((B, L, T), dtype=np.float64)
+        masks = np.zeros((B, L), dtype=np.float64)
+        for i, seg in enumerate(segments):
+            if seg:
+                feats[i, :len(seg)] = self.emissions(seg)
+                masks[i, :len(seg)] = 1.0
+        paths = viterbi_decode(feats, masks, self.crf)
+        return [[self.tags[t] for t in path] for path in paths]

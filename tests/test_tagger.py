@@ -1,0 +1,75 @@
+"""Deterministic tagger: planted entities decode; batch independence."""
+
+from ccnerx_ray.config import PipelineConfig
+from ccnerx_ray.functions.bioes import get_entities
+from ccnerx_ray.model.tagger import TaggerModel
+from ccnerx_ray.state.catalog import EntityCatalog
+
+
+def make_model():
+    cat = EntityCatalog.from_pairs([
+        (("parse_cfg",), "FUNC"),
+        (("Widget",), "CLASS"),
+        (("libfoo",), "LIB"),
+        (("libfoo", ".", "parse_cfg"), "FUNC"),
+        (("MAX_N",), "CONST"),
+    ])
+    return TaggerModel(cat, PipelineConfig())
+
+
+def test_single_token_entity_decodes():
+    m = make_model()
+    toks = ["x", "=", "parse_cfg", "(", "y", ")"]
+    tags = m.tag_segments([toks])[0]
+    ents = get_entities(tags, toks)
+    assert (2, 3, "FUNC", ["parse_cfg"]) in [(s, e, l, list(w)) for s, e, l, w in ents]
+
+
+def test_multi_token_entity_decodes():
+    m = make_model()
+    toks = ["import", "libfoo", ".", "parse_cfg"]
+    tags = m.tag_segments([toks])[0]
+    ents = [(s, e, l) for s, e, l, _ in get_entities(tags, toks)]
+    # the 3-token qualified name should win over its parts via lexicon fusion
+    assert (1, 4, "FUNC") in ents
+
+
+def test_filler_tokens_stay_o():
+    m = make_model()
+    toks = ["x", "=", "x", "+", "1"]
+    tags = m.tag_segments([toks])[0]
+    assert tags == ["O"] * len(toks)
+
+
+def test_valid_bioes_grammar():
+    m = make_model()
+    toks = ["Widget", "MAX_N", "x", "libfoo", ".", "parse_cfg", "y"] * 3
+    tags = m.tag_segments([toks])[0]
+    prev = "O"
+    for t in tags:
+        if t[0] == "I" or t[0] == "E":
+            assert prev[0] in ("B", "I") and prev[1:] == t[1:], (prev, t)
+        prev = t
+    assert tags[-1][0] in ("O", "E", "S")
+
+
+def test_batch_composition_independence():
+    m = make_model()
+    segs = [["x", "=", "parse_cfg"], ["import", "libfoo"],
+            ["Widget", "y", "MAX_N", "z", "w", "q"]]
+    together = m.tag_segments(segs)
+    solo = [m.tag_segments([s])[0] for s in segs]
+    assert together == solo
+
+
+def test_deterministic_across_instances():
+    toks = ["import", "libfoo", ".", "parse_cfg", "x", "Widget"]
+    a = make_model().tag_segments([toks])[0]
+    b = make_model().tag_segments([toks])[0]
+    assert a == b
+
+
+def test_empty_segment():
+    m = make_model()
+    assert m.tag_segments([[]]) == [[]]
+    assert m.tag_segments([]) == []
