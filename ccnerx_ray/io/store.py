@@ -1,0 +1,155 @@
+"""Partitioned triple-store sink with per-partition lineage + metrics.
+
+Replaces the reference's ad-hoc JSONL writers (``weibo.py:57-64``, K1) and
+its etag-keyed pickle cache (``cache_manager.py:7-45``, A7) with the layout
+the north rule requires: Parquet partitioned by ``part = hash(subj) % P``
+(co-locating each subject's triples for downstream graph queries), plus a
+``_lineage/part={k}.json`` sidecar per partition recording row counts,
+bytes, throughput and the engine version — the resume ledger.
+
+Writes are atomic at the run-chunk level (temp dir + ``os.rename``), so a
+killed run never leaves a half-written chunk that a resume would
+double-count (SURVEY.md §7 "checkpoint correctness").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ccnerx_ray.functions.hashing import stable_hash64_column
+
+LINEAGE_DIR = "_lineage"
+
+
+def add_part_column(num_partitions: int):
+    """map_batches fn: append ``part = stable_hash64(subj) % P`` (stable
+    across processes/retries — never Python ``hash()``, SURVEY.md §4)."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        h = stable_hash64_column(batch.column("subj"))
+        part = pa.array((h.to_numpy() % num_partitions).astype("int32"),
+                        pa.int32())
+        return batch.append_column("part", part)
+
+    return _add
+
+
+def write_triple_store(triples, out_dir: str, num_partitions: int = 16,
+                       lineage_extra: dict | None = None) -> dict:
+    """Write a triples Dataset as ``out_dir/part={k}/*.parquet`` with
+    lineage sidecars. Returns the run-level lineage summary."""
+    t0 = time.time()
+    if os.path.isdir(out_dir) and any(
+            d.startswith("part=") for d in os.listdir(out_dir)):
+        raise FileExistsError(
+            f"{out_dir} already holds a triple store; a second write would "
+            "append duplicate rows. Use run_resumable for incremental runs "
+            "or point at a fresh directory.")
+    os.makedirs(out_dir, exist_ok=True)
+    ds = triples.map_batches(add_part_column(num_partitions),
+                             batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["part"])
+    wall = time.time() - t0
+    summary = write_lineage(out_dir, wall, lineage_extra)
+    return summary
+
+
+def write_lineage(out_dir: str, wall_s: float,
+                  extra: dict | None = None) -> dict:
+    """Scan the partitioned store and write per-partition lineage sidecars
+    from Parquet footer metadata (no data read)."""
+    from ccnerx_ray import __version__
+
+    lin_dir = os.path.join(out_dir, LINEAGE_DIR)
+    os.makedirs(lin_dir, exist_ok=True)
+    total_rows = 0
+    total_bytes = 0
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, name)
+        rows = 0
+        nbytes = 0
+        files = []
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(pdir, f)
+            meta = pq.read_metadata(fp)
+            rows += meta.num_rows
+            nbytes += os.path.getsize(fp)
+            files.append(f)
+        rec = {"partition": name, "rows": rows, "bytes": nbytes,
+               "files": files, "engine_version": __version__,
+               "wall_s_run": round(wall_s, 3)}
+        if extra:
+            rec.update(extra)
+        with open(os.path.join(lin_dir, f"{name}.json"), "w") as fh:
+            json.dump(rec, fh)
+        total_rows += rows
+        total_bytes += nbytes
+        parts.append(rec)
+    summary = {"partitions": len(parts), "rows": total_rows,
+               "bytes": total_bytes, "wall_s": round(wall_s, 3),
+               "rows_per_s": round(total_rows / wall_s, 1) if wall_s > 0 else None,
+               "engine_version": __version__}
+    if extra:
+        summary.update(extra)
+    with open(os.path.join(lin_dir, "_summary.json"), "w") as fh:
+        json.dump(summary, fh)
+    return summary
+
+
+def read_triple_store(paths: str | list[str], columns: list[str] | None = None):
+    """Read the partitioned store back as a Dataset (column-pruned)."""
+    import ray.data
+
+    return ray.data.read_parquet(paths, columns=columns,
+                                 file_extensions=["parquet"])
+
+
+def completed_chunks(out_dir: str) -> set[str]:
+    """Chunk dirs whose atomic rename finished (resume ledger)."""
+    if not os.path.isdir(out_dir):
+        return set()
+    return {d for d in os.listdir(out_dir)
+            if d.startswith("chunk=") and
+            os.path.isfile(os.path.join(out_dir, d, LINEAGE_DIR, "_summary.json"))}
+
+
+def run_resumable(input_files: list[str], out_dir: str, run_chunk,
+                  chunk_size: int = 8) -> dict:
+    """Resumable chunked driver: group ``input_files`` into deterministic
+    chunks; for each chunk whose output doesn't exist, call
+    ``run_chunk(files, tmp_dir)`` (which must write a triple store incl.
+    lineage into ``tmp_dir``), then atomically rename into place.
+
+    A re-run after a crash skips finished chunks — the per-partition
+    lineage sidecars inside each chunk are the checkpoint ledger the north
+    rule requires.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(input_files)
+    chunks = [files[i:i + chunk_size] for i in range(0, len(files), chunk_size)]
+    done = completed_chunks(out_dir)
+    ran, skipped = [], []
+    for i, chunk in enumerate(chunks):
+        name = f"chunk={i:05d}"
+        if name in done:
+            skipped.append(name)
+            continue
+        tmp = os.path.join(out_dir, f".tmp-{name}-{os.getpid()}")
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        run_chunk(chunk, tmp)
+        os.rename(tmp, os.path.join(out_dir, name))
+        ran.append(name)
+    return {"chunks_total": len(chunks), "chunks_run": ran,
+            "chunks_skipped": skipped}

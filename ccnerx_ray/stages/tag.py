@@ -1,0 +1,157 @@
+"""Mention-tagging actor stage: segments → per-segment nested mention rows.
+
+The hot stateful stage of the KG pipeline. One actor holds the trie, the
+entity catalog and the tagger weights (built once in ``__init__`` — the
+actor-pool analogue of the reference predictor object, ``predicter.py:17-83``);
+``__call__`` runs per Arrow batch: emissions + viterbi decode
+(``crf.py:89-134`` semantics) + BIOES span extraction (``label.py:11-44``).
+
+Design note (deviation from a literal stage-per-step translation):
+featurize → tag → span-extract are fused into one actor so the wide
+``matched_word_ids[L, W]`` intermediate never crosses the object store
+(SURVEY.md §7 "wide featurized rows ... project aggressively").
+
+Output is NESTED: one row per segment with ``list<...>`` mention columns
+(starts/ends/labels/surfaces/norm_keys/entity_ids). Keeping a segment's
+mentions inside one row makes every downstream per-segment computation
+(entity linking, co-occurrence triple emission) an exact stateless
+``map_batches`` — no groupby shuffle, and no correctness dependence on how
+Ray re-blocks rows between stages. ``explode_mentions`` flattens to the
+classic mention table when needed.
+
+Mentions carry ``entity_id = sha256(norm_key)[:16]`` — computable per row
+without any shuffle; the canonicalization groupby only builds the entity
+TABLE, it is not needed to link mentions (this is what keeps the pipeline
+one-shuffle at 10^12-file scale).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ccnerx_ray.config import PipelineConfig
+from ccnerx_ray.functions.bioes import get_entities, normalize_tags
+from ccnerx_ray.functions.hashing import entity_id
+from ccnerx_ray.functions.tokenize import normalize_surface
+from ccnerx_ray.model.tagger import TaggerModel
+from ccnerx_ray.state.catalog import EntityCatalog
+
+PASS_THROUGH = ("content_sha256", "repo", "path", "commit", "lang", "seg_id")
+
+SEGMENT_MENTIONS_SCHEMA = pa.schema([
+    ("content_sha256", pa.string()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("seg_id", pa.int32()),
+    ("n_tokens", pa.int32()),
+    ("starts", pa.list_(pa.int32())),
+    ("ends", pa.list_(pa.int32())),
+    ("labels", pa.list_(pa.string())),
+    ("surfaces", pa.list_(pa.string())),
+    ("norm_keys", pa.list_(pa.string())),
+    ("entity_ids", pa.list_(pa.string())),
+])
+
+MENTION_SCHEMA = pa.schema([
+    ("content_sha256", pa.string()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("seg_id", pa.int32()),
+    ("start", pa.int32()),
+    ("end", pa.int32()),
+    ("label", pa.string()),
+    ("surface", pa.string()),
+    ("norm_key", pa.string()),
+    ("entity_id", pa.string()),
+])
+
+
+def extract_mention_rows(tokens: list[str], tags: list[str]) -> list[tuple]:
+    """BIOES decode of one segment → [(start, end, label, surface, norm_key,
+    entity_id)] with the reference's M-→I- normalization applied first
+    (trainer.py:211-214)."""
+    out = []
+    for start, end, label, word in get_entities(normalize_tags(tags), tokens):
+        surface = " ".join(word)
+        nk = normalize_surface(word)
+        out.append((start, end, label, surface, nk, entity_id(nk)))
+    return out
+
+
+class MentionTagger:
+    """Actor-pool callable: Arrow segment batch → nested mention batch."""
+
+    def __init__(self, catalog_pairs: list[tuple[tuple[str, ...], str]] | None = None,
+                 cfg: PipelineConfig | None = None, catalog_ref=None):
+        """``catalog_pairs`` inline for tests; ``catalog_ref`` a ``ray.put``
+        handle for production (broadcast once, read per actor)."""
+        self.cfg = cfg or PipelineConfig()
+        if catalog_ref is not None:
+            import ray
+            catalog_pairs = ray.get(catalog_ref)
+        catalog = EntityCatalog.from_pairs(catalog_pairs or [])
+        self.model = TaggerModel(catalog, self.cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        token_lists = batch.column("tokens").to_pylist()
+        # sort by length to minimize viterbi padding waste; per-row output is
+        # batch-composition-independent so restoring order is purely cosmetic
+        order = sorted(range(len(token_lists)), key=lambda i: len(token_lists[i]))
+        tag_lists: list[list[str]] = [None] * len(token_lists)  # type: ignore
+        B = self.cfg.tagger_batch_size
+        for off in range(0, len(order), B):
+            idxs = order[off:off + B]
+            for i, tags in zip(idxs, self.model.tag_segments([token_lists[i] for i in idxs])):
+                tag_lists[i] = tags
+
+        out = {name: [] for name in SEGMENT_MENTIONS_SCHEMA.names}
+        for c in PASS_THROUGH:
+            out[c] = batch.column(c).to_pylist()
+        for toks, tags in zip(token_lists, tag_lists):
+            rows = extract_mention_rows(toks, tags)
+            out["n_tokens"].append(len(toks))
+            out["starts"].append([r[0] for r in rows])
+            out["ends"].append([r[1] for r in rows])
+            out["labels"].append([r[2] for r in rows])
+            out["surfaces"].append([r[3] for r in rows])
+            out["norm_keys"].append([r[4] for r in rows])
+            out["entity_ids"].append([r[5] for r in rows])
+        return pa.Table.from_pydict(out, schema=SEGMENT_MENTIONS_SCHEMA)
+
+
+def explode_mentions(batch: pa.Table) -> pa.Table:
+    """Stateless flattener: nested segment-mention rows → one row per
+    mention (the classic mentions table, M5 in SURVEY.md §2.3). Uses the
+    linked label when the link stage has run."""
+    has_link = "linked_labels" in batch.column_names
+    out = {name: [] for name in MENTION_SCHEMA.names}
+    if has_link:
+        out["linked_label"] = []
+        out["link_score"] = []
+        out["in_catalog"] = []
+    cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
+    for i in range(batch.num_rows):
+        n = len(cols["starts"][i])
+        for j in range(n):
+            for c in PASS_THROUGH:
+                out[c].append(cols[c][i])
+            out["start"].append(cols["starts"][i][j])
+            out["end"].append(cols["ends"][i][j])
+            out["label"].append(cols["labels"][i][j])
+            out["surface"].append(cols["surfaces"][i][j])
+            out["norm_key"].append(cols["norm_keys"][i][j])
+            out["entity_id"].append(cols["entity_ids"][i][j])
+            if has_link:
+                out["linked_label"].append(cols["linked_labels"][i][j])
+                out["link_score"].append(cols["link_scores"][i][j])
+                out["in_catalog"].append(cols["in_catalog"][i][j])
+    schema = MENTION_SCHEMA
+    if has_link:
+        schema = schema.append(pa.field("linked_label", pa.string())) \
+                       .append(pa.field("link_score", pa.float64())) \
+                       .append(pa.field("in_catalog", pa.bool_()))
+    return pa.Table.from_pydict(out, schema=schema)
