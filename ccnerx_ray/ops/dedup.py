@@ -1,0 +1,352 @@
+"""Deduplication family over document tables.
+
+Exact dedup is the G5 pattern from the reference (hash-keyed first-wins,
+``label_counter.py:39-44`` / ``expand_data.py:63-109``) scaled out: partial
+per-batch combiners, then a hash groupby on a content digest — never a
+shuffle of raw text. Near-dup (MinHash+LSH, SimHash, embedding-cosine) is
+new capability a 100 TB training-data pipeline needs (no counterpart in the
+reference).
+
+Scale notes (10^12 rows):
+* every groupby key here is a short digest (16-64 bytes), never document
+  text — the shuffle moves keys + ids only;
+* LSH bucket sizes are capped (``max_bucket``) so one degenerate bucket
+  (e.g. the empty document) cannot emit O(n²) pairs; drops are by
+  deterministic id order and are the documented trade-off of LSH dedup;
+* exact-cosine all-pairs is the sf-scale oracle baseline; the scale path is
+  :func:`embedding_dup_pairs_lsh` (random-hyperplane bucketing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ccnerx_ray.functions.hashing import (minhash_params, minhash_signature,
+                                          sha256_hex, simhash64, stable_hash64)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ one row per distinct text: ``(text_sha256, keep_id, n_copies)``
+    with ``keep_id = min(id)`` (deterministic first-wins)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        agg: dict[str, list] = {}
+        for t, i in zip(texts, ids):
+            key = sha256_hex(t or "")
+            cur = agg.get(key)
+            if cur is None:
+                agg[key] = [i, 1]
+            else:
+                cur[0] = min(cur[0], i)
+                cur[1] += 1
+        return pa.table({
+            "text_sha256": pa.array(list(agg.keys()), pa.string()),
+            "keep_id": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_copies": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_sha256": [g["text_sha256"].iloc[0]],
+            "keep_id": [int(g["keep_id"].min())],
+            "n_copies": [int(g["n_copies"].sum())],
+        })
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return partials.groupby("text_sha256").map_groups(reduce_group,
+                                                      batch_format="pandas")
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep exactly the ``min(id)`` row of each distinct-text group
+    (all original columns survive)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [sha256_hex(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("_dedup_key", pa.array(keys, pa.string()))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.loc[[g[id_col].idxmin()]]
+        return out.drop(columns=["_dedup_key"])
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+              .groupby("_dedup_key").map_groups(first, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        return (np.array([stable_hash64(" ".join(toks))], dtype=np.int64)
+                if toks else np.empty(0, dtype=np.int64))
+    return np.fromiter((stable_hash64(" ".join(toks[i:i + k]))
+                        for i in range(len(toks) - k + 1)),
+                       dtype=np.int64)
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, shingle_k: int = 3, seed: int = 1):
+    """→ ``(id, sig list<int64>)`` per document (vectorized per batch)."""
+    a, b = minhash_params(num_perm, seed)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = [minhash_signature(shingle_hashes(t or "", shingle_k), a, b).tolist()
+                for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "sig": pa.array(sigs, pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
+                        threshold: float = 0.7, max_bucket: int = 64):
+    """MinHash-LSH: band the signatures, bucket-groupby, emit verified
+    pairs ``(id_a, id_b, est_jaccard)`` with est_jaccard = fraction of
+    agreeing signature components, filtered at ``threshold``.
+
+    The banding groupby shuffles (band, band_hash, id, sig) rows — sig is
+    num_perm*8 bytes, so the exchange is tiny relative to the corpus.
+    """
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, sig in zip(ids, sigs):
+            P = len(sig)
+            r = P // bands
+            for bidx in range(bands):
+                chunk = sig[bidx * r:(bidx + 1) * r]
+                out_band.append(bidx)
+                out_hash.append(stable_hash64(",".join(map(str, chunk))))
+                out_id.append(i)
+                out_sig.append(sig)
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            id_col: pa.array(out_id),
+            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)  # cap degenerate buckets
+        ids = g[id_col].tolist()
+        sigs = [np.asarray(s) for s in g["sig"]]
+        ida, idb, est = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                j = float(np.mean(sigs[x] == sigs[y]))
+                if j >= threshold:
+                    ida.append(ids[x])
+                    idb.append(ids[y])
+                    est.append(j)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "est_jaccard": est})
+
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[[0]][["id_a", "id_b", "est_jaccard"]]
+
+    pairs = (sig_ds.map_batches(band_rows, batch_format="pyarrow")
+                   .groupby(["band", "band_hash"])
+                   .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair can surface from several bands — keep one row
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
+                                                      batch_format="pandas")
+
+
+def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, shingle_k: int = 3,
+                        bands: int = 16, threshold: float = 0.7):
+    """documents → near-dup pairs (the full shingle→minhash→band→bucket
+    pipeline)."""
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
+    return lsh_candidate_pairs(sigs, id_col, bands, threshold)
+
+
+def ngram_jaccard_verify(pairs_rows: list[dict], docs_by_id: dict,
+                         shingle_k: int = 3) -> list[dict]:
+    """Exact n-gram Jaccard for candidate pairs (small side — runs on the
+    driver or inside a map over pair batches with a broadcast doc dict)."""
+    out = []
+    for row in pairs_rows:
+        sa = {h for h in shingle_hashes(docs_by_id[row["id_a"]] or "", shingle_k)}
+        sb = {h for h in shingle_hashes(docs_by_id[row["id_b"]] or "", shingle_k)}
+        inter = len(sa & sb)
+        union = len(sa | sb) or 1
+        out.append(dict(row, jaccard=inter / union))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4, max_bucket: int = 64):
+    """SimHash near-dup: 64-bit fingerprints, banded into ``bands`` 16-bit
+    sub-keys (a pair within hamming ≤ bands-1 shares ≥1 exact band);
+    within-bucket pairs are verified by true hamming distance."""
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        fps = []
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            th = np.fromiter((stable_hash64(w) for w in toks), dtype=np.int64) \
+                if toks else np.empty(0, dtype=np.int64)
+            fps.append(simhash64(th))
+        return pa.table({id_col: pa.array(ids),
+                         "simhash": pa.array(fps, pa.uint64())})
+
+    width = 64 // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        fps = batch.column("simhash").to_pylist()
+        ob, ok, oi, of = [], [], [], []
+        for i, fp in zip(ids, fps):
+            for bidx in range(bands):
+                ob.append(bidx)
+                ok.append((int(fp) >> (bidx * width)) & ((1 << width) - 1))
+                oi.append(i)
+                of.append(fp)
+        return pa.table({"band": pa.array(ob, pa.int32()),
+                         "key": pa.array(ok, pa.int64()),
+                         id_col: pa.array(oi),
+                         "simhash": pa.array(of, pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        fps = [int(f) for f in g["simhash"]]
+        ida, idb, ham = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = bin(fps[x] ^ fps[y]).count("1")
+                if d <= max_hamming:
+                    ida.append(ids[x])
+                    idb.append(ids[y])
+                    ham.append(d)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "hamming": ham})
+
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[[0]][["id_a", "id_b", "hamming"]]
+
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow")
+    pairs = (fps.map_batches(band_rows, batch_format="pyarrow")
+                .groupby(["band", "key"])
+                .map_groups(bucket_pairs, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
+                                                      batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                        threshold: float = 0.95, matrix_ref=None,
+                        ids_ref=None):
+    """Exact cosine near-dup pairs ``(id_a, id_b)`` with ``id_a < id_b`` and
+    cosine ≥ threshold. The full normalized matrix is broadcast once
+    (``ray.put``) and each batch multiplies against it — O(n·B) per batch.
+    This is the sf-scale oracle baseline; use
+    :func:`embedding_dup_pairs_lsh` when the matrix no longer fits."""
+    import ray
+
+    if matrix_ref is None:
+        rows = ds.select_columns([id_col, vec_col]).take_all()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        matrix_ref, ids_ref = ray.put(M), ray.put(ids)
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        M = ray.get(matrix_ref)
+        all_ids = ray.get(ids_ref)
+        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        B = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch.column(vec_col).to_pylist()])
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = B @ M.T
+        ra, ca = np.nonzero(sims >= threshold)
+        ida, idb = [], []
+        for r, c in zip(ra, ca):
+            a, b = int(bids[r]), int(all_ids[c])
+            if a < b:
+                ida.append(a)
+                idb.append(b)
+        return pa.table({"id_a": pa.array(ida, pa.int64()),
+                         "id_b": pa.array(idb, pa.int64())})
+
+    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.95,
+                            n_planes: int = 12, n_tables: int = 4,
+                            seed: int = 7, max_bucket: int = 256):
+    """Scale path: random-hyperplane LSH — ``n_tables`` independent sign
+    sketches bucket the vectors; exact cosine runs only within buckets.
+    Recall < 1 by construction (tunable via n_tables/n_planes)."""
+    # planes derived from the seed inside each task — nothing to broadcast
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        rng = np.random.default_rng(seed)
+        planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
+        ids = batch.column(id_col).to_pylist()
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch.column(vec_col).to_pylist()])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ot, ok, oi, ov = [], [], [], []
+        for t, P in enumerate(planes):
+            bits = (Vn @ P[:Vn.shape[1]] > 0)
+            keys = bits @ (1 << np.arange(n_planes))
+            for j, i in enumerate(ids):
+                ot.append(t)
+                ok.append(int(keys[j]))
+                oi.append(i)
+                ov.append(Vn[j].tolist())
+        return pa.table({"table": pa.array(ot, pa.int32()),
+                         "key": pa.array(ok, pa.int64()),
+                         id_col: pa.array(oi),
+                         "vec": pa.array(ov, pa.list_(pa.float64()))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        V = np.stack([np.asarray(v) for v in g["vec"]])
+        sims = V @ V.T
+        ida, idb = [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if sims[x, y] >= threshold:
+                    ida.append(ids[x])
+                    idb.append(ids[y])
+        return pd.DataFrame({"id_a": ida, "id_b": idb})
+
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[[0]][["id_a", "id_b"]]
+
+    pairs = (ds.map_batches(bucket_rows, batch_format="pyarrow")
+               .groupby(["table", "key"])
+               .map_groups(bucket_pairs, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
+                                                      batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Text analysis over a document table: token counting, quality scoring,
+language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` stages over Arrow batches.
+Outputs that feed the DuckDB correctness oracle are INTEGER columns with
+SQL-reproducible definitions (float scores would hash-mismatch on last-ulp
+differences); heuristic outputs (langid, fingerprint) have no SQL oracle
+and are covered by unit tests + rows-only checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ccnerx_ray.functions.hashing import stable_hash64
+
+# whitespace tokenization — definition shared with the SQL oracle:
+# tokens = regexp_split(trim(text), '\s+')
+_WS_RE = re.compile(r"\s+")
+
+# BPE-ish subword pieces: runs of letters / digits / single symbol
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z0-9]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is for on with that it as at by".split()),
+    "de": frozenset("der die das und zu in ist für auf mit dass es als bei von".split()),
+    "fr": frozenset("le la les et de un une dans est pour sur avec que il au".split()),
+    "es": frozenset("el la los las y de un una en es para con que se por".split()),
+    "zh": frozenset("的 了 在 是 我 有 和 就 不 人 都 一 上 也".split()),
+}
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append integer token statistics: ``n_tokens`` (whitespace tokens),
+    ``n_uniq_tokens``, ``n_pieces`` (BPE-ish subword count)."""
+    texts = batch.column(text_col).to_pylist()
+    n_tok, n_uniq, n_pieces = [], [], []
+    for t in texts:
+        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        n_tok.append(len(toks))
+        n_uniq.append(len(set(toks)))
+        n_pieces.append(len(_BPE_RE.findall(t)) if t else 0)
+    return (batch
+            .append_column("n_tokens", pa.array(n_tok, pa.int64()))
+            .append_column("n_uniq_tokens", pa.array(n_uniq, pa.int64()))
+            .append_column("n_pieces", pa.array(n_pieces, pa.int64())))
+
+
+def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality signals (length / punctuation / stopword ratios) and a
+    0-100 integer ``quality`` score. Heuristic; deterministic."""
+    texts = batch.column(text_col).to_pylist()
+    quality, stop_ratio_pm, punct_pm = [], [], []
+    en_stops = _LANG_PROFILES["en"]
+    for t in texts:
+        if not t or not t.strip():
+            quality.append(0)
+            stop_ratio_pm.append(0)
+            punct_pm.append(0)
+            continue
+        toks = _WS_RE.split(t.strip())
+        n = len(toks)
+        stops = sum(1 for w in toks if w.lower() in en_stops)
+        punct = len(_PUNCT_RE.findall(t))
+        mean_len = sum(len(w) for w in toks) / n
+        # per-mille integers keep the column oracle-safe
+        sr = int(1000 * stops / n)
+        pr = int(1000 * punct / max(1, len(t)))
+        q = 100
+        if n < 5:
+            q -= 40
+        if mean_len < 2 or mean_len > 12:
+            q -= 20
+        if pr > 300:
+            q -= 20
+        if sr == 0:
+            q -= 10
+        quality.append(max(0, q))
+        stop_ratio_pm.append(sr)
+        punct_pm.append(pr)
+    return (batch
+            .append_column("stopword_pm", pa.array(stop_ratio_pm, pa.int64()))
+            .append_column("punct_pm", pa.array(punct_pm, pa.int64()))
+            .append_column("quality", pa.array(quality, pa.int64())))
+
+
+def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``pred_lang``: argmax of per-language stopword hit rate with a
+    deterministic tie-break (lexicographic), ``und`` when nothing hits."""
+    texts = batch.column(text_col).to_pylist()
+    preds = []
+    for t in texts:
+        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        low = [w.lower() for w in toks]
+        best, best_score = "und", 0
+        for lang in sorted(_LANG_PROFILES):
+            hits = sum(1 for w in low if w in _LANG_PROFILES[lang])
+            if hits > best_score:
+                best, best_score = lang, hits
+        preds.append(best)
+    return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    window: int = 8) -> pa.Table:
+    """Append ``fingerprint``: winnowing-style rolling-hash fingerprint —
+    min of stable 63-bit hashes over each ``window``-token shingle (one
+    int64 per document; equal fingerprints ⇒ likely near-duplicates)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = []
+    for t in texts:
+        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        if not toks:
+            fps.append(0)
+            continue
+        if len(toks) <= window:
+            fps.append(stable_hash64(" ".join(toks)))
+            continue
+        h = min(stable_hash64(" ".join(toks[i:i + window]))
+                for i in range(len(toks) - window + 1))
+        fps.append(h)
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

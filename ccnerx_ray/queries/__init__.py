@@ -1,0 +1,21 @@
+"""Driver-facing query registry: every implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops) exposed as ``name → callable
+(sf_dir) → Dataset/Table`` with matching DuckDB oracle SQL where the
+semantics are SQL-expressible. Assembled by ``__ray_entry__``."""
+
+from ccnerx_ray.queries.relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES
+from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
+
+
+def all_queries() -> dict:
+    q = {}
+    q.update(RELATIONAL_QUERIES)
+    q.update(ANALYTICS_QUERIES)
+    return q
+
+
+def all_oracles() -> dict:
+    o = {}
+    o.update(RELATIONAL_ORACLE)
+    o.update(ANALYTICS_ORACLE)
+    return o

@@ -1,0 +1,186 @@
+"""Ops-layer tests: text analysis, dedup family, similarity search,
+multimodal plumbing — against planted fixtures and numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ccnerx_ray.ops.dedup import (embedding_dup_pairs, exact_dedup,
+                                  exact_dedup_groups, minhash_dedup_pairs,
+                                  simhash_pairs)
+from ccnerx_ray.ops.similarity import ivf_knn, knn_bruteforce
+from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
+                                 add_quality_score, add_token_stats)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_token_stats_batch():
+    t = pa.table({"text": ["a b b c", "", "  x  "]})
+    out = add_token_stats(t)
+    assert out.column("n_tokens").to_pylist() == [4, 0, 1]
+    assert out.column("n_uniq_tokens").to_pylist() == [3, 0, 1]
+
+
+def test_quality_and_langid_batch():
+    t = pa.table({"text": [
+        "the cat sat on the mat with a hat and a bat for the win",
+        "der die das und zu ist für auf mit dass",
+        "zz",
+    ]})
+    q = add_quality_score(t)
+    assert q.column("quality").to_pylist()[0] > q.column("quality").to_pylist()[2]
+    l = add_langid(t)
+    assert l.column("pred_lang").to_pylist()[:2] == ["en", "de"]
+
+
+def test_fingerprint_deterministic_and_dup_sensitive():
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    t = pa.table({"text": [text, text, "totally different words here now ok"]})
+    fp = add_fingerprint(t).column("fingerprint").to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+
+
+# --------------------------------------------------------------- exact dedup
+
+def dup_docs_ds():
+    import ray.data
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(20)]
+    rows += [{"doc_id": 100 + i, "text": "unique text 3"} for i in range(3)]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup_groups(ray_session):
+    out = exact_dedup_groups(dup_docs_ds()).take_all()
+    assert len(out) == 20
+    g = {r["keep_id"]: r["n_copies"] for r in out}
+    assert g[3] == 4                       # min-id wins, all copies counted
+    assert sum(g.values()) == 23
+
+
+def test_exact_dedup_rows(ray_session):
+    out = exact_dedup(dup_docs_ds()).take_all()
+    assert sorted(r["doc_id"] for r in out) == list(range(20))
+
+
+# ------------------------------------------------------------- near dedup
+
+def near_dup_ds():
+    import ray.data
+    base = "the quick brown fox jumps over the lazy dog again and again " \
+           "while the cat watches from the warm windowsill every day"
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 2, "text": "completely unrelated content about ray "
+                                  "data pipelines and arrow record batches "
+                                  "streaming through an object store"}]
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for i in range(3, 30):
+        rows.append({"doc_id": i, "text": " ".join(
+            words[j] + str(rng.integers(0, 50)) for j in rng.integers(0, 8, 25))})
+    return ray.data.from_items(rows)
+
+
+def test_minhash_lsh_finds_planted_pair(ray_session):
+    pairs = minhash_dedup_pairs(near_dup_ds(), threshold=0.5).take_all()
+    assert any(p["id_a"] == 0 and p["id_b"] == 1 for p in pairs)
+    assert not any({p["id_a"], p["id_b"]} == {0, 2} for p in pairs)
+
+
+def test_simhash_finds_planted_pair(ray_session):
+    # simhash needs long documents for a small edit to stay within a few
+    # bits; plant a 150-token doc with a 3-token edit
+    import ray.data
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    base = " ".join(words[i % 8] + str(i % 13) for i in range(150))
+    edited = base.replace("alpha0", "ALPHA0", 1).replace("beta1", "BETA1", 1)
+    rng = np.random.default_rng(9)
+    rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": edited}]
+    rows += [{"doc_id": i, "text": " ".join(
+        words[j] + str(rng.integers(0, 99)) for j in rng.integers(0, 8, 150))}
+        for i in range(2, 25)]
+    pairs = simhash_pairs(ray.data.from_items(rows), max_hamming=6).take_all()
+    assert any(p["id_a"] == 0 and p["id_b"] == 1 for p in pairs)
+    # unrelated random docs don't pair with the planted one
+    assert not any(p["id_a"] == 0 and p["id_b"] > 1 for p in pairs)
+
+
+def test_embedding_dup_pairs_exact(ray_session):
+    import ray.data
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((40, 16))
+    V[7] = V[3] + 0.01 * rng.standard_normal(16)     # planted near-dup
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_dup_pairs(ds, threshold=0.95).take_all()
+    assert {"id_a": 3, "id_b": 7} in [
+        {"id_a": p["id_a"], "id_b": p["id_b"]} for p in pairs]
+
+
+# ------------------------------------------------------------- similarity
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = Mn[:3]
+    got = knn_bruteforce(ds, Q, k=5).take_all()
+    for qi in range(3):
+        sims = Q[qi] @ Mn.T
+        want = ids[np.lexsort((ids, -sims))[:5]].tolist()
+        have = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qi), key=lambda r: r["rank"])]
+        assert have == want, (qi, have, want)
+        # self-match is rank 1
+        assert have[0] == ids[qi]
+
+
+def test_ivf_knn_recall(ray_session):
+    import ray.data
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = Mn[:4]
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(ds, Q, k=10).take_all()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_knn(ds, Q, k=10, n_centroids=8, nprobe=4).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_feature_plumbing(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.multimodal import (extract_media_features,
+                                           synthetic_media_table)
+    t = synthetic_media_table(30)
+    ds = ray.data.from_arrow(t)
+    out = extract_media_features(ds, dim=16, concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    vids = [r for r in rows if r["kind"] == "video"]
+    assert all(r["n_frames"] >= 1 for r in vids)
+    # deterministic across runs (hash-seeded fake decoder)
+    rows2 = extract_media_features(ray.data.from_arrow(t), dim=16).take_all()
+    f1 = {r["media_id"]: r["feature"] for r in rows}
+    f2 = {r["media_id"]: r["feature"] for r in rows2}
+    assert f1 == f2
+
+
+def test_media_real_decode_is_gated():
+    from ccnerx_ray.ops.multimodal import MediaFeatureExtractor
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(use_fake=False)

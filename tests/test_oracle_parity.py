@@ -1,0 +1,92 @@
+"""Driver-compare simulation: every queries() entry with an oracle must
+match DuckDB exactly at sf0.001 — row count, column names, and sorted
+values (the driver's order-insensitive value-hash, reproduced here so
+mismatches surface before the real gate runs at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    df = con.sql(sql).df()
+    con.close()
+    return df
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _query_names():
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "lineitem_agg", "orders_topk", "customers_by_region",
+    "revenue_by_segment", "distinct_flags", "union_shipdate",
+    "customers_without_orders", "events_hourly", "top_parts_per_brand",
+    "building_orders", "token_stats", "quality", "exact_dedup", "knn",
+    "embedding_dedup",
+])
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert name in qs and name in os_
+    got = _canon(_to_df(qs[name](SF)))
+    want = _canon(_oracle_df(os_[name]))
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            assert np.allclose(g.astype(float), w.astype(float),
+                               rtol=0, atol=1e-9), (name, c)
+        else:
+            assert (g == w).all(), (name, c, g[:5], w[:5])
+
+
+def test_oracle_keys_subset_of_queries():
+    import __ray_entry__ as e
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without an oracle still must run and return rows at sf0.001."""
+    import __ray_entry__ as e
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name in sorted(set(qs) - set(os_)):
+        df = _to_df(qs[name](SF))
+        assert df is not None and len(df.columns) > 0, name
+        assert len(df) > 0, f"{name} returned no rows"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+    res = e.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert {"subj", "pred", "obj", "content_sha256"} <= set(df.columns)
