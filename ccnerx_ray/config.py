@@ -37,8 +37,8 @@ class PipelineConfig:
     cooccur_cap: int = 8              # max co-occurrence pairs emitted per segment
 
     # --- execution knobs (sized for 32-CPU single node; scale by cluster) ---
-    featurize_batch_size: int = 256
-    tagger_batch_size: int = 256
+    featurize_batch_size: int = 256  # map_batches rows per task (sorted by length inside)
+    tagger_batch_size: int = 64      # decode chunk: tight L per sorted chunk
     tagger_concurrency: int = 8      # actor-pool size for the tagger stage
     read_parallelism: int = -1       # -1 = let Ray decide
 

@@ -1,0 +1,90 @@
+"""Coarse hash-partitioned groupby — the scale workhorse for high-cardinality
+grouped computation.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per DISTINCT
+key; with millions of tiny groups the per-call overhead (a table slice + a
+Python call each) dominates the useful work by 10-100×. The classic fix is
+two-level grouping: shuffle on ``hash(key) % num_buckets`` (bounded,
+balanced partition count) and run a VECTORIZED local groupby (pandas C
+engine) inside each coarse group. Exactness is preserved — every row of a
+true group lands in the same coarse group. Measured on the LSH bucket
+stage: 16s → 1.6s at sf0.1 (identical output).
+
+Skew note: a single hot TRUE key still lands in one coarse group; stages
+with adversarial key skew (canonicalization) pre-combine per batch and/or
+salt the key before coarse grouping (see stages/canonical.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ccnerx_ray.functions.hashing import stable_hash64
+
+COARSE_COL = "_coarse"
+
+
+def add_coarse_column(key_cols: Sequence[str], num_buckets: int):
+    """map_batches fn factory: append ``_coarse = H(keys) % num_buckets``.
+    Integer keys mix via numpy (vectorized); otherwise stable string hash."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [batch.column(c) for c in key_cols]
+        if all(pa.types.is_integer(c.type) for c in cols):
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in cols:
+                v = np.asarray(c.to_pylist(), dtype=np.uint64)
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + v + np.uint64(1)
+            acc ^= acc >> np.uint64(33)
+            coarse = (acc % np.uint64(num_buckets)).astype(np.int64)
+        else:
+            vals = zip(*[c.to_pylist() for c in cols])
+            coarse = np.fromiter(
+                (stable_hash64("|".join(map(str, v))) % num_buckets
+                 for v in vals), dtype=np.int64, count=n)
+        return batch.append_column(COARSE_COL, pa.array(coarse, pa.int64()))
+
+    return fn
+
+
+def coarse_grouped(ds, key_cols: Sequence[str],
+                   local_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                   num_buckets: int = 1024):
+    """Apply ``local_fn`` to each COARSE group (a pandas frame containing
+    whole true groups; ``local_fn`` must group by ``key_cols`` itself,
+    vectorized). Output frames are concatenated into the result Dataset."""
+    keyed = ds.map_batches(add_coarse_column(key_cols, num_buckets),
+                           batch_format="pyarrow")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        out = local_fn(g.drop(columns=[COARSE_COL]))
+        return out
+
+    return keyed.groupby(COARSE_COL).map_groups(run, batch_format="pandas")
+
+
+def grouped_reduce(ds, key_cols: Sequence[str],
+                   agg: dict[str, str | Callable],
+                   num_buckets: int = 1024):
+    """Convenience: coarse-grouped ``groupby(key_cols).agg(agg)``."""
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(list(key_cols), sort=False).agg(agg).reset_index()
+
+    return coarse_grouped(ds, key_cols, local, num_buckets)
+
+
+def drop_duplicate_rows(ds, key_cols: Sequence[str], num_buckets: int = 256):
+    """Distributed exact row-dedup on ``key_cols`` (keeps an arbitrary but
+    deterministic-per-content first row: rows are sorted by keys locally)."""
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(list(key_cols))
+                 .drop_duplicates(subset=list(key_cols)))
+
+    return coarse_grouped(ds, key_cols, local, num_buckets)

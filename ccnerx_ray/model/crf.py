@@ -62,13 +62,20 @@ def viterbi_decode(features: np.ndarray, masks: np.ndarray,
     max_score = np.full((B, T), IMPOSSIBLE, dtype=np.float64)
     max_score[:, params.start_idx] = 0.0
 
+    # preallocated step buffers — the loop allocates nothing per iteration
+    # (allocator traffic is what limits 32-way concurrency on one node)
+    acc = np.empty((B, T, T), dtype=np.float64)
+    acc_max = np.empty((B, T), dtype=np.float64)
+
     for t in range(L):
-        mask_t = masks[:, t:t + 1].astype(np.float64)           # [B, 1]
-        emit_t = features[:, t]                                  # [B, T]
-        acc = max_score[:, None, :] + trans[None, :, :]          # [B, T(to), T(from)]
-        bps[:, t, :] = np.argmax(acc, axis=-1)                   # first-max, like torch
-        acc_max = np.max(acc, axis=-1) + emit_t
-        max_score = acc_max * mask_t + max_score * (1.0 - mask_t)
+        mask_t = masks[:, t] != 0.0                              # [B]
+        np.add(max_score[:, None, :], trans[None, :, :], out=acc)  # [B, to, from]
+        bp_t = np.argmax(acc, axis=-1)                           # first-max, like torch
+        bps[:, t, :] = bp_t
+        np.max(acc, axis=-1, out=acc_max)
+        acc_max += features[:, t]
+        # masked steps carry max_score forward unchanged (crf.py:106-114)
+        np.copyto(max_score, acc_max, where=mask_t[:, None])
 
     max_score = max_score + trans[params.stop_idx][None, :]
     best_tag = np.argmax(max_score, axis=-1)

@@ -103,6 +103,9 @@ class TaggerModel:
                              T - 2, T - 1)
         self._emb_cache: dict[str, np.ndarray] = {}
         self._emb_salt = cfg.model_seed + 2
+        # per-token BASE emission row cache (emission = f(token) + boosts;
+        # the MLP runs once per distinct token, ever, per process)
+        self._row_cache: dict[str, np.ndarray] = {}
 
     # --- embeddings -----------------------------------------------------
     def _embed(self, token: str) -> np.ndarray:
@@ -143,14 +146,41 @@ class TaggerModel:
                 e[end - 1, self.tag2id[f"E-{lab}"]] += boost
         return e
 
+    def _base_rows(self, uniq_tokens: list[str]) -> np.ndarray:
+        """[U, T] base emission rows (MLP + O bias + START/STOP mask),
+        cache-assisted; new tokens run through ONE batched MLP. Row values
+        are bit-identical to the per-segment path (row-wise matmul is
+        row-independent)."""
+        T = self.num_tags + 2
+        out = np.empty((len(uniq_tokens), T), dtype=np.float64)
+        missing: list[tuple[int, str]] = []
+        for u, tok in enumerate(uniq_tokens):
+            row = self._row_cache.get(tok)
+            if row is None:
+                missing.append((u, tok))
+            else:
+                out[u] = row
+        if missing:
+            X = np.stack([self._embed(t) for _, t in missing])
+            E = np.tanh(X @ self.W1 + self.b1) @ self.W2 + self.b2
+            E[:, self.tag2id["O"]] += self.o_bias
+            E[:, -2:] = IMPOSSIBLE
+            for k, (u, tok) in enumerate(missing):
+                out[u] = E[k]
+                if len(self._row_cache) < 500_000:
+                    self._row_cache[tok] = E[k]
+        return out
+
     # --- decode ---------------------------------------------------------
     def tag_segments(self, segments: list[list[str]]) -> list[list[str]]:
         """Tag a batch of token segments → BIOES tag strings per segment.
 
         Pads to the batch max length and decodes with masks, like the
         reference's batched predict (``predicter.py:130-171``); per-row
-        output is independent of batch composition.
-        """
+        output is independent of batch composition. Emission assembly is
+        fully vectorized: one gather from the per-token row cache plus
+        sparse lexicon-boost additions (scale note: the per-batch Python
+        work is O(trie spans), not O(tokens))."""
         if not segments:
             return []
         B = len(segments)
@@ -158,11 +188,38 @@ class TaggerModel:
         if L == 0:
             return [[] for _ in segments]
         T = self.num_tags + 2
-        feats = np.zeros((B, L, T), dtype=np.float64)
+
+        uniq: dict[str, int] = {}
+        for seg in segments:
+            for t in seg:
+                if t not in uniq:
+                    uniq[t] = len(uniq)
+        base = self._base_rows(list(uniq))
+
+        ids = np.zeros((B, L), dtype=np.int64)
         masks = np.zeros((B, L), dtype=np.float64)
         for i, seg in enumerate(segments):
-            if seg:
-                feats[i, :len(seg)] = self.emissions(seg)
-                masks[i, :len(seg)] = 1.0
+            n = len(seg)
+            if n:
+                ids[i, :n] = [uniq[t] for t in seg]
+                masks[i, :n] = 1.0
+        feats = base[ids]                     # [B, L, T] (copy via gather)
+        feats[masks == 0.0] = 0.0             # padded positions stay zero
+
+        # lexicon fusion: sparse additive label priors per candidate span
+        boost = self.cfg.lexicon_boost
+        for i, seg in enumerate(segments):
+            for start, end, word in self.trie.spans(seg, max_words=self.cfg.max_word_num):
+                lab = self.catalog.label(word)
+                if lab is None:
+                    continue
+                if end - start == 1:
+                    feats[i, start, self.tag2id[f"S-{lab}"]] += boost
+                else:
+                    feats[i, start, self.tag2id[f"B-{lab}"]] += boost
+                    for k in range(start + 1, end - 1):
+                        feats[i, k, self.tag2id[f"I-{lab}"]] += boost
+                    feats[i, end - 1, self.tag2id[f"E-{lab}"]] += boost
+
         paths = viterbi_decode(feats, masks, self.crf)
         return [[self.tags[t] for t in path] for path in paths]

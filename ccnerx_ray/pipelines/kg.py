@@ -48,6 +48,10 @@ def tagged_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig()
     """corpus → nested, linked segment-mention rows (streaming)."""
     ref = _broadcast_catalog(catalog_pairs)
     segs = segments_dataset(corpus, cfg)
+    # autoscaling pools: a FIXED pool pair can reserve every CPU of a small
+    # cluster and starve the upstream read tasks (observed deadlock at 4
+    # CPUs); (1, n) lets the executor balance. The production path
+    # (triples_dataset(fused=True)) uses plain tasks instead.
     tagged = segs.map_batches(
         MentionTagger,
         fn_constructor_kwargs={"catalog_ref": ref, "cfg": cfg},
@@ -65,8 +69,24 @@ def tagged_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig()
     return linked
 
 
-def triples_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig()):
-    """corpus → triples Dataset (still streaming, unwritten)."""
+def triples_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig(),
+                    fused: bool = True):
+    """corpus → triples Dataset (still streaming, unwritten).
+
+    ``fused=True`` (production): tag + link + emit in ONE actor pool —
+    fewer pools to spin up and no nested intermediates in the object
+    store. ``fused=False`` runs the three discrete stages (parity path);
+    outputs are identical (test-enforced)."""
+    if fused:
+        from ccnerx_ray.stages.tag import make_fused_tagger_fn
+
+        ref = _broadcast_catalog(catalog_pairs)
+        segs = segments_dataset(corpus, cfg)
+        return segs.map_batches(
+            make_fused_tagger_fn(ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.featurize_batch_size,
+        )
     linked = tagged_dataset(corpus, catalog_pairs, cfg)
     return linked.map_batches(make_triple_emitter(cfg), batch_format="pyarrow")
 

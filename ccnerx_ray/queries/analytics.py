@@ -195,7 +195,15 @@ TESTDATA_CATALOG: list[tuple[tuple[str, ...], str]] = sorted({
     (("customer",), "CONST"), (("order",), "CONST"), (("query",), "CONST"),
 })
 
-KG_CFG = PipelineConfig(tagger_concurrency=4, output_partitions=8)
+def kg_cfg() -> PipelineConfig:
+    """Tagger actor-pool sizing follows the session's CPU count (the pool
+    is the hot stage; a fixed size would throttle scaling runs)."""
+    import ray
+    n = 8
+    if ray.is_initialized():
+        n = int(ray.cluster_resources().get("CPU", 8))
+    return PipelineConfig(tagger_concurrency=max(2, n - 1),
+                          output_partitions=8)
 
 
 def docs_to_corpus(batch: pa.Table) -> pa.Table:
@@ -224,13 +232,13 @@ def q_kg_triples(sf_dir: str):
     """Flagship KG pipeline over the documents-derived corpus."""
     from ccnerx_ray.pipelines.kg import triples_dataset
     corpus = corpus_from_documents(sf_dir)
-    return triples_dataset(corpus, TESTDATA_CATALOG, KG_CFG)
+    return triples_dataset(corpus, TESTDATA_CATALOG, kg_cfg())
 
 
 def q_kg_mentions(sf_dir: str):
     from ccnerx_ray.pipelines.kg import mentions_dataset
     corpus = corpus_from_documents(sf_dir)
-    return mentions_dataset(corpus, TESTDATA_CATALOG, KG_CFG)
+    return mentions_dataset(corpus, TESTDATA_CATALOG, kg_cfg())
 
 
 def q_kg_entities(sf_dir: str):

@@ -66,32 +66,45 @@ def _merge_partials(g: pd.DataFrame) -> pd.DataFrame:
               .sum().reset_index())
 
 
-def _finalize(g: pd.DataFrame) -> pd.DataFrame:
-    nk = g["norm_key"].iloc[0]
-    by_label = g.groupby("label")["cnt"].sum()
-    # majority label; tie → lexicographically smallest (deterministic)
-    best = by_label.max()
-    label = sorted(by_label[by_label == best].index)[0]
-    by_surface = g.groupby("surface")["cnt"].sum()
-    best_s = by_surface.max()
-    surface = sorted(by_surface[by_surface == best_s].index)[0]
-    return pd.DataFrame({
-        "entity_id": [entity_id(nk)],
-        "norm_key": [nk],
-        "label": [label],
-        "repr_surface": [surface],
-        "n_mentions": [int(g["cnt"].sum())],
-    })
+def _finalize_local(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-coarse-group finalize: majority label + representative
+    surface per norm_key, ties broken lexicographically (sort order makes
+    the choice deterministic)."""
+    lab = (g.groupby(["norm_key", "label"], sort=False)["cnt"].sum()
+            .reset_index()
+            .sort_values(["norm_key", "cnt", "label"],
+                         ascending=[True, False, True])
+            .drop_duplicates("norm_key")[["norm_key", "label"]])
+    surf = (g.groupby(["norm_key", "surface"], sort=False)["cnt"].sum()
+             .reset_index()
+             .sort_values(["norm_key", "cnt", "surface"],
+                          ascending=[True, False, True])
+             .drop_duplicates("norm_key")[["norm_key", "surface"]])
+    tot = g.groupby("norm_key", sort=False)["cnt"].sum().reset_index()
+    out = lab.merge(surf, on="norm_key").merge(tot, on="norm_key")
+    out = out.rename(columns={"surface": "repr_surface", "cnt": "n_mentions"})
+    out["entity_id"] = [entity_id(nk) for nk in out["norm_key"]]
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out[["entity_id", "norm_key", "label", "repr_surface", "n_mentions"]]
 
 
 def canonicalize(mentions, salted: bool = True, label_col: str = "linked_label"):
-    """flat mention Dataset → canonical entity Dataset."""
+    """flat mention Dataset → canonical entity Dataset.
+
+    Both reduce phases run as coarse hash-partitioned groupbys
+    (:func:`ccnerx_ray.functions.grouping.coarse_grouped`): bounded
+    partition count, vectorized pandas reduction inside — the per-group
+    ``map_groups`` overhead never appears, and the salt keeps a hot
+    norm_key's partials spread across phase-1 reducers."""
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
     partials = mentions.map_batches(make_combiner(label_col=label_col),
                                     batch_format="pyarrow")
     if salted:
-        partials = partials.groupby(["norm_key", "salt"]).map_groups(
-            _merge_partials, batch_format="pandas")
-    return partials.groupby("norm_key").map_groups(_finalize, batch_format="pandas")
+        partials = coarse_grouped(partials, ["norm_key", "salt"],
+                                  _merge_partials, num_buckets=512)
+    return coarse_grouped(partials, ["norm_key"], _finalize_local,
+                          num_buckets=512)
 
 
 def entities_from_triples(triples, salted: bool = True):

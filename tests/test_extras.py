@@ -1,0 +1,83 @@
+"""Auto-tagging catalog pipeline (§3.3), sampling ops (T3-T6), span
+augmentation (K5), grouping primitive."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ccnerx_ray.config import PipelineConfig
+from ccnerx_ray.corpus import build_catalog
+
+
+def test_autotag_lexicon_recovers_catalog_labels(ray_session):
+    from ccnerx_ray.pipelines.autotag import autotag_lexicon
+
+    cat = sorted(build_catalog(13).surface2label.items())
+    words = [w for w, _ in cat[:40]]
+    out = autotag_lexicon(words, cat,
+                          cfg=PipelineConfig(tagger_concurrency=2)).take_all()
+    assert len(out) == 40
+    got = {tuple(r["word"]): r["label"] for r in out}
+    want = dict(cat[:40])
+    agree = sum(1 for w in got if got[w] == want[tuple(w)])
+    # lexicon fusion makes catalog words tag as their own label
+    assert agree / len(got) >= 0.9, agree
+    # tag sequences are valid BIOES for the word length
+    for r in out:
+        assert len(r["tags"]) == len(r["word"])
+
+
+def test_sampling_deterministic(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.sampling import (few_shot_sample, sample_fraction,
+                                         train_val_split)
+
+    ds = ray.data.range(1000)
+    a = sorted(r["id"] for r in sample_fraction(ds, 0.1, seed=7).take_all())
+    b = sorted(r["id"] for r in sample_fraction(ray.data.range(1000), 0.1,
+                                                seed=7).take_all())
+    assert a == b and 40 < len(a) < 200
+    fs = few_shot_sample(ray.data.range(1000), 25, seed=7).take_all()
+    assert len(fs) == 25
+    tr, va = train_val_split(ray.data.range(100), 0.2, seed=7)
+    assert tr.count() == 80 and va.count() == 20
+
+
+def test_augment_by_replacement(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.augment import augment_by_replacement
+
+    rows = [{"text": ["call", "foo_fn", "now"],
+             "label": ["O", "S-FUNC", "O"]} for _ in range(30)]
+    ds = ray.data.from_items(rows)
+    surf = {"FUNC": [["bar_fn"], ["deep", "fn"]]}
+    out = augment_by_replacement(ds, surf, rate=1.0, seed=3).take_all()
+    assert len(out) == 30
+    for r in out:
+        assert r["replaced"]
+        assert r["replace_from"] == "foo_fn"
+        assert r["replace_to"] in ("bar_fn", "deep fn")
+        assert len(r["text"]) == len(r["label"])
+        if r["replace_to"] == "deep fn":
+            assert r["label"][1:3] == ["B-FUNC", "E-FUNC"]
+    # rate=0 → nothing changes
+    out0 = augment_by_replacement(ds, surf, rate=0.0, seed=3).take_all()
+    assert not any(r["replaced"] for r in out0)
+
+
+def test_grouped_reduce_and_drop_duplicates(ray_session):
+    import ray.data
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows, grouped_reduce
+
+    rows = [{"k": i % 7, "v": float(i)} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    red = grouped_reduce(ds, ["k"], {"v": "sum"}, num_buckets=16).take_all()
+    assert len(red) == 7
+    want = {k: sum(float(i) for i in range(200) if i % 7 == k)
+            for k in range(7)}
+    for r in red:
+        assert r["v"] == want[r["k"]]
+    dd = drop_duplicate_rows(ds, ["k"], num_buckets=8).take_all()
+    assert len(dd) == 7
