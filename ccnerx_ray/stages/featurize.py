@@ -117,3 +117,31 @@ def featurized_dataset(segments, lexicon_words, cfg: PipelineConfig | None = Non
         batch_size=(cfg or PipelineConfig()).featurize_batch_size,
         concurrency=(1, concurrency),
     )
+
+
+def corpus_matched_words(segments, lexicon_words, cfg: PipelineConfig | None = None,
+                         concurrency: int = 4):
+    """G1: corpus-wide matched-word set (``lexicon_factory.py:37-58``) —
+    per-segment trie matches, exploded, hash-distinct, sorted. The shuffle
+    moves distinct surface strings only (per-batch set union first)."""
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    ref = ray.put([tuple(w) for w in lexicon_words])
+
+    class Matcher:
+        def __init__(self):
+            words = sorted({tuple(w) for w in ray.get(ref)})
+            self.trie = Trie.from_words(words, use_single=cfg.use_single,
+                                        max_scan_num=cfg.max_scan_num)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            seen: set[str] = set()
+            for toks in batch.column("tokens").to_pylist():
+                for w in self.trie.all_matched_words(toks):
+                    seen.add(" ".join(w))
+            return pa.table({"word": pa.array(sorted(seen), pa.string())})
+
+    return (segments.map_batches(Matcher, batch_format="pyarrow",
+                                 concurrency=(1, concurrency))
+            .groupby("word").count().select_columns(["word"]).sort("word"))

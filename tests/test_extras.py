@@ -81,3 +81,31 @@ def test_grouped_reduce_and_drop_duplicates(ray_session):
         assert r["v"] == want[r["k"]]
     dd = drop_duplicate_rows(ds, ["k"], num_buckets=8).take_all()
     assert len(dd) == 7
+
+
+def test_prompt_generation_and_mlm_labels():
+    from ccnerx_ray.functions.prompt import (IGNORE, MASK, build_prompt,
+                                             mlm_labels)
+
+    p = build_prompt(["parse", "_", "foo"], "FUNC", label_text=["func"])
+    assert p["prompt"] == ["parse", "_", "foo", "is", "a", MASK]
+    assert p["origin"] == ["parse", "_", "foo", "is", "a", "func"]
+    assert p["mlm_mask"] == [0, 0, 0, 0, 0, 1]
+    assert p["tags"] == ["B-FUNC", "I-FUNC", "E-FUNC", "O", "O", "O"]
+    labels = mlm_labels([10, 11, 12, 13, 14, 15], p["mlm_mask"])
+    assert labels == [IGNORE] * 5 + [15]
+
+
+def test_prompts_from_catalog_stage(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from ccnerx_ray.functions.prompt import prompts_from_catalog
+
+    t = pa.table({"word": pa.array([["foo_fn"], ["Bar", "Cls"]],
+                                   pa.list_(pa.string())),
+                  "label": pa.array(["FUNC", "CLASS"], pa.string())})
+    rows = (ray.data.from_arrow(t)
+            .map_batches(prompts_from_catalog, batch_format="pyarrow")
+            .take_all())
+    assert rows[0]["prompt"][-1] == "[MASK]"
+    assert rows[1]["tags"][:2] == ["B-CLASS", "E-CLASS"]

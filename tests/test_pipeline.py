@@ -96,3 +96,33 @@ def test_resumable_chunks(ray_session, corpus_dir, catalog_pairs, tmp_path):
     got = {(r["subj"], r["pred"], r["obj"]) for r in chunked.take_all()}
     want = oracle_triples(generate_corpus(N_ROWS, seed=SEED), catalog_pairs, CFG)
     assert got == want
+
+
+def test_canonicalize_hot_key_skew(ray_session):
+    """SURVEY §7: a dominant identifier (monorepo hot key) must not break
+    or mis-count under the salted two-phase coarse groupby."""
+    import ray.data
+    from ccnerx_ray.stages.canonical import canonicalize
+
+    hot = [{"norm_key": "self", "linked_label": "CONST", "surface": "self"}
+           for _ in range(20_000)]
+    cold = [{"norm_key": f"k{i}", "linked_label": "FUNC", "surface": f"k{i}"}
+            for i in range(500)]
+    ds = ray.data.from_items(hot + cold).repartition(16)
+    ents = {r["norm_key"]: r for r in canonicalize(ds).take_all()}
+    assert len(ents) == 501
+    assert ents["self"]["n_mentions"] == 20_000
+    assert ents["self"]["label"] == "CONST"
+    assert ents["k7"]["n_mentions"] == 1
+
+
+def test_corpus_matched_words(ray_session, corpus_dir, catalog_pairs):
+    from ccnerx_ray.pipelines.kg import read_corpus, segments_dataset
+    from ccnerx_ray.stages.featurize import corpus_matched_words
+
+    segs = segments_dataset(read_corpus(corpus_dir, CFG), CFG)
+    words = [r["word"] for r in
+             corpus_matched_words(segs, [w for w, _ in catalog_pairs]).take_all()]
+    assert words == sorted(words) and len(words) > 10
+    lex = {" ".join(w) for w, _ in catalog_pairs}
+    assert all(w in lex for w in words)
