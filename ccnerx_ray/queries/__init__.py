@@ -4,12 +4,14 @@ SURVEY.md §2 (plus the training-data ops) exposed as ``name → callable
 semantics are SQL-expressible. Assembled by ``__ray_entry__``."""
 
 from ccnerx_ray.queries.relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES
+from ccnerx_ray.queries.relational2 import RELATIONAL2_ORACLE, RELATIONAL2_QUERIES
 from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
 
 
 def all_queries() -> dict:
     q = {}
     q.update(RELATIONAL_QUERIES)
+    q.update(RELATIONAL2_QUERIES)
     q.update(ANALYTICS_QUERIES)
     return q
 
@@ -17,5 +19,6 @@ def all_queries() -> dict:
 def all_oracles() -> dict:
     o = {}
     o.update(RELATIONAL_ORACLE)
+    o.update(RELATIONAL2_ORACLE)
     o.update(ANALYTICS_ORACLE)
     return o

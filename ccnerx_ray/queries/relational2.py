@@ -1,0 +1,233 @@
+"""Second wave of oracle-checked relational/text queries — each adds a Ray
+Data pattern not covered by the first wave: Min/Max aggregates, numeric
+bucketing, temporal (year, month) bucketing, LIKE-filter + aggregate,
+conditional (CASE) aggregation, JSON property extraction, and a global
+top-k wordcount (flat_map → coarse count → sort/limit)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ccnerx_ray.functions.grouping import grouped_reduce
+from ccnerx_ray.queries.relational import _read, _rename_cents
+
+
+# ---------------------------------------------------------------- min/max
+def q_supplier_balance_range(sf_dir: str):
+    """Min/Max/Count per nation (aggregate family completion)."""
+    from ray.data.aggregate import Count, Max, Min
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    out = ds.groupby("s_nationkey").aggregate(
+        Min("s_acctbal"), Max("s_acctbal"), Count())
+    return out.map_batches(_rename_cents(
+        {"min(s_acctbal)": "min_bal_cents", "max(s_acctbal)": "max_bal_cents",
+         "count()": "n_suppliers"},
+        {"min_bal_cents": 100, "max_bal_cents": 100}), batch_format="pyarrow")
+
+
+ORACLE_SUPPLIER_RANGE = """
+SELECT s_nationkey,
+       CAST(round(min(s_acctbal) * 100) AS BIGINT) AS min_bal_cents,
+       CAST(round(max(s_acctbal) * 100) AS BIGINT) AS max_bal_cents,
+       count(*) AS n_suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------- buckets
+def q_acctbal_histogram(sf_dir: str):
+    """Numeric bucketing: floor(acctbal/1000) histogram."""
+    from ray.data.aggregate import Count
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch.column("c_acctbal"), 1000.0)),
+                    pa.int64())
+        return batch.append_column("bal_bucket", b)
+
+    ds = _read(sf_dir, "customer", ["c_acctbal"])
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bal_bucket").aggregate(Count()))
+    return out.map_batches(_rename_cents({"count()": "n_customers"}, {}),
+                           batch_format="pyarrow")
+
+
+ORACLE_ACCTBAL_HIST = """
+SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+       count(*) AS n_customers
+FROM customer GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- monthly
+def q_orders_monthly(sf_dir: str):
+    """Temporal bucketing: orders per (year, month)."""
+    from ray.data.aggregate import Count, Sum
+
+    def ym(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        return (batch
+                .append_column("year", pc.cast(pc.year(d), pa.int32()))
+                .append_column("month", pc.cast(pc.month(d), pa.int32())))
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    out = (ds.map_batches(ym, batch_format="pyarrow")
+             .groupby(["year", "month"])
+             .aggregate(Count(), Sum("o_totalprice")))
+    return out.map_batches(_rename_cents(
+        {"count()": "n_orders", "sum(o_totalprice)": "revenue_cents"},
+        {"revenue_cents": 100}), batch_format="pyarrow")
+
+
+ORACLE_ORDERS_MONTHLY = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- LIKE
+def q_economy_parts(sf_dir: str):
+    """String-predicate filter + aggregate (LIKE analogue via vectorized
+    match_substring)."""
+    from ray.data.aggregate import Count
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch.column("p_type"), "ECONOMY")
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "part", ["p_type", "p_brand"])
+    out = (ds.map_batches(flt, batch_format="pyarrow")
+             .groupby("p_brand").aggregate(Count()))
+    return out.map_batches(_rename_cents({"count()": "n_parts"}, {}),
+                           batch_format="pyarrow")
+
+
+ORACLE_ECONOMY_PARTS = """
+SELECT p_brand, count(*) AS n_parts FROM part
+WHERE p_type LIKE '%ECONOMY%' GROUP BY p_brand
+"""
+
+
+# ------------------------------------------------------------ conditional
+def q_discount_split(sf_dir: str):
+    """Conditional (CASE) aggregation inside the combiner."""
+    def combine(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount")
+        qty = batch.column("l_quantity")
+        rf = batch.column("l_returnflag")
+        hi = pc.greater(disc, 0.05)
+        df = pa.table({"l_returnflag": rf, "hi": hi, "qty": qty}).to_pandas()
+        g = (df.groupby(["l_returnflag"], sort=False)
+               .agg(n_hi=("hi", "sum"), n=("hi", "size"),
+                    qty_hi=("qty", lambda s: 0.0))  # placeholder, fixed below
+               .reset_index())
+        # qty sums split by predicate (vectorized)
+        qh = df[df["hi"]].groupby("l_returnflag")["qty"].sum()
+        g["qty_hi"] = g["l_returnflag"].map(qh).fillna(0.0)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("l_returnflag", sort=False)
+                .agg(n_high_discount=("n_hi", "sum"), n_rows=("n", "sum"),
+                     qty_high=("qty_hi", "sum")).reset_index())
+        out["n_high_discount"] = out["n_high_discount"].astype("int64")
+        out["qty_high"] = out["qty_high"].round().astype("int64")
+        return out
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return coarse_grouped(partials, ["l_returnflag"], final, num_buckets=8)
+
+
+ORACLE_DISCOUNT_SPLIT = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_discount,
+       count(*) AS n_rows,
+       CAST(round(sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END))
+           AS BIGINT) AS qty_high
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------------------ JSON props
+def q_events_props(sf_dir: str):
+    """JSON property extraction from the events props column + aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] if p else None
+              for p in batch.column("props").to_pylist()]
+        return batch.append_column("k_bucket", pa.array(
+            [None if k is None else k // 10 for k in ks], pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+             .groupby(["event_type", "k_bucket"]).aggregate(Count()))
+    return out.map_batches(_rename_cents({"count()": "n_events"}, {}),
+                           batch_format="pyarrow")
+
+
+ORACLE_EVENTS_PROPS = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- wordcount
+def q_top_words(sf_dir: str):
+    """Global top-20 token count over documents: flat_map → per-batch
+    partial counts → coarse-grouped sum → sort → limit (the canonical
+    distributed wordcount with a combiner)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in (t or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(explode, batch_format="pyarrow")
+    totals = grouped_reduce(partials, ["word"], {"n": "sum"}, num_buckets=64)
+    return totals.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+ORACLE_TOP_WORDS = """
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w ORDER BY n DESC, word LIMIT 20
+"""
+
+
+RELATIONAL2_QUERIES = {
+    "supplier_balance_range": q_supplier_balance_range,
+    "acctbal_histogram": q_acctbal_histogram,
+    "orders_monthly": q_orders_monthly,
+    "economy_parts": q_economy_parts,
+    "discount_split": q_discount_split,
+    "events_props": q_events_props,
+    "top_words": q_top_words,
+}
+
+RELATIONAL2_ORACLE = {
+    "supplier_balance_range": ORACLE_SUPPLIER_RANGE,
+    "acctbal_histogram": ORACLE_ACCTBAL_HIST,
+    "orders_monthly": ORACLE_ORDERS_MONTHLY,
+    "economy_parts": ORACLE_ECONOMY_PARTS,
+    "discount_split": ORACLE_DISCOUNT_SPLIT,
+    "events_props": ORACLE_EVENTS_PROPS,
+    "top_words": ORACLE_TOP_WORDS,
+}

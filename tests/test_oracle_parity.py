@@ -50,7 +50,9 @@ def _query_names():
     "revenue_by_segment", "distinct_flags", "union_shipdate",
     "customers_without_orders", "events_hourly", "top_parts_per_brand",
     "building_orders", "token_stats", "quality", "exact_dedup", "knn",
-    "embedding_dedup",
+    "embedding_dedup", "supplier_balance_range", "acctbal_histogram",
+    "orders_monthly", "economy_parts", "discount_split", "events_props",
+    "top_words",
 ])
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
