@@ -153,3 +153,43 @@ def run_resumable(input_files: list[str], out_dir: str, run_chunk,
         ran.append(name)
     return {"chunks_total": len(chunks), "chunks_run": ran,
             "chunks_skipped": skipped}
+
+
+def lookup_subject(store_dir: str, subj: str, num_partitions: int | None = None):
+    """Point lookup in the triple store WITHOUT a full scan: ``part =
+    stable_hash64(subj) % P`` selects exactly one partition directory, and
+    the Parquet filter pushes the subject predicate into row groups — this
+    is the read-side payoff of hash-partitioning by subject."""
+    import pyarrow.dataset as pds
+
+    from ccnerx_ray.functions.hashing import stable_hash64
+
+    if num_partitions is None:
+        num_partitions = sum(1 for d in os.listdir(store_dir)
+                             if d.startswith("part=") or d.startswith("chunk="))
+        # chunked stores: partition count comes from a chunk's lineage
+        chunks = [d for d in os.listdir(store_dir) if d.startswith("chunk=")]
+        if chunks:
+            lin = os.path.join(store_dir, chunks[0], LINEAGE_DIR,
+                               "_summary.json")
+            with open(lin) as fh:
+                num_partitions = json.load(fh)["partitions"]
+
+    part = stable_hash64(subj) % num_partitions
+    roots = []
+    entries = os.listdir(store_dir)
+    if any(d.startswith("chunk=") for d in entries):
+        for c in sorted(d for d in entries if d.startswith("chunk=")):
+            p = os.path.join(store_dir, c, f"part={part}")
+            if os.path.isdir(p):
+                roots.append(p)
+    else:
+        p = os.path.join(store_dir, f"part={part}")
+        if os.path.isdir(p):
+            roots.append(p)
+    if not roots:
+        return []
+    files = [os.path.join(r, f) for r in roots for f in sorted(os.listdir(r))
+             if f.endswith(".parquet")]
+    ds = pds.dataset(files)
+    return ds.to_table(filter=pds.field("subj") == subj).to_pylist()

@@ -126,3 +126,19 @@ def test_corpus_matched_words(ray_session, corpus_dir, catalog_pairs):
     assert words == sorted(words) and len(words) > 10
     lex = {" ".join(w) for w, _ in catalog_pairs}
     assert all(w in lex for w in words)
+
+
+def test_lookup_subject_partition_pruned(ray_session, corpus_dir, catalog_pairs, tmp_path):
+    """Subject point lookup touches exactly one hash partition."""
+    from ccnerx_ray.io.store import lookup_subject
+
+    out = str(tmp_path / "store2")
+    run_kg(corpus_dir, catalog_pairs, out, CFG, build_entities=False)
+    import pyarrow.parquet as pq
+    any_file = glob.glob(os.path.join(out, "part=*", "*.parquet"))[0]
+    subj = pq.read_table(any_file, columns=["subj"]).column("subj")[0].as_py()
+    rows = lookup_subject(out, subj, num_partitions=CFG.output_partitions)
+    assert rows and all(r["subj"] == subj for r in rows)
+    # a made-up subject returns empty, not an error
+    assert lookup_subject(out, "no-such-subject",
+                          num_partitions=CFG.output_partitions) == []
