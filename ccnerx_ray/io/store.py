@@ -193,3 +193,49 @@ def lookup_subject(store_dir: str, subj: str, num_partitions: int | None = None)
              if f.endswith(".parquet")]
     ds = pds.dataset(files)
     return ds.to_table(filter=pds.field("subj") == subj).to_pylist()
+
+
+def compact_store(store_dir: str, out_dir: str,
+                  num_partitions: int | None = None) -> dict:
+    """Compact a (possibly chunked) triple store into one file per
+    partition — the small-files remedy after many resumable chunks. One
+    Ray task per partition (embarrassingly parallel; partition dirs never
+    overlap), atomic via temp dir + rename."""
+    import shutil
+
+    import ray
+
+    entries = os.listdir(store_dir)
+    chunked = [d for d in sorted(entries) if d.startswith("chunk=")]
+    roots = ([os.path.join(store_dir, c) for c in chunked]
+             if chunked else [store_dir])
+    parts: dict[str, list[str]] = {}
+    for root in roots:
+        for d in sorted(os.listdir(root)):
+            if d.startswith("part="):
+                pdir = os.path.join(root, d)
+                parts.setdefault(d, []).extend(
+                    os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                    if f.endswith(".parquet"))
+
+    tmp = out_dir.rstrip("/") + f".tmp-{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    @ray.remote
+    def compact_one(part_name: str, files: list[str], dest_dir: str) -> int:
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        pdir = os.path.join(dest_dir, part_name)
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(t, os.path.join(pdir, "compacted-0.parquet"))
+        return t.num_rows
+
+    t0 = time.time()
+    rows = ray.get([compact_one.remote(p, fs, tmp)
+                    for p, fs in sorted(parts.items())])
+    summary = write_lineage(tmp, time.time() - t0,
+                            {"compacted_from": len(roots)})
+    os.rename(tmp, out_dir)
+    summary["rows_check"] = sum(rows)
+    return summary

@@ -142,3 +142,29 @@ def test_lookup_subject_partition_pruned(ray_session, corpus_dir, catalog_pairs,
     # a made-up subject returns empty, not an error
     assert lookup_subject(out, "no-such-subject",
                           num_partitions=CFG.output_partitions) == []
+
+
+def test_compact_store(ray_session, corpus_dir, catalog_pairs, tmp_path):
+    """Chunked store → one file per partition; triple set unchanged."""
+    from ccnerx_ray.io.store import compact_store, run_resumable
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    out = str(tmp_path / "chunked")
+
+    def run_chunk(chunk_files, tmp_dir):
+        run_kg(chunk_files, catalog_pairs, tmp_dir, CFG, build_entities=False)
+
+    run_resumable(files, out, run_chunk, chunk_size=2)
+    compacted = str(tmp_path / "compacted")
+    summary = compact_store(out, compacted)
+    import ray.data
+    a = {(r["subj"], r["pred"], r["obj"]) for r in
+         ray.data.read_parquet(out, file_extensions=["parquet"]).take_all()}
+    b = {(r["subj"], r["pred"], r["obj"]) for r in
+         ray.data.read_parquet(compacted, file_extensions=["parquet"]).take_all()}
+    assert a == b
+    for d in os.listdir(compacted):
+        if d.startswith("part="):
+            fs = [f for f in os.listdir(os.path.join(compacted, d))
+                  if f.endswith(".parquet")]
+            assert len(fs) == 1

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the invariants SURVEY.md §7 flags as
+correctness-critical at scale."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ccnerx_ray.config import PipelineConfig
+from ccnerx_ray.corpus import build_catalog
+from ccnerx_ray.functions.bioes import get_entities, get_labels, normalize_tags
+from ccnerx_ray.model.tagger import TaggerModel
+from ccnerx_ray.state.catalog import EntityCatalog
+from ccnerx_ray.state.trie import Trie
+
+CFG = PipelineConfig()
+CATALOG = sorted(build_catalog(42).surface2label.items())
+MODEL = TaggerModel(EntityCatalog.from_pairs(CATALOG), CFG)
+WORDS = [w for w, _ in CATALOG]
+
+token = st.sampled_from(
+    [w[0] for w in WORDS[:50]] + ["x", "y", "(", ")", "=", "1", "def"])
+segment = st.lists(token, min_size=1, max_size=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(segment, min_size=2, max_size=8), st.randoms())
+def test_decode_independent_of_batch_composition(segments, rnd):
+    """A row's tags must not depend on which rows share its decode batch
+    (the property that makes map_batches re-blocking safe)."""
+    whole = MODEL.tag_segments(segments)
+    # random re-grouping of the same segments
+    idx = list(range(len(segments)))
+    rnd.shuffle(idx)
+    cut = max(1, len(idx) // 2)
+    regrouped: dict[int, list[str]] = {}
+    for part in (idx[:cut], idx[cut:]):
+        if not part:
+            continue
+        tags = MODEL.tag_segments([segments[i] for i in part])
+        for i, t in zip(part, tags):
+            regrouped[i] = t
+    for i in range(len(segments)):
+        assert regrouped[i] == whole[i]
+
+
+@settings(max_examples=50, deadline=None)
+@given(segment)
+def test_trie_spans_match_bruteforce(toks):
+    """Trie candidate spans == brute-force substring lookup (modulo the
+    reference's documented demotion/cap quirks, disabled here)."""
+    words = {tuple(w) for w in WORDS if len(w) <= 3}
+    trie = Trie.from_words(sorted(words), use_single=True)
+    got = {(s, e) for s, e, w in trie.spans(toks)}
+    want = set()
+    for i in range(len(toks)):
+        for j in (1, 2, 3):
+            if i + j <= len(toks) and tuple(toks[i:i + j]) in words:
+                want.add((i, i + j))
+    # trie demotes a length-1 match when longer matches start there
+    # (lexicon_tree.py:94-96) — so got ⊆ want and misses only such singles
+    assert got <= want
+    for (s, e) in want - got:
+        assert e - s == 1 and any(x > e for (y, x) in want if y == s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["O", "B-FUNC", "I-FUNC", "E-FUNC", "S-CLASS", "M-FUNC", "I-LIB"]),
+    min_size=1, max_size=30))
+def test_bioes_roundtrip_and_tolerance(tags):
+    """get_entities never crashes on arbitrary tag soup; spans it returns
+    are in-bounds, non-overlapping starts, and normalize_tags is
+    idempotent."""
+    toks = [f"t{i}" for i in range(len(tags))]
+    ents = get_entities(normalize_tags(tags), toks)
+    for (s, e, lab, word) in ents:
+        assert 0 <= s < e <= len(tags) + 1
+        assert lab
+    assert normalize_tags(normalize_tags(tags)) == normalize_tags(tags)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sampled_from(["FUNC", "CLASS", "LIB"]), st.integers(1, 8))
+def test_get_labels_decodes_back(label, n):
+    toks = [f"w{i}" for i in range(n)]
+    ents = get_entities(get_labels(label, n), toks)
+    assert ents == [(0, n, label, toks)]
