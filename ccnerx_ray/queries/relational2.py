@@ -231,3 +231,45 @@ RELATIONAL2_ORACLE = {
     "events_props": ORACLE_EVENTS_PROPS,
     "top_words": ORACLE_TOP_WORDS,
 }
+
+
+# ----------------------------------------------------------- sessionize
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the event stream: per user, events more
+    than ``gap_minutes`` apart open a new session. Ray shape: coarse
+    hash-partition groupby on user_id, sort-within-group, vectorized gap
+    scan — no global sort, no ordering assumption across users."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            ts = np.sort(sub["ts"].to_numpy())
+            if len(ts) == 0:
+                continue
+            breaks = int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 0
+            out.append((uid, breaks + 1, len(ts)))
+        return pd.DataFrame(out, columns=["user_id", "n_sessions", "n_events"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return coarse_grouped(ds, ["user_id"], sessions, num_buckets=64)
+
+
+ORACLE_USER_SESSIONS = """
+SELECT user_id,
+       CAST(1 + sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events)
+GROUP BY user_id
+"""
+
+RELATIONAL2_QUERIES["user_sessions"] = q_user_sessions
+RELATIONAL2_ORACLE["user_sessions"] = ORACLE_USER_SESSIONS
