@@ -91,8 +91,21 @@ def triples_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig(
     return linked.map_batches(make_triple_emitter(cfg), batch_format="pyarrow")
 
 
-def mentions_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig()):
-    """corpus → flat linked mention table (M5 output, for analysis paths)."""
+def mentions_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig(),
+                     fused: bool = True):
+    """corpus → flat linked mention table (M5 output, for analysis paths).
+    ``fused=True``: one task-based pass (tag+link+explode per worker);
+    ``fused=False``: discrete actor-pool stages (parity path)."""
+    if fused:
+        from ccnerx_ray.stages.tag import make_fused_tagger_fn
+
+        ref = _broadcast_catalog(catalog_pairs)
+        segs = segments_dataset(corpus, cfg)
+        return segs.map_batches(
+            make_fused_tagger_fn(ref, cfg, emit="mentions"),
+            batch_format="pyarrow",
+            batch_size=cfg.featurize_batch_size,
+        )
     linked = tagged_dataset(corpus, catalog_pairs, cfg)
     return linked.map_batches(explode_mentions, batch_format="pyarrow")
 

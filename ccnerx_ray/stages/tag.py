@@ -103,7 +103,7 @@ class MentionTagger:
         catalog = EntityCatalog.from_pairs(catalog_pairs or [])
         self.model = TaggerModel(catalog, self.cfg)
         self.emit = emit
-        if emit == "triples":
+        if emit in ("triples", "mentions"):
             from ccnerx_ray.stages.link import LinkScorer
             from ccnerx_ray.stages.triples import make_triple_emitter
             self._linker = LinkScorer(catalog_pairs=catalog_pairs)
@@ -113,6 +113,8 @@ class MentionTagger:
         nested = self._tag_batch(batch)
         if self.emit == "triples":
             return self._emitter(self._linker(nested))
+        if self.emit == "mentions":
+            return explode_mentions(self._linker(nested))
         return nested
 
     def _tag_batch(self, batch: pa.Table) -> pa.Table:
@@ -145,7 +147,7 @@ class MentionTagger:
 _PROCESS_MODELS: dict = {}
 
 
-def make_fused_tagger_fn(catalog_ref, cfg: PipelineConfig):
+def make_fused_tagger_fn(catalog_ref, cfg: PipelineConfig, emit: str = "triples"):
     """Task-based fused tagger: a plain ``map_batches`` function holding the
     model as a per-worker-process singleton (built on first batch, reused
     for every later task on that worker).
@@ -158,14 +160,14 @@ def make_fused_tagger_fn(catalog_ref, cfg: PipelineConfig):
     use the actor-pool path (``MentionTagger`` via ``map_batches(cls,
     num_gpus=1)``) — state there is NOT rebuildable per process."""
     key = (catalog_ref.hex() if hasattr(catalog_ref, "hex") else id(catalog_ref),
-           cfg)
+           cfg, emit)
 
     def tag_fused(batch: pa.Table) -> pa.Table:
         m = _PROCESS_MODELS.get(key)
         if m is None:
             if len(_PROCESS_MODELS) > 4:
                 _PROCESS_MODELS.clear()
-            m = MentionTagger(catalog_ref=catalog_ref, cfg=cfg, emit="triples")
+            m = MentionTagger(catalog_ref=catalog_ref, cfg=cfg, emit=emit)
             _PROCESS_MODELS[key] = m
         return m(batch)
 

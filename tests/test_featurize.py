@@ -77,3 +77,19 @@ def test_fused_equals_staged(ray_session, tmp_path):
               for r in triples_dataset(read_corpus(d, cfg), cat, cfg,
                                        fused=False).take_all()}
     assert fused == staged and len(fused) > 0
+
+
+def test_fused_mentions_equals_staged(ray_session, tmp_path):
+    from ccnerx_ray.corpus import build_catalog, write_corpus
+    from ccnerx_ray.pipelines.kg import mentions_dataset, read_corpus
+
+    cfg = PipelineConfig(tagger_concurrency=2)
+    d = write_corpus(str(tmp_path / "c"), 20, seed=12, num_files=2)
+    cat = sorted(build_catalog(12).surface2label.items())
+    key = lambda r: (r["content_sha256"], r["seg_id"], r["start"], r["end"],
+                     r["surface"], r["linked_label"])
+    fused = sorted(key(r) for r in mentions_dataset(
+        read_corpus(d, cfg), cat, cfg, fused=True).take_all())
+    staged = sorted(key(r) for r in mentions_dataset(
+        read_corpus(d, cfg), cat, cfg, fused=False).take_all())
+    assert fused == staged and len(fused) > 0
