@@ -110,6 +110,30 @@ def mentions_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig
     return linked.map_batches(explode_mentions, batch_format="pyarrow")
 
 
+def input_fingerprint(paths) -> dict:
+    """Lineage input fingerprint (SURVEY §4): source paths + per-file size
+    and mtime digest — enough to detect a changed input on resume without
+    re-hashing file contents (the per-row ``content_sha256`` carries the
+    strong invariant)."""
+    import glob
+    import hashlib
+    import os as _os
+
+    if isinstance(paths, str):
+        files = sorted(glob.glob(_os.path.join(paths, "*.parquet")))             if _os.path.isdir(paths) else [paths]
+    else:
+        files = sorted(paths)
+    h = hashlib.sha256()
+    for f in files:
+        try:
+            st = _os.stat(f)
+            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}".encode())
+        except OSError:
+            h.update(f"{f}|?".encode())
+    return {"input_files": len(files),
+            "input_fingerprint": h.hexdigest()[:16]}
+
+
 def run_kg(corpus_paths, catalog_pairs, out_dir: str,
            cfg: PipelineConfig = PipelineConfig(),
            build_entities: bool = True) -> dict:
@@ -120,7 +144,8 @@ def run_kg(corpus_paths, catalog_pairs, out_dir: str,
 
     corpus = read_corpus(corpus_paths, cfg)
     triples = triples_dataset(corpus, catalog_pairs, cfg)
-    summary = write_triple_store(triples, out_dir, cfg.output_partitions)
+    summary = write_triple_store(triples, out_dir, cfg.output_partitions,
+                                 lineage_extra=input_fingerprint(corpus_paths))
     if summary["rows"] == 0:
         # empty corpus → empty store; nothing to canonicalize
         summary["entities_path"] = None

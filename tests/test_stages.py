@@ -134,3 +134,29 @@ def test_triple_emitter_batch():
     assert {"instance_of", "mentioned_in", "in_repo", "has_lang"} <= preds
     # provenance travels on every row
     assert all(len(h) == 64 for h in trips.column("content_sha256").to_pylist())
+
+
+def test_segmenter_robustness_edge_inputs():
+    """CRLF, unicode identifiers, huge single line, empty content."""
+    import pyarrow as pa
+    rows = [
+        {"repo": "o/r", "path": "a", "commit": "c" * 40, "lang": "py",
+         "content": "x = 1\r\ny = 2\r\n"},
+        {"repo": "o/r", "path": "b", "commit": "c" * 40, "lang": "py",
+         "content": "naïve_ß = übung ( λ )"},
+        {"repo": "o/r", "path": "c", "commit": "c" * 40, "lang": "py",
+         "content": " ".join(f"t{i}" for i in range(5000))},  # 1 huge line
+        {"repo": "o/r", "path": "d", "commit": "c" * 40, "lang": "py",
+         "content": ""},
+    ]
+    seg = make_segmenter(CFG)(pa.Table.from_pylist(rows))
+    by_path = {}
+    for r in seg.to_pylist():
+        by_path.setdefault(r["path"], []).append(r)
+    assert len(by_path["a"]) == 1 and by_path["a"][0]["tokens"][0] == "x"
+    assert "übung" in by_path["b"][0]["tokens"] or "bung" in str(by_path["b"][0]["tokens"])
+    # huge line hard-splits into max_tokens windows, nothing dropped
+    total = sum(len(r["tokens"]) for r in by_path["c"])
+    assert total == 5000
+    assert all(len(r["tokens"]) <= CFG.max_seq_length - 2 for r in by_path["c"])
+    assert "d" not in by_path  # empty content yields no segments
