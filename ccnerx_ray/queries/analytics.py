@@ -287,3 +287,12 @@ ANALYTICS_ORACLE = {
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     # everything else: rows-only (model/sketch semantics, no SQL oracle)
 }
+
+
+def q_kg_aliases(sf_dir: str):
+    """Alias pairs over the canonical entity table (T2/A4 analogue)."""
+    from ccnerx_ray.stages.canonical import alias_pairs
+    return alias_pairs(q_kg_entities(sf_dir), threshold=0.3)
+
+
+ANALYTICS_QUERIES["kg_aliases"] = q_kg_aliases

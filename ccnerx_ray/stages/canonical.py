@@ -120,3 +120,57 @@ def entities_from_triples(triples, salted: bool = True):
 def filter_mentioned_in(batch: pa.Table) -> pa.Table:
     """Arrow-native predicate filter (used where expr-filter isn't enough)."""
     return batch.filter(pc.equal(batch.column("pred"), "mentioned_in"))
+
+
+def _char_ngrams(s: str, n: int = 3) -> set:
+    s = s.replace(" ", "")
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i:i + n] for i in range(len(s) - n + 1)}
+
+
+def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
+    """Near-alias detection over the canonical entity table — the engine's
+    deterministic stand-in for the reference's SBert-scored same-label
+    candidate ranking (``label_counter.py:56-68``, T2/A4): entities with
+    the same label whose normalized keys have char-3-gram Jaccard ≥
+    ``threshold`` become ``(alias_of)`` pairs (smaller entity_id wins as
+    canonical; deterministic).
+
+    The entity table is orders of magnitude smaller than the corpus, so a
+    (label, key-prefix) coarse groupby bounds the pair search; recall is
+    limited to aliases sharing a first character — the documented trade-off
+    (same shape as LSH bucketing)."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column("norm_key").to_pylist()
+        labs = batch.column("label").to_pylist()
+        b = [f"{l}|{k[:1]}" for l, k in zip(labs, keys)]
+        return batch.append_column("_bucket", pa.array(b, pa.string()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        ida, idb, sim = [], [], []
+        for _, sub in g.groupby("_bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("entity_id").head(max_group)
+            eids = sub["entity_id"].tolist()
+            grams = [_char_ngrams(k) for k in sub["norm_key"]]
+            for x in range(len(eids)):
+                for y in range(x + 1, len(eids)):
+                    inter = len(grams[x] & grams[y])
+                    if not inter:
+                        continue
+                    j = inter / len(grams[x] | grams[y])
+                    if j >= threshold:
+                        ida.append(eids[x])
+                        idb.append(eids[y])
+                        sim.append(round(j, 6))
+        return pd.DataFrame({"canonical_id": ida, "alias_id": idb,
+                             "jaccard": sim})
+
+    keyed = entities.map_batches(add_bucket, batch_format="pyarrow")
+    return coarse_grouped(keyed, ["_bucket"], local, num_buckets=64)

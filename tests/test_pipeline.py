@@ -168,3 +168,22 @@ def test_compact_store(ray_session, corpus_dir, catalog_pairs, tmp_path):
             fs = [f for f in os.listdir(os.path.join(compacted, d))
                   if f.endswith(".parquet")]
             assert len(fs) == 1
+
+
+def test_alias_pairs_planted(ray_session):
+    """Same-label near-identical keys pair up; cross-label never."""
+    import ray.data
+    from ccnerx_ray.stages.canonical import alias_pairs
+
+    rows = [
+        {"entity_id": "e1", "norm_key": "parse foo", "label": "FUNC",
+         "repr_surface": "parse_foo", "n_mentions": 5},
+        {"entity_id": "e2", "norm_key": "parse foo 2", "label": "FUNC",
+         "repr_surface": "parse_foo2", "n_mentions": 3},
+        {"entity_id": "e3", "norm_key": "parse foo", "label": "CLASS",
+         "repr_surface": "ParseFoo", "n_mentions": 1},
+        {"entity_id": "e4", "norm_key": "zzz unrelated", "label": "FUNC",
+         "repr_surface": "zzz", "n_mentions": 1},
+    ]
+    pairs = alias_pairs(ray.data.from_items(rows), threshold=0.5).take_all()
+    assert {(p["canonical_id"], p["alias_id"]) for p in pairs} == {("e1", "e2")}
