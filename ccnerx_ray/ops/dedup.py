@@ -351,3 +351,68 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                  .drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]])
 
     return coarse_grouped(pairs, ["id_a", "id_b"], dd, num_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                   max_rounds: int = 10):
+    """Cluster near-dup pairs into components by iterative min-label
+    propagation — distributed union-find: each node's label is the minimum
+    id reachable so far; rounds of (explode edges → coarse groupby min)
+    until the label assignment stops changing. Converges in O(component
+    diameter) rounds; the per-round shuffle carries (node, label) pairs
+    only. Output: ``(doc_id, component)`` with component = min id of the
+    component (the canonical keeper of a dup cluster)."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    edges = [(int(r[id_a]), int(r[id_b]))
+             for r in pairs.select_columns([id_a, id_b]).take_all()] \
+        if hasattr(pairs, "select_columns") else list(pairs)
+    # Edge list is the (small) candidate-pair set; nodes may be millions —
+    # labels live distributed. Seed: each node labels itself.
+    import ray.data
+    nodes = sorted({n for e in edges for n in e})
+    labels = ray.data.from_items(
+        [{"node": n, "label": n} for n in nodes])
+    edge_ref = None
+    import ray as _ray
+    edge_ref = _ray.put(edges)
+
+    for _ in range(max_rounds):
+        def propagate(batch: pa.Table) -> pa.Table:
+            lab = dict(zip(batch.column("node").to_pylist(),
+                           batch.column("label").to_pylist()))
+            out_n, out_l = list(lab.keys()), list(lab.values())
+            for a, b in _ray.get(edge_ref):
+                la, lb = lab.get(a), lab.get(b)
+                if la is not None:
+                    out_n.append(b)
+                    out_l.append(la)
+                if lb is not None:
+                    out_n.append(a)
+                    out_l.append(lb)
+            return pa.table({"node": pa.array(out_n, pa.int64()),
+                             "label": pa.array(out_l, pa.int64())})
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("node", sort=False)["label"].min()
+                     .reset_index())
+
+        new_labels = coarse_grouped(
+            labels.map_batches(propagate, batch_format="pyarrow"),
+            ["node"], reduce_min, num_buckets=64)
+        new_rows = {r["node"]: r["label"] for r in new_labels.take_all()}
+        old_rows = {r["node"]: r["label"] for r in labels.take_all()}
+        labels = ray.data.from_items(
+            [{"node": n, "label": l} for n, l in sorted(new_rows.items())])
+        if new_rows == old_rows:
+            break
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow")

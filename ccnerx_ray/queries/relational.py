@@ -71,10 +71,15 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------- q2
 def q_orders_topk(sf_dir: str):
-    """filter → multi-key sort → limit (T2 global top-k shape)."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_orderstatus", "o_totalprice"])
-    ds = ds.filter(lambda r: r["o_orderstatus"] == "O")
+    """filter → multi-key sort → limit (T2 global top-k shape). The
+    predicate is pushed into the Parquet read (row-group pruning) rather
+    than applied per row."""
+    import pyarrow.compute as _pc
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filter=(_pc.field("o_orderstatus") == "O"))
     out = ds.sort(["o_totalprice", "o_orderkey"],
                   descending=[True, False]).limit(10)
     return out.map_batches(_rename_cents(

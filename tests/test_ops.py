@@ -184,3 +184,17 @@ def test_media_real_decode_is_gated():
     from ccnerx_ray.ops.multimodal import MediaFeatureExtractor
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(use_fake=False)
+
+
+def test_dup_components_chain(ray_session):
+    """Chained pairs (0-1, 1-2, 5-6) collapse to min-id components."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import dup_components
+
+    pairs = ray.data.from_items([
+        {"id_a": 0, "id_b": 1}, {"id_a": 1, "id_b": 2},
+        {"id_a": 5, "id_b": 6},
+    ])
+    comp = {r["doc_id"]: r["component"]
+            for r in dup_components(pairs).take_all()}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
