@@ -296,3 +296,14 @@ def q_kg_aliases(sf_dir: str):
 
 
 ANALYTICS_QUERIES["kg_aliases"] = q_kg_aliases
+
+
+def q_minhash_dedup_keepers(sf_dir: str):
+    """Full near-dup dedup pipeline: MinHash-LSH pairs → connected
+    components → one keeper (min doc_id) per duplicate cluster."""
+    from ccnerx_ray.ops.dedup import dup_components
+    pairs = q_minhash_pairs(sf_dir)
+    return dup_components(pairs)
+
+
+ANALYTICS_QUERIES["minhash_dedup_keepers"] = q_minhash_dedup_keepers
