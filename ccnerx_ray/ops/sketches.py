@@ -1,0 +1,112 @@
+"""Mergeable sketches for metrics at scale (SURVEY §2.6 note: approximate
+distinct counts for METRICS only, never for semantics) and the as-of join
+(mandate's custom-operator example — absent from both Ray Data and the
+reference).
+
+HyperLogLog: classic 2^p-register HLL with the standard bias correction;
+one sketch per batch (vectorized register fill), merged by elementwise max
+— the canonical "emit one mergeable sketch per batch, reduce in a tiny
+second stage" shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ccnerx_ray.functions.hashing import stable_hash64
+
+
+def _hll_registers(values, p: int) -> np.ndarray:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for v in values:
+        h = stable_hash64("" if v is None else str(v))
+        idx = h & (m - 1)
+        w = h >> p
+        # rank = leading-zero count of the remaining 63-p bits, +1
+        rank = (63 - p) - int(w).bit_length() + 2 if w else (63 - p) + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)          # small-range correction
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> dict:
+    """Approximate COUNT(DISTINCT col): one HLL sketch per batch →
+    elementwise-max merge on the driver (sketches are 2^p bytes; the
+    shuffle-free path). Returns estimate + relative-error bound
+    (1.04/sqrt(2^p) ≈ 1.6% at p=12)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        regs = _hll_registers(batch.column(col).to_pylist(), p)
+        return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        regs = np.frombuffer(row["sketch"], dtype=np.uint8)
+        np.maximum(merged, regs, out=merged)
+    return {"estimate": _hll_estimate(merged),
+            "rel_error": 1.04 / np.sqrt(1 << p)}
+
+
+def asof_join(left, right, on: str, by: str | None = None,
+              direction: str = "backward", num_buckets: int = 64,
+              suffix: str = "_r"):
+    """Distributed as-of join: for each left row, attach the latest right
+    row with ``right.on <= left.on`` (direction='backward'), optionally
+    per ``by`` key. Shape: coarse hash-partition both sides on ``by``
+    (or a single bucket when global), tag provenance, sort-within-bucket,
+    ``pd.merge_asof`` per bucket. The partitioning assumption: matches
+    only exist within the same ``by`` key — the documented requirement
+    (global as-of without ``by`` uses one bucket and therefore one
+    reducer; use it for small reference sides only)."""
+    import pyarrow as _pa
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+
+    def tag(side):
+        def fn(batch: _pa.Table) -> _pa.Table:
+            return batch.append_column("_side",
+                                       _pa.array([side] * batch.num_rows,
+                                                 _pa.string()))
+        return fn
+
+    both = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.map_batches(tag("R"), batch_format="pyarrow"))
+    keys = [by] if by else []
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == "L"][[c for c in lcols if c in g.columns]]
+        rf = g[g["_side"] == "R"][[c for c in rcols if c in g.columns]]
+        if lf.empty:
+            return pd.DataFrame()
+        lf = lf.sort_values(on)
+        rf = rf.sort_values(on)
+        merged = pd.merge_asof(lf, rf, on=on, by=by, direction=direction,
+                               suffixes=("", suffix))
+        return merged
+
+    if by:
+        return coarse_grouped(both, [by], join_bucket,
+                              num_buckets=num_buckets)
+    # global as-of: single logical bucket
+    def const_bucket(batch: _pa.Table) -> _pa.Table:
+        return batch.append_column("_g", _pa.array([0] * batch.num_rows,
+                                                   _pa.int64()))
+    keyed = both.map_batches(const_bucket, batch_format="pyarrow")
+    return coarse_grouped(keyed, ["_g"], lambda g: join_bucket(
+        g.drop(columns=["_g"])), num_buckets=1)

@@ -198,3 +198,35 @@ def test_dup_components_chain(ray_session):
     comp = {r["doc_id"]: r["component"]
             for r in dup_components(pairs).take_all()}
     assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_approx_distinct_accuracy(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.sketches import approx_distinct
+
+    n_distinct = 5000
+    rows = [{"v": f"val{i % n_distinct}"} for i in range(20000)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = approx_distinct(ds, "v", p=12)
+    rel = abs(out["estimate"] - n_distinct) / n_distinct
+    assert rel < 0.05, (out, rel)
+
+
+def test_asof_join_by_key(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.sketches import asof_join
+
+    left = ray.data.from_items([
+        {"k": "a", "t": 10, "x": 1}, {"k": "a", "t": 25, "x": 2},
+        {"k": "b", "t": 7, "x": 3}, {"k": "b", "t": 5, "x": 4},
+    ])
+    right = ray.data.from_items([
+        {"k": "a", "t": 8, "price": 100}, {"k": "a", "t": 20, "price": 200},
+        {"k": "b", "t": 6, "price": 300},
+    ])
+    out = {(r["k"], r["t"]): r.get("price")
+           for r in asof_join(left, right, on="t", by="k").take_all()}
+    assert out[("a", 10)] == 100      # latest right at t<=10 is t=8
+    assert out[("a", 25)] == 200
+    assert out[("b", 7)] == 300
+    assert out[("b", 5)] is None or np.isnan(out[("b", 5)])  # no right <= 5
