@@ -110,3 +110,72 @@ def asof_join(left, right, on: str, by: str | None = None,
     keyed = both.map_batches(const_bucket, batch_format="pyarrow")
     return coarse_grouped(keyed, ["_g"], lambda g: join_bucket(
         g.drop(columns=["_g"])), num_buckets=1)
+
+
+def range_join(points, intervals, point_col: str, start_col: str,
+               end_col: str, bucket_width: float, num_buckets: int = 64,
+               suffix: str = "_i"):
+    """Distributed range join: attach every interval row with
+    ``start <= point <= end``. Shape: chunk the value domain into
+    fixed-width buckets; each interval REPLICATES into every bucket it
+    overlaps (replication factor = interval span / bucket_width — pick
+    ``bucket_width`` near the typical span), each point routes to exactly
+    one bucket; within a bucket a vectorized pandas check emits matches.
+    Output: one row per (point, matching interval) pair."""
+    import pyarrow as _pa
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    pcols = [f.name for f in points.schema().base_schema]
+    icols = [f.name for f in intervals.schema().base_schema]
+
+    def point_rows(batch: _pa.Table) -> _pa.Table:
+        vals = np.asarray(batch.column(point_col).to_pylist(), dtype=np.float64)
+        b = np.floor(vals / bucket_width).astype(np.int64)
+        return (batch.append_column("_rb", _pa.array(b, _pa.int64()))
+                     .append_column("_side", _pa.array(["P"] * batch.num_rows,
+                                                       _pa.string())))
+
+    def interval_rows(batch: _pa.Table) -> _pa.Table:
+        out: dict[str, list] = {c: [] for c in batch.column_names}
+        rbs: list[int] = []
+        cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
+        for i in range(batch.num_rows):
+            lo = int(np.floor(cols[start_col][i] / bucket_width))
+            hi = int(np.floor(cols[end_col][i] / bucket_width))
+            for b in range(lo, hi + 1):
+                for c in cols:
+                    out[c].append(cols[c][i])
+                rbs.append(b)
+        t = _pa.table(out) if out[start_col] else \
+            batch.schema.empty_table()
+        return (t.append_column("_rb", _pa.array(rbs, _pa.int64()))
+                 .append_column("_side", _pa.array(["I"] * len(rbs),
+                                                   _pa.string())))
+
+    both = points.map_batches(point_rows, batch_format="pyarrow").union(
+        intervals.map_batches(interval_rows, batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pf = g[g["_side"] == "P"][[c for c in pcols if c in g.columns]]
+        iv = g[g["_side"] == "I"][[c for c in icols if c in g.columns]]
+        if pf.empty or iv.empty:
+            return pd.DataFrame()
+        pf = pf.reset_index(drop=True)
+        iv = iv.reset_index(drop=True)
+        pv = pf[point_col].to_numpy(dtype=np.float64)
+        lo = iv[start_col].to_numpy(dtype=np.float64)
+        hi = iv[end_col].to_numpy(dtype=np.float64)
+        pi, ii = np.nonzero((pv[:, None] >= lo[None, :]) &
+                            (pv[:, None] <= hi[None, :]))
+        left = pf.iloc[pi].reset_index(drop=True)
+        right = iv.iloc[ii].reset_index(drop=True)
+        right.columns = [c if c not in left.columns else c + suffix
+                         for c in right.columns]
+        return pd.concat([left, right], axis=1)
+
+    joined = coarse_grouped(both, ["_rb"], join_bucket,
+                            num_buckets=num_buckets)
+    # an interval replicated to k buckets can match the same point only in
+    # the point's own bucket — no dedup needed (points route to ONE bucket)
+    return joined

@@ -230,3 +230,19 @@ def test_asof_join_by_key(ray_session):
     assert out[("a", 25)] == 200
     assert out[("b", 7)] == 300
     assert out[("b", 5)] is None or np.isnan(out[("b", 5)])  # no right <= 5
+
+
+def test_range_join_points_in_intervals(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.sketches import range_join
+
+    points = ray.data.from_items([
+        {"pid": 1, "t": 5.0}, {"pid": 2, "t": 15.0}, {"pid": 3, "t": 99.0}])
+    intervals = ray.data.from_items([
+        {"iid": 10, "lo": 0.0, "hi": 10.0},
+        {"iid": 20, "lo": 4.0, "hi": 16.0},
+        {"iid": 30, "lo": 50.0, "hi": 60.0}])
+    rows = range_join(points, intervals, "t", "lo", "hi",
+                      bucket_width=8.0).take_all()
+    got = sorted((r["pid"], r["iid"]) for r in rows)
+    assert got == [(1, 10), (1, 20), (2, 20)]
