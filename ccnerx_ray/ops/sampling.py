@@ -29,3 +29,30 @@ def shuffled(ds, seed: int = 2021):
     """T6: full seeded shuffle (only where semantics require it — inference
     pipelines never shuffle; SURVEY.md §2.7)."""
     return ds.random_shuffle(seed=seed)
+
+
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
+                      seed: int = 2021, num_buckets: int = 64):
+    """Deterministic stratified sample: the ``n_per_key`` rows of each
+    stratum with the smallest ``hash(seed|key|id)`` — reproducible across
+    runs, retries and partitionings (never Python ``hash``). The pattern a
+    training-data pipeline uses for class-balanced subsets."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+    from ccnerx_ray.functions.hashing import stable_hash64
+
+    def add_rank_key(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        h = [stable_hash64(f"{seed}|{k}|{i}") for k, i in zip(ks, ids)]
+        return batch.append_column("_rk", pa.array(h, pa.int64()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["_rk", id_col])
+                .groupby(key_col, sort=False).head(n_per_key))
+        return out.drop(columns=["_rk"])
+
+    keyed = ds.map_batches(add_rank_key, batch_format="pyarrow")
+    return coarse_grouped(keyed, [key_col], local, num_buckets=num_buckets)

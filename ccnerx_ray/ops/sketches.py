@@ -87,7 +87,6 @@ def asof_join(left, right, on: str, by: str | None = None,
 
     both = left.map_batches(tag("L"), batch_format="pyarrow").union(
         right.map_batches(tag("R"), batch_format="pyarrow"))
-    keys = [by] if by else []
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == "L"][[c for c in lcols if c in g.columns]]

@@ -307,3 +307,14 @@ def q_minhash_dedup_keepers(sf_dir: str):
 
 
 ANALYTICS_QUERIES["minhash_dedup_keepers"] = q_minhash_dedup_keepers
+
+
+def q_stratified_docs(sf_dir: str):
+    """Deterministic per-language document sample (5 per lang)."""
+    from ccnerx_ray.ops.sampling import stratified_sample
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", n_per_key=5, seed=2021) \
+        .select_columns(["lang", "doc_id"])
+
+
+ANALYTICS_QUERIES["stratified_docs"] = q_stratified_docs

@@ -109,3 +109,22 @@ def test_prompts_from_catalog_stage(ray_session):
             .take_all())
     assert rows[0]["prompt"][-1] == "[MASK]"
     assert rows[1]["tags"][:2] == ["B-CLASS", "E-CLASS"]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.sampling import stratified_sample
+
+    rows = [{"k": f"c{i % 4}", "id": i} for i in range(200)]
+    a = stratified_sample(ray.data.from_items(rows), "k", "id", 7).take_all()
+    b = stratified_sample(ray.data.from_items(rows).repartition(9),
+                          "k", "id", 7).take_all()
+    ka = sorted((r["k"], r["id"]) for r in a)
+    kb = sorted((r["k"], r["id"]) for r in b)
+    assert ka == kb                           # partitioning-independent
+    from collections import Counter
+    assert all(v == 7 for v in Counter(r["k"] for r in a).values())
+    # different seed → different draw
+    c = stratified_sample(ray.data.from_items(rows), "k", "id", 7,
+                          seed=9).take_all()
+    assert sorted((r["k"], r["id"]) for r in c) != ka
