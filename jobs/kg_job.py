@@ -88,6 +88,20 @@ def main() -> int:
 
         summary = run_resumable(files, args.output, run_chunk,
                                 chunk_size=args.chunk_size)
+        # entity table over the full (chunked) store — cheap relative to
+        # the corpus pass; rebuilt whenever any chunk ran
+        if summary["chunks_run"]:
+            import shutil
+
+            from ccnerx_ray.io.store import read_triple_store
+            from ccnerx_ray.stages.canonical import entities_from_triples
+            ents_path = args.output.rstrip("/") + "_entities"
+            shutil.rmtree(ents_path, ignore_errors=True)
+            store = read_triple_store(
+                args.output,
+                columns=["subj", "pred", "norm_key", "surface", "label"])
+            entities_from_triples(store).write_parquet(ents_path)
+            summary["entities_path"] = ents_path
     summary["wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
     ray.shutdown()
