@@ -273,3 +273,45 @@ GROUP BY user_id
 
 RELATIONAL2_QUERIES["user_sessions"] = q_user_sessions
 RELATIONAL2_ORACLE["user_sessions"] = ORACLE_USER_SESSIONS
+
+
+# -------------------------------------------------------- quantile / std
+def q_quantity_stats(sf_dir: str):
+    """Quantile + Std aggregate coverage: median l_quantity (exact: the
+    interpolated median of integer-valued doubles is k or k+0.5, both
+    exactly representable) and stddev of discount in micro-units."""
+    from ray.data.aggregate import Count, Quantile, Std
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+    out = ds.groupby("l_returnflag").aggregate(
+        Quantile("l_quantity", q=0.5), Std("l_discount", ddof=1), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {}
+        for c in batch.column_names:
+            if c.startswith("quantile"):
+                mapping[c] = "median_qty"
+            elif c.startswith("std"):
+                mapping[c] = "std_disc_micro"
+            elif c == "count()":
+                mapping[c] = "n_rows"
+        batch = batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+        i = batch.column_names.index("std_disc_micro")
+        scaled = pc.cast(pc.round(pc.multiply(batch.column(i), 1e6)),
+                         pa.int64())
+        return batch.set_column(i, "std_disc_micro", scaled)
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+ORACLE_QUANTITY_STATS = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       CAST(round(stddev_samp(l_discount) * 1000000) AS BIGINT) AS std_disc_micro,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+RELATIONAL2_QUERIES["quantity_stats"] = q_quantity_stats
+RELATIONAL2_ORACLE["quantity_stats"] = ORACLE_QUANTITY_STATS

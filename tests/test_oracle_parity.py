@@ -52,7 +52,7 @@ def _query_names():
     "building_orders", "token_stats", "quality", "exact_dedup", "knn",
     "embedding_dedup", "supplier_balance_range", "acctbal_histogram",
     "orders_monthly", "economy_parts", "discount_split", "events_props",
-    "top_words", "user_sessions",
+    "top_words", "user_sessions", "quantity_stats",
 ])
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
