@@ -86,3 +86,23 @@ def test_get_labels_decodes_back(label, n):
     toks = [f"w{i}" for i in range(n)]
     ents = get_entities(get_labels(label, n), toks)
     assert ents == [(0, n, label, toks)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300), st.integers(4, 64))
+def test_segment_windows_preserve_all_tokens(text, max_tokens):
+    """Windowing never drops or reorders tokens (unlike the reference's
+    hard truncation) and never exceeds the window size."""
+    from ccnerx_ray.functions.tokenize import segment_tokens, tokenize
+    segs = segment_tokens(text, max_tokens)
+    assert [t for s in segs for t in s] == [
+        t for line in text.splitlines() for t in tokenize(line)]
+    assert all(0 < len(s) <= max_tokens for s in segs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=5))
+def test_normalize_surface_idempotent(tokens):
+    from ccnerx_ray.functions.tokenize import normalize_surface
+    once = normalize_surface(tokens)
+    assert normalize_surface(once.split(" ")) == once
