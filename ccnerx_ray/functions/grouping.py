@@ -52,17 +52,36 @@ def add_coarse_column(key_cols: Sequence[str], num_buckets: int):
     return fn
 
 
+def typed_empty(dtypes: dict[str, str]) -> pd.DataFrame:
+    """Zero-row frame whose Arrow conversion keeps column names AND types
+    (use pandas ``string`` dtype for text columns — a zero-row ``object``
+    column converts to Arrow ``null`` and poisons schema unification)."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
+
 def coarse_grouped(ds, key_cols: Sequence[str],
                    local_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                   num_buckets: int = 1024):
+                   num_buckets: int = 1024,
+                   out_dtypes: dict[str, str] | None = None):
     """Apply ``local_fn`` to each COARSE group (a pandas frame containing
     whole true groups; ``local_fn`` must group by ``key_cols`` itself,
-    vectorized). Output frames are concatenated into the result Dataset."""
+    vectorized). Output frames are concatenated into the result Dataset.
+
+    ``out_dtypes`` (column → pandas dtype) pins the output schema for
+    EMPTY results: a group that yields zero rows (or an empty input block
+    the shuffle hands us) otherwise loses column names/types and triggers
+    RefBundle schema-mismatch unification downstream (VERDICT r1 #5)."""
     keyed = ds.map_batches(add_coarse_column(key_cols, num_buckets),
                            batch_format="pyarrow")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        out = local_fn(g.drop(columns=[COARSE_COL]))
+        if COARSE_COL in g.columns:
+            g = g.drop(columns=[COARSE_COL])
+        elif out_dtypes is not None and g.empty and len(g.columns) == 0:
+            return typed_empty(out_dtypes)
+        out = local_fn(g)
+        if out_dtypes is not None and len(out) == 0:
+            return typed_empty(out_dtypes)
         return out
 
     return keyed.groupby(COARSE_COL).map_groups(run, batch_format="pandas")

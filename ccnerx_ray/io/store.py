@@ -55,7 +55,12 @@ def write_triple_store(triples, out_dir: str, num_partitions: int = 16,
                              batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["part"])
     wall = time.time() - t0
-    summary = write_lineage(out_dir, wall, lineage_extra)
+    # num_partitions goes into the lineage summary: write_parquet only
+    # creates directories for NON-EMPTY partitions, so counting part= dirs
+    # under-counts P and breaks the lookup modulus (ADVICE r1).
+    extra = dict(lineage_extra or {})
+    extra["num_partitions"] = num_partitions
+    summary = write_lineage(out_dir, wall, extra)
     return summary
 
 
@@ -101,6 +106,13 @@ def write_lineage(out_dir: str, wall_s: float,
                "engine_version": __version__}
     if extra:
         summary.update(extra)
+    # fold run counters (truncation caps etc.) into the lineage ledger —
+    # the "no silent caps" rule: pairs dropped by LSH max_bucket show up
+    # here as lsh_rows_truncated / alias_rows_truncated
+    from ccnerx_ray.state import metrics as _metrics
+    counters = _metrics.snapshot()
+    if counters:
+        summary["metrics"] = counters
     with open(os.path.join(lin_dir, "_summary.json"), "w") as fh:
         json.dump(summary, fh)
     return summary
@@ -165,15 +177,22 @@ def lookup_subject(store_dir: str, subj: str, num_partitions: int | None = None)
     from ccnerx_ray.functions.hashing import stable_hash64
 
     if num_partitions is None:
-        num_partitions = sum(1 for d in os.listdir(store_dir)
-                             if d.startswith("part=") or d.startswith("chunk="))
-        # chunked stores: partition count comes from a chunk's lineage
+        # authoritative source: the lineage summary's num_partitions —
+        # counting part= dirs is wrong when some partitions were empty
+        # (write_parquet skips them) and would silently shift the modulus
         chunks = [d for d in os.listdir(store_dir) if d.startswith("chunk=")]
-        if chunks:
-            lin = os.path.join(store_dir, chunks[0], LINEAGE_DIR,
-                               "_summary.json")
+        lin = (os.path.join(store_dir, chunks[0], LINEAGE_DIR, "_summary.json")
+               if chunks else
+               os.path.join(store_dir, LINEAGE_DIR, "_summary.json"))
+        summary = {}
+        if os.path.isfile(lin):
             with open(lin) as fh:
-                num_partitions = json.load(fh)["partitions"]
+                summary = json.load(fh)
+        num_partitions = summary.get("num_partitions",
+                                     summary.get("partitions"))
+        if not num_partitions:
+            num_partitions = sum(1 for d in os.listdir(store_dir)
+                                 if d.startswith("part="))
 
     part = stable_hash64(subj) % num_partitions
     roots = []
@@ -225,11 +244,22 @@ def compact_store(store_dir: str, out_dir: str,
 
     @ray.remote
     def compact_one(part_name: str, files: list[str], dest_dir: str) -> int:
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+        # stream row groups through a ParquetWriter: peak memory is one
+        # row group, not the whole partition (a hot hash(subj) partition
+        # can exceed worker heap if concatenated — VERDICT r1 #7)
         pdir = os.path.join(dest_dir, part_name)
         os.makedirs(pdir, exist_ok=True)
-        pq.write_table(t, os.path.join(pdir, "compacted-0.parquet"))
-        return t.num_rows
+        schema = pq.read_schema(files[0])
+        rows = 0
+        with pq.ParquetWriter(
+                os.path.join(pdir, "compacted-0.parquet"), schema) as w:
+            for f in files:
+                pf = pq.ParquetFile(f)
+                for rg in range(pf.num_row_groups):
+                    t = pf.read_row_group(rg).cast(schema)
+                    w.write_table(t)
+                    rows += t.num_rows
+        return rows
 
     t0 = time.time()
     rows = ray.get([compact_one.remote(p, fs, tmp)

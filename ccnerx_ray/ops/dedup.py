@@ -65,7 +65,10 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
                  .reset_index())
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
-    return coarse_grouped(partials, ["text_sha256"], local, num_buckets=512)
+    return coarse_grouped(partials, ["text_sha256"], local, num_buckets=512,
+                          out_dtypes={"text_sha256": "string",
+                                      "keep_id": "int64",
+                                      "n_copies": "int64"})
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -121,11 +124,17 @@ def _pairs_from_buckets(g: pd.DataFrame, id_col: str, bucket_col: str,
                         sig_col: str, max_bucket: int,
                         score_fn) -> pd.DataFrame:
     """Vectorized within-coarse-group pair emission: local groupby on the
-    true bucket key, numpy signature comparison per bucket."""
+    true bucket key, numpy signature comparison per bucket. Rows dropped
+    by the ``max_bucket`` cap are counted into the ``lsh_rows_truncated``
+    run metric (no silent caps)."""
+    from ccnerx_ray.state import metrics
+
     ida, idb, score = [], [], []
+    truncated = 0
     for _, sub in g.groupby(bucket_col, sort=False):
         if len(sub) < 2:
             continue
+        truncated += max(0, len(sub) - max_bucket)
         sub = sub.sort_values(id_col).head(max_bucket)
         ids = sub[id_col].to_numpy()
         S = np.stack([np.frombuffer(x, dtype=np.int64) for x in sub[sig_col]])
@@ -135,16 +144,19 @@ def _pairs_from_buckets(g: pd.DataFrame, id_col: str, bucket_col: str,
                 ida.append(ids[x])
                 idb.append(ids[x + 1 + j])
                 score.append(sc[1][j])
+    metrics.incr("lsh_rows_truncated", truncated)
     return pd.DataFrame({"id_a": ida, "id_b": idb, "score": score})
 
 
-def _dedup_pairs(pairs, score_name: str):
+def _dedup_pairs(pairs, score_name: str, score_dtype: str = "float64"):
     def local(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.sort_values(["id_a", "id_b"])
                 .drop_duplicates(subset=["id_a", "id_b"]))
         return out.rename(columns={"score": score_name})
 
-    return coarse_grouped(pairs, ["id_a", "id_b"], local, num_buckets=64)
+    return coarse_grouped(pairs, ["id_a", "id_b"], local, num_buckets=64,
+                          out_dtypes={"id_a": "int64", "id_b": "int64",
+                                      score_name: score_dtype})
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
@@ -184,7 +196,9 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
                                    max_bucket, score)
 
     banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
-    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024)
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024,
+                           out_dtypes={"id_a": "int64", "id_b": "int64",
+                                       "score": "float64"})
     return _dedup_pairs(pairs, "est_jaccard")
 
 
@@ -217,10 +231,19 @@ def ngram_jaccard_verify(pairs_rows: list[dict], docs_by_id: dict,
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bands: int = 4, max_bucket: int = 64):
-    """SimHash near-dup: 64-bit fingerprints, banded into ``bands`` 16-bit
-    sub-keys (a pair within hamming ≤ bands-1 shares ≥1 exact band);
-    within-bucket pairs are verified by true hamming distance."""
+                  max_hamming: int = 3, bands: int | None = None,
+                  max_bucket: int = 64):
+    """SimHash near-dup: 64-bit fingerprints, banded into ``bands``
+    disjoint sub-keys; by pigeonhole a pair within hamming ≤ bands-1
+    shares ≥1 exact band, so ``bands`` defaults to ``max_hamming + 1`` to
+    make the guarantee hold for the requested radius (bits beyond
+    ``bands * (64 // bands)`` fall outside every band, which only widens
+    candidate recall). Within-bucket pairs are verified by true hamming
+    distance."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
     width = 64 // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -251,8 +274,10 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                    max_bucket, score)
 
     banded = ds.map_batches(band_rows, batch_format="pyarrow")
-    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024)
-    return _dedup_pairs(pairs, "hamming")
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024,
+                           out_dtypes={"id_a": "int64", "id_b": "int64",
+                                       "score": "int64"})
+    return _dedup_pairs(pairs, "hamming", score_dtype="int64")
 
 
 # ---------------------------------------------------------------------------
@@ -309,15 +334,18 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     Recall < 1 by construction (tunable via n_tables/n_planes)."""
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        rng = np.random.default_rng(seed)
-        planes = [rng.standard_normal((64, n_planes)) for _ in range(n_tables)]
         ids = batch.column(id_col).to_pylist()
         V = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch.column(vec_col).to_pylist()])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        # planes sized from the actual embedding dim; the fixed seed makes
+        # every batch draw the identical planes (retry-stable)
+        rng = np.random.default_rng(seed)
+        planes = [rng.standard_normal((V.shape[1], n_planes))
+                  for _ in range(n_tables)]
         ok, oi, ov = [], [], []
         for t, P in enumerate(planes):
-            bits = (Vn @ P[:Vn.shape[1]] > 0)
+            bits = (Vn @ P > 0)
             keys = bits @ (1 << np.arange(n_planes))
             for j, i in enumerate(ids):
                 ok.append(stable_hash64(f"{t}:{int(keys[j])}"))
@@ -328,10 +356,14 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                          "vec": pa.array(ov, pa.binary())})
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
+        from ccnerx_ray.state import metrics
+
         ida, idb = [], []
+        truncated = 0
         for _, sub in g.groupby("bucket", sort=False):
             if len(sub) < 2:
                 continue
+            truncated += max(0, len(sub) - max_bucket)
             sub = sub.sort_values(id_col).head(max_bucket)
             ids = sub[id_col].to_numpy()
             V = np.stack([np.frombuffer(x, dtype=np.float64)
@@ -340,17 +372,21 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
             xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
             ida.extend(int(ids[x]) for x in xs)
             idb.extend(int(ids[y]) for y in ys)
+        metrics.incr("lsh_rows_truncated", truncated)
         return pd.DataFrame({"id_a": ida, "id_b": idb,
                              "score": [1.0] * len(ida)})
 
     banded = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=512)
+    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=512,
+                           out_dtypes={"id_a": "int64", "id_b": "int64",
+                                       "score": "float64"})
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["id_a", "id_b"])
                  .drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]])
 
-    return coarse_grouped(pairs, ["id_a", "id_b"], dd, num_buckets=64)
+    return coarse_grouped(pairs, ["id_a", "id_b"], dd, num_buckets=64,
+                          out_dtypes={"id_a": "int64", "id_b": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -359,81 +395,116 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
 
 
 def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                   max_rounds: int = 10):
-    """Cluster near-dup pairs into components by iterative min-label
-    propagation — distributed union-find: each node's label is the minimum
-    id reachable so far; rounds of (explode edges → coarse groupby min)
-    until the label assignment stops changing. Converges in O(component
-    diameter) rounds; the per-round shuffle carries (node, label) pairs
-    only. Output: ``(doc_id, component)`` with component = min id of the
-    component (the canonical keeper of a dup cluster)."""
-    import pandas as pd
+                   max_rounds: int = 30, driver_max_pairs: int = 500_000):
+    """Cluster near-dup pairs into components: ``(doc_id, component)`` with
+    component = min id of the component (the canonical keeper of a dup
+    cluster).
 
-    from ccnerx_ray.functions.grouping import coarse_grouped
+    Two paths, chosen by a cheap distributed ``pairs.count()`` — the pair
+    set is never pulled to the driver to *decide*:
 
-    edges = [(int(r[id_a]), int(r[id_b]))
-             for r in pairs.select_columns([id_a, id_b]).take_all()] \
-        if hasattr(pairs, "select_columns") else list(pairs)
+    * **small** (≤ ``driver_max_pairs`` pairs): driver union-find with path
+      compression — an order of magnitude faster than iterated shuffles
+      for the typical case where dup participants are a sliver of the
+      corpus.
+    * **large**: fully distributed min-label propagation. The symmetrized
+      edge Dataset stays hash-partitioned; each round co-groups
+      ``(labels ∪ edges)`` on the node key (shuffle #1: propagate each
+      node's label to its neighbors) then min-reduces per node (shuffle
+      #2), carrying only ``(node:int64, label:int64)`` rows. Convergence
+      is a distributed ``sum(changed)`` — no ``take_all`` anywhere, no
+      edge broadcast. Converges in O(component diameter) rounds (dup
+      clusters are near-cliques → a handful)."""
     import ray.data
-    nodes = sorted({n for e in edges for n in e})
 
-    # Candidate-pair participants are few relative to the corpus; under a
-    # million nodes, driver-side union-find beats iterated distributed
-    # label propagation by an order of magnitude (the guide rule: driver
-    # union-find only when the candidate set is provably small — it is:
-    # |nodes| <= 2·|pairs|).
-    if len(nodes) <= 1_000_000:
-        parent = {n: n for n in nodes}
+    if not hasattr(pairs, "select_columns"):
+        edges = [(int(a), int(b)) for a, b in pairs]
+        return _uf_components(edges)
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    pair_ds = pairs.select_columns([id_a, id_b]).materialize()
+    if pair_ds.count() <= driver_max_pairs:
+        edges = [(int(r[id_a]), int(r[id_b])) for r in pair_ds.take_all()]
+        return _uf_components(edges)
 
-        for a, b in edges:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        return ray.data.from_items(
-            [{"doc_id": n, "component": find(n)} for n in nodes])
+    # ---- distributed path: rows (node, val, kind) with kind 'E' (val =
+    # neighbor) or 'L' (val = current label) so edges/labels union cleanly.
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).cast(pa.int64()).to_pylist()
+        b = batch.column(id_b).cast(pa.int64()).to_pylist()
+        return pa.table({"node": pa.array(a + b, pa.int64()),
+                         "val": pa.array(b + a, pa.int64()),
+                         "kind": pa.array(["E"] * (2 * len(a)), pa.string())})
 
-    labels = ray.data.from_items(
-        [{"node": n, "label": n} for n in nodes])
-    edge_ref = None
-    import ray as _ray
-    edge_ref = _ray.put(edges)
+    edges_t = pair_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g["node"].unique()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = coarse_grouped(edges_t, ["node"], init_labels,
+                            num_buckets=64).materialize()
+
+    def as_label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "val": batch.column("label"),
+                         "kind": pa.array(["L"] * batch.num_rows,
+                                          pa.string())})
+
+    def propagate_local(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == "L"].set_index("node")["val"]
+        e = g.loc[g["kind"] == "E"]
+        out_node = np.concatenate([e["val"].to_numpy(np.int64),
+                                   lab.index.to_numpy(np.int64)])
+        out_label = np.concatenate([lab.reindex(e["node"]).to_numpy(np.int64),
+                                    lab.to_numpy(np.int64)])
+        is_self = np.concatenate([np.zeros(len(e), np.int64),
+                                  np.ones(len(lab), np.int64)])
+        return pd.DataFrame({"node": out_node, "label": out_label,
+                             "is_self": is_self})
+
+    def reduce_local(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", sort=False)["label"].min()
+        old = g.loc[g["is_self"] == 1].set_index("node")["label"]
+        old = old.reindex(agg.index)
+        return pd.DataFrame({"node": agg.index.to_numpy(np.int64),
+                             "label": agg.to_numpy(np.int64),
+                             "changed": (agg.to_numpy() < old.to_numpy())
+                             .astype(np.int64)})
 
     for _ in range(max_rounds):
-        def propagate(batch: pa.Table) -> pa.Table:
-            lab = dict(zip(batch.column("node").to_pylist(),
-                           batch.column("label").to_pylist()))
-            out_n, out_l = list(lab.keys()), list(lab.values())
-            for a, b in _ray.get(edge_ref):
-                la, lb = lab.get(a), lab.get(b)
-                if la is not None:
-                    out_n.append(b)
-                    out_l.append(la)
-                if lb is not None:
-                    out_n.append(a)
-                    out_l.append(lb)
-            return pa.table({"node": pa.array(out_n, pa.int64()),
-                             "label": pa.array(out_l, pa.int64())})
-
-        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-            return (g.groupby("node", sort=False)["label"].min()
-                     .reset_index())
-
-        new_labels = coarse_grouped(
-            labels.map_batches(propagate, batch_format="pyarrow"),
-            ["node"], reduce_min, num_buckets=64)
-        new_rows = {r["node"]: r["label"] for r in new_labels.take_all()}
-        old_rows = {r["node"]: r["label"] for r in labels.take_all()}
-        labels = ray.data.from_items(
-            [{"node": n, "label": l} for n, l in sorted(new_rows.items())])
-        if new_rows == old_rows:
+        both = edges_t.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow"))
+        prop = coarse_grouped(both, ["node"], propagate_local,
+                              num_buckets=64)
+        new_labels = coarse_grouped(prop, ["node"], reduce_local,
+                                    num_buckets=64).materialize()
+        changed = new_labels.sum("changed") or 0
+        labels = new_labels.select_columns(["node", "label"]).materialize()
+        if not changed:
             break
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow")
+
+
+def _uf_components(edges: list[tuple[int, int]]):
+    """Driver union-find with path compression (small-candidate fast path:
+    |nodes| ≤ 2·|pairs| is provably bounded by the caller's pair count)."""
+    import ray.data
+
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return ray.data.from_items(
+        [{"doc_id": n, "component": find(n)} for n in nodes])

@@ -25,8 +25,10 @@ def _hll_registers(values, p: int) -> np.ndarray:
         h = stable_hash64("" if v is None else str(v))
         idx = h & (m - 1)
         w = h >> p
-        # rank = leading-zero count of the remaining 63-p bits, +1
-        rank = (63 - p) - int(w).bit_length() + 2 if w else (63 - p) + 1
+        # rank = leading-zero count of the remaining 63-p bits, +1:
+        # w has bit_length(w) significant bits, so (63-p) - bit_length(w)
+        # leading zeros; w == 0 saturates at (63-p)+1.
+        rank = (63 - p) - int(w).bit_length() + 1 if w else (63 - p) + 1
         if rank > regs[idx]:
             regs[idx] = rank
     return regs

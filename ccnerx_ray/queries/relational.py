@@ -132,23 +132,19 @@ GROUP BY r_name
 
 # --------------------------------------------------------------------- q4
 def q_revenue_by_segment(sf_dir: str):
-    """Fact ⋈ dimension broadcast join + aggregate (J2/J3 shape)."""
-    import ray
+    """Fact ⋈ fact via hash-partitioned ``Dataset.join`` on the customer
+    key (J2/J3 shape at scale: customer is fact-scale in TPC-H, so it must
+    NOT be broadcast as a driver dict — both sides hash-shuffle on the
+    join key instead; only the tiny nation/region dims are broadcast
+    elsewhere)."""
     from ray.data.aggregate import Count, Sum
 
-    seg = {r["c_custkey"]: r["c_mktsegment"]
-           for r in _read(sf_dir, "customer",
-                          ["c_custkey", "c_mktsegment"]).take_all()}
-    ref = ray.put(seg)
-
-    def add_seg(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        s = [m.get(k, "UNKNOWN") for k in batch.column("o_custkey").to_pylist()]
-        return batch.append_column("c_mktsegment", pa.array(s, pa.string()))
-
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    out = (ds.map_batches(add_seg, batch_format="pyarrow")
-             .groupby("c_mktsegment").aggregate(Count(), Sum("o_totalprice")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = (joined.groupby("c_mktsegment")
+                 .aggregate(Count(), Sum("o_totalprice")))
     return out.map_batches(_rename_cents(
         {"count()": "n_orders", "sum(o_totalprice)": "revenue_cents"},
         {"revenue_cents": 100}), batch_format="pyarrow")

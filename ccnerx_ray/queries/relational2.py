@@ -205,9 +205,9 @@ def q_top_words(sf_dir: str):
     return totals.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
-ORACLE_TOP_WORDS = """
+ORACLE_TOP_WORDS = r"""
 SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
-  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
 WHERE w <> '' GROUP BY w ORDER BY n DESC, word LIMIT 20
 """
 

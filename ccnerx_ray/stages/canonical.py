@@ -101,10 +101,15 @@ def canonicalize(mentions, salted: bool = True, label_col: str = "linked_label")
     partials = mentions.map_batches(make_combiner(label_col=label_col),
                                     batch_format="pyarrow")
     if salted:
-        partials = coarse_grouped(partials, ["norm_key", "salt"],
-                                  _merge_partials, num_buckets=512)
-    return coarse_grouped(partials, ["norm_key"], _finalize_local,
-                          num_buckets=512)
+        partials = coarse_grouped(
+            partials, ["norm_key", "salt"], _merge_partials, num_buckets=512,
+            out_dtypes={"norm_key": "string", "label": "string",
+                        "surface": "string", "cnt": "int64"})
+    return coarse_grouped(
+        partials, ["norm_key"], _finalize_local, num_buckets=512,
+        out_dtypes={"entity_id": "string", "norm_key": "string",
+                    "label": "string", "repr_surface": "string",
+                    "n_mentions": "int64"})
 
 
 def entities_from_triples(triples, salted: bool = True):
@@ -152,10 +157,14 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
         return batch.append_column("_bucket", pa.array(b, pa.string()))
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
+        from ccnerx_ray.state import metrics
+
         ida, idb, sim = [], [], []
+        truncated = 0
         for _, sub in g.groupby("_bucket", sort=False):
             if len(sub) < 2:
                 continue
+            truncated += max(0, len(sub) - max_group)
             sub = sub.sort_values("entity_id").head(max_group)
             eids = sub["entity_id"].tolist()
             grams = [_char_ngrams(k) for k in sub["norm_key"]]
@@ -169,8 +178,12 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
                         ida.append(eids[x])
                         idb.append(eids[y])
                         sim.append(round(j, 6))
+        metrics.incr("alias_rows_truncated", truncated)
         return pd.DataFrame({"canonical_id": ida, "alias_id": idb,
                              "jaccard": sim})
 
     keyed = entities.map_batches(add_bucket, batch_format="pyarrow")
-    return coarse_grouped(keyed, ["_bucket"], local, num_buckets=64)
+    return coarse_grouped(keyed, ["_bucket"], local, num_buckets=64,
+                          out_dtypes={"canonical_id": "string",
+                                      "alias_id": "string",
+                                      "jaccard": "float64"})

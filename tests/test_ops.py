@@ -246,3 +246,112 @@ def test_range_join_points_in_intervals(ray_session):
                       bucket_width=8.0).take_all()
     got = sorted((r["pid"], r["iid"]) for r in rows)
     assert got == [(1, 10), (1, 20), (2, 20)]
+
+
+# ------------------------------------------------- round-2 regression tests
+
+def test_dup_components_distributed_parity(ray_session):
+    """The distributed label-propagation path (forced via
+    driver_max_pairs=0 — no pairs take_all, no edge broadcast) matches the
+    driver union-find on chains + a star."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import dup_components
+
+    pairs = []
+    for c in range(200):                      # 200 chains of length 5
+        base = c * 10
+        pairs += [{"id_a": base + i, "id_b": base + i + 1} for i in range(4)]
+    pairs += [{"id_a": 5000, "id_b": 5000 + i} for i in range(1, 8)]  # star
+    ds = ray.data.from_items(pairs).repartition(8)
+    fast = {r["doc_id"]: r["component"] for r in dup_components(ds).take_all()}
+    dist = {r["doc_id"]: r["component"]
+            for r in dup_components(ds, driver_max_pairs=0).take_all()}
+    assert dist == fast
+    assert dist[4] == 0 and dist[5007] == 5000
+    assert len(dist) == 200 * 5 + 8
+
+
+def test_hll_large_cardinality(ray_session):
+    """Cardinality >> 2.5·2^p leaves the linear-counting regime — the
+    regression regime for the r1 rank off-by-one (ADVICE): estimates were
+    ~2x high there."""
+    import pandas as pd
+    import ray.data
+    from ccnerx_ray.ops.sketches import approx_distinct
+
+    n = 200_000
+    ds = ray.data.range(n).map_batches(
+        lambda df: pd.DataFrame({"v": "u" + df["id"].astype(str)}),
+        batch_format="pandas")
+    out = approx_distinct(ds, "v", p=12)
+    rel = abs(out["estimate"] - n) / n
+    assert rel < 0.05, (out, rel)
+
+
+def test_simhash_default_bands_cover_radius(ray_session):
+    """bands defaults to max_hamming+1, so a pair at true hamming 4..6 is
+    pigeonhole-guaranteed a shared band (the r1 ADVICE recall gap: the old
+    bands=4 default only guaranteed hamming ≤ 3)."""
+    import ray.data
+    from ccnerx_ray.functions.hashing import simhash64, stable_hash64
+
+    def fp(text: str) -> int:
+        th = np.fromiter((stable_hash64(w) for w in text.split()),
+                         dtype=np.int64)
+        return simhash64(th)
+
+    base = " ".join(f"tok{i}" for i in range(64))
+    planted = None
+    for j in range(400):
+        toks = base.split()
+        toks[j % 64] = f"alt{j}"
+        cand = " ".join(toks)
+        d = bin(int(np.uint64(fp(base))) ^ int(np.uint64(fp(cand)))).count("1")
+        if 4 <= d <= 6:
+            planted = (cand, d)
+            break
+    assert planted is not None, "no candidate text at hamming 4..6"
+    ds = ray.data.from_items([{"doc_id": 1, "text": base},
+                              {"doc_id": 2, "text": planted[0]}])
+    rows = simhash_pairs(ds, max_hamming=6).take_all()
+    assert any({r["id_a"], r["id_b"]} == {1, 2} for r in rows), (planted, rows)
+
+
+def test_coarse_grouped_empty_keeps_schema(ray_session):
+    """All-empty local results still carry column names AND types
+    (VERDICT r1 #4: RefBundle schema-mismatch trap)."""
+    import ray.data
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    ds = ray.data.from_items([{"k": f"x{i}", "v": i} for i in range(10)])
+    out = coarse_grouped(ds, ["k"], lambda g: g.head(0), num_buckets=4,
+                         out_dtypes={"k": "string", "v": "int64"})
+    sch = out.schema()
+    assert sch.names == ["k", "v"]
+    assert [str(t) for t in sch.types] == ["string", "int64"]
+    assert out.count() == 0
+    # (Dataset.to_pandas() on a fully-empty dataset still drops columns —
+    # that's Ray's empty-dataset quirk; what matters here is that every
+    # BLOCK carries the typed schema so downstream unification can't warn)
+
+
+def test_lsh_truncation_metric(ray_session):
+    """max_bucket drops are counted — no silent caps (VERDICT r1 #7)."""
+    import time
+
+    import ray.data
+    from ccnerx_ray.ops.dedup import lsh_candidate_pairs, minhash_signatures
+    from ccnerx_ray.state import metrics
+
+    metrics.reset()
+    docs = [{"doc_id": i, "text": "identical text tokens " * 5}
+            for i in range(10)]
+    sigs = minhash_signatures(ray.data.from_items(docs))
+    lsh_candidate_pairs(sigs, max_bucket=4).take_all()
+    got = 0
+    for _ in range(50):                    # increments are fire-and-forget
+        got = metrics.snapshot().get("lsh_rows_truncated", 0)
+        if got:
+            break
+        time.sleep(0.1)
+    assert got > 0
