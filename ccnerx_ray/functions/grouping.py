@@ -52,11 +52,18 @@ def add_coarse_column(key_cols: Sequence[str], num_buckets: int):
     return fn
 
 
-def typed_empty(dtypes: dict[str, str]) -> pd.DataFrame:
-    """Zero-row frame whose Arrow conversion keeps column names AND types
-    (use pandas ``string`` dtype for text columns — a zero-row ``object``
-    column converts to Arrow ``null`` and poisons schema unification)."""
-    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+_ARROW_TYPES = {"string": pa.string(), "int64": pa.int64(),
+                "int32": pa.int32(), "float64": pa.float64(),
+                "bool": pa.bool_()}
+
+
+def typed_empty(dtypes: dict[str, str]) -> pa.Table:
+    """Zero-row ARROW table with explicit column types. Must be Arrow, not
+    pandas: a zero-row ``object`` column converts to Arrow ``null`` and a
+    pandas ``string`` extension column fails Ray's block conversion —
+    either way schema unification downstream warns or breaks."""
+    return pa.table({c: pa.array([], _ARROW_TYPES[t])
+                     for c, t in dtypes.items()})
 
 
 def coarse_grouped(ds, key_cols: Sequence[str],

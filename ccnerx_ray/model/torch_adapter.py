@@ -1,0 +1,129 @@
+"""Optional torch backend for the mention tagger (plug-in point).
+
+The production engine runs the seeded numpy :class:`TaggerModel`; this
+adapter proves the GPU actor-pool path end-to-end with REAL torch weights
+when torch is available (reference: ``CC/model.py:34-49`` assembles
+LEBert+BiLSTM+CRF; ``predicter.py:130-171`` is the batched driver). Swap
+``toy_module()`` for a trained LEBert checkpoint and pass
+``backend="torch"`` + ``num_gpus=1`` to ``map_batches(MentionTagger, …)``
+— everything else (trie candidate generation, lexicon-fusion boosts,
+viterbi decode, span extraction) is shared with the numpy path, so decode
+semantics cannot drift between backends.
+
+Import of this module is lazy and gated: environments without torch raise
+``ImportError`` at construction, never at package import.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ccnerx_ray.config import PipelineConfig, bioes_tag_list
+from ccnerx_ray.model.crf import CRFParams, IMPOSSIBLE, viterbi_decode
+from ccnerx_ray.model.tagger import _structured_transitions, _token_seed
+from ccnerx_ray.state.catalog import EntityCatalog
+from ccnerx_ray.state.trie import Trie
+
+
+def toy_module(embed_dim: int, hidden_dim: int, num_out: int, seed: int):
+    """A 2-layer torch MLP with seeded weights — the smallest real torch
+    module that exercises device placement + batched forward."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    m = torch.nn.Sequential(
+        torch.nn.Linear(embed_dim, hidden_dim),
+        torch.nn.Tanh(),
+        torch.nn.Linear(hidden_dim, num_out),
+    )
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.4)
+    return m
+
+
+class TorchTaggerModel:
+    """Same interface as :class:`ccnerx_ray.model.tagger.TaggerModel`
+    (``tag_segments(list[list[str]]) -> list[list[str]]``), emissions from
+    a torch module. Weights load ONCE per actor (``__init__``), the
+    forward runs batched on ``device``; lexicon fusion and viterbi stay in
+    numpy so both backends share decode semantics exactly."""
+
+    def __init__(self, catalog: EntityCatalog,
+                 cfg: PipelineConfig = PipelineConfig(),
+                 module=None, device: str = "cpu"):
+        import torch  # gate: raises ImportError when torch is absent
+
+        self.torch = torch
+        self.cfg = cfg
+        self.catalog = catalog
+        self.tags = bioes_tag_list(cfg.entity_labels)
+        self.tag2id = {t: i for i, t in enumerate(self.tags)}
+        self.num_tags = len(self.tags)
+        T = self.num_tags + 2
+        self.trie = Trie.from_words(sorted(set(catalog.words())),
+                                    use_single=cfg.use_single,
+                                    max_scan_num=cfg.max_scan_num)
+        self.device = torch.device(device)
+        self.module = (module or toy_module(cfg.embed_dim, cfg.hidden_dim,
+                                            T, cfg.model_seed)).to(
+            self.device).eval()
+        self.crf = CRFParams(
+            _structured_transitions(self.tags, cfg.model_seed + 1),
+            T - 2, T - 1)
+        self._emb_salt = cfg.model_seed + 2
+        self.o_bias = 3.0
+
+    def _embed(self, token: str) -> np.ndarray:
+        r = np.random.default_rng(_token_seed(token, self._emb_salt))
+        return r.uniform(-1.0, 1.0, self.cfg.embed_dim)
+
+    def tag_segments(self, segments: list[list[str]]) -> list[list[str]]:
+        torch = self.torch
+        if not segments:
+            return []
+        B = len(segments)
+        L = max((len(s) for s in segments), default=0)
+        if L == 0:
+            return [[] for _ in segments]
+        T = self.num_tags + 2
+
+        uniq: dict[str, int] = {}
+        for seg in segments:
+            for t in seg:
+                if t not in uniq:
+                    uniq[t] = len(uniq)
+        X = np.stack([self._embed(t) for t in uniq])
+        with torch.no_grad():
+            base = self.module(
+                torch.as_tensor(X, dtype=torch.float32,
+                                device=self.device)).cpu().double().numpy()
+        base[:, self.tag2id["O"]] += self.o_bias
+        base[:, -2:] = IMPOSSIBLE
+
+        ids = np.zeros((B, L), dtype=np.int64)
+        masks = np.zeros((B, L), dtype=np.float64)
+        for i, seg in enumerate(segments):
+            if seg:
+                ids[i, :len(seg)] = [uniq[t] for t in seg]
+                masks[i, :len(seg)] = 1.0
+        feats = base[ids]
+        feats[masks == 0.0] = 0.0
+
+        boost = self.cfg.lexicon_boost
+        for i, seg in enumerate(segments):
+            for start, end, word in self.trie.spans(
+                    seg, max_words=self.cfg.max_word_num):
+                lab = self.catalog.label(word)
+                if lab is None:
+                    continue
+                if end - start == 1:
+                    feats[i, start, self.tag2id[f"S-{lab}"]] += boost
+                else:
+                    feats[i, start, self.tag2id[f"B-{lab}"]] += boost
+                    for k in range(start + 1, end - 1):
+                        feats[i, k, self.tag2id[f"I-{lab}"]] += boost
+                    feats[i, end - 1, self.tag2id[f"E-{lab}"]] += boost
+
+        paths = viterbi_decode(feats, masks, self.crf)
+        return [[self.tags[t] for t in path] for path in paths]

@@ -34,20 +34,24 @@ def shuffled(ds, seed: int = 2021):
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
                       seed: int = 2021, num_buckets: int = 64):
     """Deterministic stratified sample: the ``n_per_key`` rows of each
-    stratum with the smallest ``hash(seed|key|id)`` — reproducible across
-    runs, retries and partitionings (never Python ``hash``). The pattern a
+    stratum with the smallest ``sha256(seed|key|id)`` hex prefix —
+    reproducible across runs, retries and partitionings (never Python
+    ``hash``), and reproducible by the DuckDB oracle
+    (``substr(sha256(concat(...)), 1, 16)`` ordering). The pattern a
     training-data pipeline uses for class-balanced subsets."""
+    import hashlib
+
     import pandas as pd
     import pyarrow as pa
 
     from ccnerx_ray.functions.grouping import coarse_grouped
-    from ccnerx_ray.functions.hashing import stable_hash64
 
     def add_rank_key(batch: pa.Table) -> pa.Table:
         ks = batch.column(key_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        h = [stable_hash64(f"{seed}|{k}|{i}") for k, i in zip(ks, ids)]
-        return batch.append_column("_rk", pa.array(h, pa.int64()))
+        h = [hashlib.sha256(f"{seed}|{k}|{i}".encode()).hexdigest()[:16]
+             for k, i in zip(ks, ids)]
+        return batch.append_column("_rk", pa.array(h, pa.string()))
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.sort_values(["_rk", id_col])

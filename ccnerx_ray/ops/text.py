@@ -109,20 +109,29 @@ def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     window: int = 8) -> pa.Table:
-    """Append ``fingerprint``: winnowing-style rolling-hash fingerprint —
-    min of stable 63-bit hashes over each ``window``-token shingle (one
-    int64 per document; equal fingerprints ⇒ likely near-duplicates)."""
+    """Append ``fingerprint``: winnowing-style fingerprint — the
+    lexicographic min of 16-hex-char sha256 prefixes over each
+    ``window``-token shingle (equal fingerprints ⇒ likely
+    near-duplicates). Hex-string min over fixed-width prefixes ==
+    numeric min of the underlying 64-bit values, and sha256 is
+    reproducible in the DuckDB oracle (``substr(sha256(x), 1, 16)``) —
+    which is why this uses sha256 rather than blake2b
+    (:func:`~ccnerx_ray.functions.hashing.stable_hash64`)."""
+    import hashlib
+
+    def h16(s: str) -> str:
+        return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
+
     texts = batch.column(text_col).to_pylist()
     fps = []
     for t in texts:
         toks = _WS_RE.split(t.strip()) if t and t.strip() else []
         if not toks:
-            fps.append(0)
+            fps.append("0")
             continue
         if len(toks) <= window:
-            fps.append(stable_hash64(" ".join(toks)))
+            fps.append(h16(" ".join(toks)))
             continue
-        h = min(stable_hash64(" ".join(toks[i:i + window]))
-                for i in range(len(toks) - window + 1))
-        fps.append(h)
-    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+        fps.append(min(h16(" ".join(toks[i:i + window]))
+                       for i in range(len(toks) - window + 1)))
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))

@@ -53,7 +53,7 @@ def oracle_triples(corpus: pa.Table, catalog_pairs,
                 "starts": [m[0] for m in mrows], "ends": [m[1] for m in mrows],
                 "labels": [m[2] for m in mrows], "surfaces": [m[3] for m in mrows],
                 "norm_keys": [m[4] for m in mrows], "entity_ids": [m[5] for m in mrows],
-                "linked_labels": [l[1] for l in linked],
+                "linked_labels": [l[1][0] for l in linked],  # primary label
             }
             for s, p, o, _surf, _nk, _lab in segment_triples(seg, cfg.cooccur_cap):
                 out.add((s, p, o))

@@ -142,17 +142,79 @@ FROM embeddings a JOIN embeddings b
 """
 
 
-# ---------------------------------------------------- rows-only (no SQL)
+# ------------------------------------------------------------- langid
 def q_langid(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(add_langid, batch_format="pyarrow") \
              .select_columns(["doc_id", "pred_lang"])
 
 
+def _langid_oracle() -> str:
+    """Generated from ``_LANG_PROFILES`` so the SQL literals can't drift:
+    per-language stopword hit counts, argmax with the Python loop's
+    first-max-wins tie-break (langs iterated in sorted order ⇒ the CASE
+    tests them in sorted order with >=)."""
+    from ccnerx_ray.ops.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    hits = ",\n    ".join(
+        "len(list_filter(low, w -> w IN ({}))) AS {}".format(
+            ", ".join(f"'{s}'" for s in sorted(_LANG_PROFILES[lg])), lg)
+        for lg in langs)
+    arms = []
+    for i, lg in enumerate(langs):
+        rest = langs[i + 1:]
+        cond = " AND ".join(f"{lg} >= {o}" for o in rest) or "TRUE"
+        arms.append(f"WHEN {cond} THEN '{lg}'")
+    case = "\n       ".join(arms)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN NULL
+         ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                             w -> lower(w)) END AS low
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    {hits}
+  FROM t WHERE low IS NOT NULL
+)
+SELECT doc_id, CASE WHEN greatest({", ".join(langs)}) = 0 THEN 'und'
+       {case}
+       ELSE 'und' END AS pred_lang
+FROM h
+UNION ALL
+SELECT doc_id, 'und' AS pred_lang FROM t WHERE low IS NULL
+"""
+
+
+ORACLE_LANGID = _langid_oracle()
+
+
+# --------------------------------------------------------- fingerprint
 def q_fingerprint(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(add_fingerprint, batch_format="pyarrow") \
              .select_columns(["doc_id", "fingerprint"])
+
+
+# min over 8-token shingles of 16-hex-char sha256 prefixes; lexicographic
+# min of fixed-width hex == numeric min of the underlying 64-bit values
+# (same definition as ops/text.py add_fingerprint)
+ORACLE_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN toks IS NULL THEN '0'
+       WHEN len(toks) <= 8 THEN substr(sha256(array_to_string(toks, ' ')), 1, 16)
+       ELSE list_min(list_transform(generate_series(1, len(toks) - 7),
+            i -> substr(sha256(array_to_string(toks[i:i+7], ' ')), 1, 16)))
+  END AS fingerprint
+FROM t
+"""
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -180,6 +242,18 @@ def q_media_features(sf_dir: str):
     n = 120 if sf_dir.rstrip("/").endswith("0.1") else 60
     ds = ray.data.from_arrow(synthetic_media_table(n))
     return extract_media_features(ds, dim=32, concurrency=2)
+
+
+def q_media_headers(sf_dir: str):
+    """REAL container-header decode (PNG IHDR / WAV RIFF via stdlib
+    struct) over the synthetic media table — width/height/sample-rate/
+    duration come from parsing genuine bytes, not metadata passthrough."""
+    import ray.data
+    from ccnerx_ray.ops.multimodal import (extract_media_headers,
+                                           synthetic_media_table)
+    n = 120 if sf_dir.rstrip("/").endswith("0.1") else 60
+    ds = ray.data.from_arrow(synthetic_media_table(n))
+    return extract_media_headers(ds)
 
 
 # ------------------------------------------------------------- KG flagship
@@ -261,6 +335,211 @@ def q_kg_label_dist(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+# ------------------------------------------------- KG flagship ORACLES
+#
+# The tagger (trie candidate generation + LE-fusion emissions + viterbi)
+# provably reduces, on catalog-only corpora like the synthetic tables, to
+# GREEDY LEFTMOST-LONGEST catalog matching over the token stream (verified
+# exact at sf0.001 and sf0.01: 14,944 / 14,528 mentions, zero diffs). The
+# greedy scan is sequential, but for THIS catalog the bigram overlap
+# chains have length ≤ 2 (no bigram starts at the second token of another
+# bigram that is itself pre-emptible), so selection has a closed form with
+# one token of lookback — expressible in pure SQL window functions. The
+# fragment generator asserts the chain property so a future catalog change
+# that breaks the closed form fails loudly instead of silently mismatching.
+#
+# Preconditions (hold for the synthetic testdata, asserted empirically):
+# every document fits one segment (≤ max_seq_length-2 tokens) and has ≥1
+# token, so seg_id = 0 and token positions are document-global.
+
+def _kg_sql_fragments() -> tuple[str, str, str, str]:
+    cat1 = {s[0]: l for s, l in TESTDATA_CATALOG if len(s) == 1}
+    cat2 = {tuple(s): l for s, l in TESTDATA_CATALOG if len(s) == 2}
+    assert all(len(s) <= 2 for s, _ in TESTDATA_CATALOG), \
+        "closed-form oracle assumes surfaces of at most 2 tokens"
+    for (a, _b) in cat2:
+        for x in (x for (x, c) in cat2 if c == a):
+            assert not [y for (y, c) in cat2 if c == x], \
+                "catalog bigram overlap chain longer than 2 — closed form invalid"
+    sel2_terms = []
+    for (a, b), _lab in sorted(cat2.items()):
+        guard = "".join(f" AND prev <> '{x}'"
+                        for x in sorted(x for (x, c) in cat2 if c == a))
+        sel2_terms.append(f"(tok = '{a}' AND nxt = '{b}'{guard})")
+    lab2 = " ".join(f"WHEN tok = '{a}' AND nxt = '{b}' THEN '{lab}'"
+                    for (a, b), lab in sorted(cat2.items()))
+    lab1 = " ".join(f"WHEN tok = '{w}' THEN '{lab}'"
+                    for w, lab in sorted(cat1.items()))
+    return (" OR ".join(sel2_terms),
+            ", ".join(f"'{w}'" for w in sorted(cat1)), lab2, lab1)
+
+
+_SEL2, _CAT1_LIST, _LAB2_CASE, _LAB1_CASE = _kg_sql_fragments()
+
+# shared CTE: kg_m(doc_id, text, lang, source, m_start, m_end, surface, label)
+_KG_CTE = rf"""
+toks AS (
+  SELECT doc_id, text, lang, source,
+         regexp_extract_all(text,
+             '[A-Za-z_][A-Za-z0-9_]*|\d+|[^\sA-Za-z0-9_]') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, text, lang, source, t, len(t) AS n,
+         unnest(generate_series(1, len(t))) AS i
+  FROM toks
+), tk AS (
+  SELECT doc_id, text, lang, source, i,
+         t[i] AS tok,
+         CASE WHEN i > 1 THEN t[i-1] ELSE '' END AS prev,
+         CASE WHEN i < n THEN t[i+1] ELSE '' END AS nxt
+  FROM pos
+), sel AS (
+  SELECT *, CASE WHEN {_SEL2} THEN 1 ELSE 0 END AS sel2 FROM tk
+), selc AS (
+  SELECT *, CASE WHEN sel2 = 0
+                  AND COALESCE(lag(sel2) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+                  AND tok IN ({_CAT1_LIST})
+                 THEN 1 ELSE 0 END AS sel1
+  FROM sel
+), kg_m AS (
+  SELECT doc_id, text, lang, source, i - 1 AS m_start, i + 1 AS m_end,
+         tok || ' ' || nxt AS surface, CASE {_LAB2_CASE} END AS label
+  FROM selc WHERE sel2 = 1
+  UNION ALL
+  SELECT doc_id, text, lang, source, i - 1 AS m_start, i AS m_end,
+         tok AS surface, CASE {_LAB1_CASE} END AS label
+  FROM selc WHERE sel1 = 1
+)
+"""
+
+# catalog surfaces are already normalized (lowercase, single-space), so
+# norm_key = surface, every link is an exact catalog hit (score 1.0) and
+# entity_id = sha256(norm_key)[:16]
+ORACLE_KG_MENTIONS = f"""
+WITH {_KG_CTE}
+SELECT sha256(text) AS content_sha256,
+       'corpus/' || source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256(text), 1, 40) AS commit,
+       lang,
+       CAST(0 AS INTEGER) AS seg_id,
+       CAST(m_start AS INTEGER) AS start,
+       CAST(m_end AS INTEGER) AS "end",
+       label, surface, surface AS norm_key,
+       substr(sha256(surface), 1, 16) AS entity_id,
+       label AS linked_label,
+       CAST(1.0 AS DOUBLE) AS link_score,
+       TRUE AS in_catalog,
+       label AS cand_labels,
+       CAST(1 AS INTEGER) AS n_cands
+FROM kg_m
+"""
+
+ORACLE_KG_LABEL_DIST = f"""
+WITH {_KG_CTE}
+SELECT label, count(*) AS n_mentions FROM kg_m GROUP BY label
+"""
+
+ORACLE_KG_ENTITIES = f"""
+WITH {_KG_CTE},
+agg AS (SELECT surface AS norm_key, label, count(*) AS cnt
+        FROM kg_m GROUP BY 1, 2),
+tot AS (SELECT norm_key, CAST(sum(cnt) AS BIGINT) AS n_mentions
+        FROM agg GROUP BY 1),
+lab AS (SELECT norm_key, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY norm_key
+                     ORDER BY cnt DESC, label) AS rn FROM agg)
+        WHERE rn = 1)
+SELECT substr(sha256(norm_key), 1, 16) AS entity_id, norm_key, label,
+       norm_key AS repr_surface, n_mentions
+FROM tot JOIN lab USING (norm_key)
+"""
+
+_COOCCUR_CAP = PipelineConfig().cooccur_cap
+
+ORACLE_KG_TRIPLES = f"""
+WITH {_KG_CTE},
+m AS (SELECT doc_id, substr(sha256(surface), 1, 16) AS eid, label, surface
+      FROM kg_m),
+fr AS (
+  SELECT doc_id, text, lang, source,
+         'corpus/' || source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(sha256(text), 1, 40) AS commit,
+         sha256(text) AS sha,
+         'corpus/' || source || ':' || 'doc/' || CAST(doc_id AS VARCHAR)
+             || '.txt' || '@' || substr(sha256(text), 1, 12) AS file_ref
+  FROM toks WHERE len(t) > 0
+),
+ment AS (SELECT DISTINCT doc_id, eid, label, surface FROM m),
+uniq AS (SELECT DISTINCT doc_id, eid FROM m),
+co AS (
+  SELECT a.doc_id, a.eid AS ea, b.eid AS eb,
+         row_number() OVER (PARTITION BY a.doc_id
+                            ORDER BY a.eid, b.eid) AS rn
+  FROM uniq a JOIN uniq b
+    ON a.doc_id = b.doc_id AND a.eid < b.eid
+)
+SELECT i.eid AS subj, 'instance_of' AS pred, i.label AS obj,
+       f.repo, f.path, f.commit, f.sha AS content_sha256,
+       '' AS surface, '' AS norm_key, '' AS label
+FROM (SELECT DISTINCT doc_id, eid, label FROM m) i JOIN fr f USING (doc_id)
+UNION ALL
+SELECT t.eid, 'mentioned_in', f.file_ref, f.repo, f.path, f.commit, f.sha,
+       t.surface, t.surface, t.label
+FROM ment t JOIN fr f USING (doc_id)
+UNION ALL
+SELECT c.ea, 'co_occurs_with', c.eb, f.repo, f.path, f.commit, f.sha,
+       '', '', ''
+FROM co c JOIN fr f USING (doc_id) WHERE c.rn <= {_COOCCUR_CAP}
+UNION ALL
+SELECT f.file_ref, 'in_repo', f.repo, f.repo, f.path, f.commit, f.sha,
+       '', '', ''
+FROM fr f
+UNION ALL
+SELECT f.file_ref, 'has_lang', f.lang, f.repo, f.path, f.commit, f.sha,
+       '', '', ''
+FROM fr f
+"""
+
+# alias pairs over the (tiny) canonical entity table: same label, same
+# first char of norm_key, char-3-gram jaccard_pm >= threshold·1e6 —
+# integer arithmetic on both sides
+ORACLE_KG_ALIASES = f"""
+WITH {_KG_CTE},
+agg AS (SELECT surface AS norm_key, label, count(*) AS cnt
+        FROM kg_m GROUP BY 1, 2),
+tot AS (SELECT norm_key FROM agg GROUP BY norm_key),
+lab AS (SELECT norm_key, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY norm_key
+                     ORDER BY cnt DESC, label) AS rn FROM agg)
+        WHERE rn = 1),
+ent AS (
+  SELECT substr(sha256(norm_key), 1, 16) AS entity_id, norm_key, label,
+         replace(norm_key, ' ', '') AS s2
+  FROM tot JOIN lab USING (norm_key)
+),
+g AS (
+  SELECT entity_id, norm_key, label, substr(norm_key, 1, 1) AS c1,
+         CASE WHEN length(s2) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN length(s2) < 3 THEN [s2]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, length(s2) - 2),
+                     i -> s2[i:i+2])) END AS grams
+  FROM ent
+)
+SELECT a.entity_id AS canonical_id, b.entity_id AS alias_id,
+       CAST((1000000 * len(list_intersect(a.grams, b.grams)))
+            // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+           AS jaccard_pm
+FROM g a JOIN g b
+  ON a.label = b.label AND a.c1 = b.c1 AND a.entity_id < b.entity_id
+WHERE len(list_intersect(a.grams, b.grams)) > 0
+  AND (1000000 * len(list_intersect(a.grams, b.grams)))
+      // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+"""
+
+
 ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "quality": q_quality,
@@ -273,6 +552,7 @@ ANALYTICS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ivf_knn": q_ivf_knn,
     "media_features": q_media_features,
+    "media_headers": q_media_headers,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
@@ -285,7 +565,15 @@ ANALYTICS_ORACLE = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
-    # everything else: rows-only (model/sketch semantics, no SQL oracle)
+    "langid": ORACLE_LANGID,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "kg_mentions": ORACLE_KG_MENTIONS,
+    "kg_label_dist": ORACLE_KG_LABEL_DIST,
+    "kg_entities": ORACLE_KG_ENTITIES,
+    "kg_triples": ORACLE_KG_TRIPLES,
+    "kg_aliases": ORACLE_KG_ALIASES,
+    # minhash/simhash/ivf/media/keepers: rows-only (sketch/model semantics
+    # with no SQL counterpart — covered by planted-fixture pytest oracles)
 }
 
 
@@ -318,3 +606,17 @@ def q_stratified_docs(sf_dir: str):
 
 
 ANALYTICS_QUERIES["stratified_docs"] = q_stratified_docs
+
+# rank = sha256('seed|key|id') hex prefix on BOTH sides — the stratified
+# sample is oracle-exact, not merely deterministic
+ORACLE_STRATIFIED_DOCS = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY substr(sha256('2021|' || lang || '|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+ANALYTICS_ORACLE["stratified_docs"] = ORACLE_STRATIFIED_DOCS

@@ -140,7 +140,9 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
     candidate ranking (``label_counter.py:56-68``, T2/A4): entities with
     the same label whose normalized keys have char-3-gram Jaccard ≥
     ``threshold`` become ``(alias_of)`` pairs (smaller entity_id wins as
-    canonical; deterministic).
+    canonical; deterministic). Similarity is emitted as ``jaccard_pm`` =
+    ``(1e6 · |∩|) // |∪|`` — exact integer arithmetic that the DuckDB
+    oracle reproduces bit-for-bit (float ratios would hash-mismatch).
 
     The entity table is orders of magnitude smaller than the corpus, so a
     (label, key-prefix) coarse groupby bounds the pair search; recall is
@@ -173,17 +175,17 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
                     inter = len(grams[x] & grams[y])
                     if not inter:
                         continue
-                    j = inter / len(grams[x] | grams[y])
-                    if j >= threshold:
+                    jpm = (1_000_000 * inter) // len(grams[x] | grams[y])
+                    if jpm >= int(threshold * 1_000_000):
                         ida.append(eids[x])
                         idb.append(eids[y])
-                        sim.append(round(j, 6))
+                        sim.append(jpm)
         metrics.incr("alias_rows_truncated", truncated)
         return pd.DataFrame({"canonical_id": ida, "alias_id": idb,
-                             "jaccard": sim})
+                             "jaccard_pm": sim})
 
     keyed = entities.map_batches(add_bucket, batch_format="pyarrow")
     return coarse_grouped(keyed, ["_bucket"], local, num_buckets=64,
                           out_dtypes={"canonical_id": "string",
                                       "alias_id": "string",
-                                      "jaccard": "float64"})
+                                      "jaccard_pm": "int64"})

@@ -93,15 +93,24 @@ class MentionTagger:
 
     def __init__(self, catalog_pairs: list[tuple[tuple[str, ...], str]] | None = None,
                  cfg: PipelineConfig | None = None, catalog_ref=None,
-                 emit: str = "segments"):
+                 emit: str = "segments", backend: str = "numpy",
+                 device: str = "cpu"):
         """``catalog_pairs`` inline for tests; ``catalog_ref`` a ``ray.put``
-        handle for production (broadcast once, read per actor)."""
+        handle for production (broadcast once, read per actor).
+        ``backend="torch"`` swaps in the torch emission model
+        (:mod:`ccnerx_ray.model.torch_adapter`) — pair it with
+        ``map_batches(…, num_gpus=1)`` and ``device="cuda"`` for the GPU
+        pool; decode semantics are backend-independent."""
         self.cfg = cfg or PipelineConfig()
         if catalog_ref is not None:
             import ray
             catalog_pairs = ray.get(catalog_ref)
         catalog = EntityCatalog.from_pairs(catalog_pairs or [])
-        self.model = TaggerModel(catalog, self.cfg)
+        if backend == "torch":
+            from ccnerx_ray.model.torch_adapter import TorchTaggerModel
+            self.model = TorchTaggerModel(catalog, self.cfg, device=device)
+        else:
+            self.model = TaggerModel(catalog, self.cfg)
         self.emit = emit
         if emit in ("triples", "mentions"):
             from ccnerx_ray.stages.link import LinkScorer
@@ -179,11 +188,15 @@ def explode_mentions(batch: pa.Table) -> pa.Table:
     mention (the classic mentions table, M5 in SURVEY.md §2.3). Uses the
     linked label when the link stage has run."""
     has_link = "linked_labels" in batch.column_names
+    has_cands = "cand_labels" in batch.column_names
     out = {name: [] for name in MENTION_SCHEMA.names}
     if has_link:
         out["linked_label"] = []
         out["link_score"] = []
         out["in_catalog"] = []
+    if has_cands:
+        out["cand_labels"] = []
+        out["n_cands"] = []
     cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
     for i in range(batch.num_rows):
         n = len(cols["starts"][i])
@@ -200,9 +213,15 @@ def explode_mentions(batch: pa.Table) -> pa.Table:
                 out["linked_label"].append(cols["linked_labels"][i][j])
                 out["link_score"].append(cols["link_scores"][i][j])
                 out["in_catalog"].append(cols["in_catalog"][i][j])
+            if has_cands:
+                out["cand_labels"].append(cols["cand_labels"][i][j])
+                out["n_cands"].append(cols["n_cands"][i][j])
     schema = MENTION_SCHEMA
     if has_link:
         schema = schema.append(pa.field("linked_label", pa.string())) \
                        .append(pa.field("link_score", pa.float64())) \
                        .append(pa.field("in_catalog", pa.bool_()))
+    if has_cands:
+        schema = schema.append(pa.field("cand_labels", pa.string())) \
+                       .append(pa.field("n_cands", pa.int32()))
     return pa.Table.from_pydict(out, schema=schema)

@@ -31,8 +31,14 @@ def _actor():
         def reset(self):
             self.counters = {}
 
+    # detached + explicit namespace: non-detached named actors resolve in
+    # the creating job's anonymous namespace, so Data shuffle-reduce tasks
+    # silently got a DIFFERENT actor than the driver (observed). A
+    # detached actor in a fixed namespace is one cluster-wide instance; it
+    # dies with the Ray instance (sessions here are per-process).
     return _MetricsActor.options(name=ACTOR_NAME, get_if_exists=True,
-                                 namespace="ccnerx").remote()
+                                 namespace="ccnerx",
+                                 lifetime="detached").remote()
 
 
 def incr(key: str, n: int = 1) -> None:

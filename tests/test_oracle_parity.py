@@ -53,6 +53,9 @@ def _query_names():
     "embedding_dedup", "supplier_balance_range", "acctbal_histogram",
     "orders_monthly", "economy_parts", "discount_split", "events_props",
     "top_words", "user_sessions", "quantity_stats",
+    "langid", "fingerprint", "stratified_docs",
+    "kg_mentions", "kg_label_dist", "kg_entities", "kg_triples",
+    "kg_aliases",
 ])
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e

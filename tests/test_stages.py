@@ -160,3 +160,29 @@ def test_segmenter_robustness_edge_inputs():
     assert total == 5000
     assert all(len(r["tokens"]) <= CFG.max_seq_length - 2 for r in by_path["c"])
     assert "d" not in by_path  # empty content yields no segments
+
+
+def test_multilabel_link_scoring():
+    """Reference ftloader_v1.py:317-341 semantics: a surface keeps up to
+    max_label_num candidate labels; primary is deterministic
+    (lexicographic first), ambiguity surfaced as cand_labels/n_cands."""
+    amb = CATALOG + [(("parse_foo",), "CLASS")]
+    ls = LinkScorer(catalog_pairs=amb)
+    score, cands, in_cat = ls.link_one("parse_foo", "parse foo", "FUNC")
+    assert (score, cands, in_cat) == (1.0, ["CLASS", "FUNC"], True)
+
+    linked = LinkScorer(catalog_pairs=amb)(tagged_batch())
+    flat = explode_mentions(linked).to_pylist()
+    pf = [r for r in flat if r["surface"] == "parse_foo"]
+    assert pf and all(r["cand_labels"] == "CLASS|FUNC" and r["n_cands"] == 2
+                      and r["linked_label"] == "CLASS" for r in pf)
+    w = [r for r in flat if r["surface"] == "Widget"]
+    assert w and all(r["cand_labels"] == "CLASS" and r["n_cands"] == 1
+                     for r in w)
+
+    # the cap is honored
+    many = amb + [(("parse_foo",), "LIB"), (("parse_foo",), "CONST")]
+    _, capped, _ = LinkScorer(catalog_pairs=many,
+                              max_label_num=3).link_one(
+        "parse_foo", "parse foo", "FUNC")
+    assert capped == ["CLASS", "CONST", "FUNC"]
