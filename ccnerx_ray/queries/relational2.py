@@ -315,3 +315,90 @@ FROM lineitem GROUP BY l_returnflag
 
 RELATIONAL2_QUERIES["quantity_stats"] = q_quantity_stats
 RELATIONAL2_ORACLE["quantity_stats"] = ORACLE_QUANTITY_STATS
+
+
+# --------------------------------------------------------------- as-of join
+def q_click_last_purchase(sf_dir: str):
+    """As-of join (custom operator, ``ops/sketches.py:asof_join``): each
+    click event gets the same user's latest PRIOR purchase value.
+    Oracle: DuckDB's native ASOF JOIN."""
+    import pandas as pd
+
+    from ccnerx_ray.ops.sketches import asof_join
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click") \
+               .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
+                  .select_columns(["user_id", "ts", "value"])
+    joined = asof_join(clicks, purchases, on="ts", by="user_id",
+                       direction="backward")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_ms": (pd.to_datetime(df["ts"]).astype("datetime64[ms]")
+                      .astype("int64")),
+            "purchase_cents": (df["value"] * 100).round().astype("int64"),
+        })
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+ORACLE_CLICK_LAST_PURCHASE = """
+SELECT c.event_id, c.user_id,
+       epoch_ms(c.ts) AS ts_ms,
+       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+RELATIONAL2_QUERIES["click_last_purchase"] = q_click_last_purchase
+RELATIONAL2_ORACLE["click_last_purchase"] = ORACLE_CLICK_LAST_PURCHASE
+
+
+# --------------------------------------------------------------- range join
+PRICE_BANDS = [(900.0, 950.0, "low"), (925.0, 975.0, "mid"),
+               (950.0, 1000.0, "high")]
+
+
+def q_price_bands(sf_dir: str):
+    """Range join (custom operator, ``ops/sketches.py:range_join``): parts
+    into OVERLAPPING price bands (a part can land in two bands), then a
+    per-band count. Oracle: BETWEEN join + group by."""
+    import pandas as pd
+    import ray.data
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+    from ccnerx_ray.ops.sketches import range_join
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    bands = ray.data.from_items(
+        [{"lo": lo, "hi": hi, "band": b} for lo, hi, b in PRICE_BANDS])
+    joined = range_join(parts, bands, "p_retailprice", "lo", "hi",
+                        bucket_width=25.0, num_buckets=8)
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("band", sort=False).size()
+                 .reset_index(name="n_parts"))
+
+    return coarse_grouped(joined.select_columns(["band"]), ["band"], local,
+                          num_buckets=4,
+                          out_dtypes={"band": "string", "n_parts": "int64"})
+
+
+ORACLE_PRICE_BANDS = """
+SELECT band, CAST(count(*) AS BIGINT) AS n_parts
+FROM part JOIN (VALUES (900.0, 950.0, 'low'), (925.0, 975.0, 'mid'),
+                       (950.0, 1000.0, 'high')) AS bands(lo, hi, band)
+  ON p_retailprice BETWEEN lo AND hi
+GROUP BY band
+"""
+
+RELATIONAL2_QUERIES["price_bands"] = q_price_bands
+RELATIONAL2_ORACLE["price_bands"] = ORACLE_PRICE_BANDS
