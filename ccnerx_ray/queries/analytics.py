@@ -527,13 +527,15 @@ g AS (
                      generate_series(1, length(s2) - 2),
                      i -> s2[i:i+2])) END AS grams
   FROM ent
-)
+),
+gg AS (SELECT *, COALESCE(list_min(grams), '') AS ming FROM g)
 SELECT a.entity_id AS canonical_id, b.entity_id AS alias_id,
        CAST((1000000 * len(list_intersect(a.grams, b.grams)))
             // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
            AS jaccard_pm
-FROM g a JOIN g b
-  ON a.label = b.label AND a.c1 = b.c1 AND a.entity_id < b.entity_id
+FROM gg a JOIN gg b
+  ON a.label = b.label AND a.entity_id < b.entity_id
+ AND (a.c1 = b.c1 OR a.ming = b.ming)
 WHERE len(list_intersect(a.grams, b.grams)) > 0
   AND (1000000 * len(list_intersect(a.grams, b.grams)))
       // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000

@@ -144,10 +144,19 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
     ``(1e6 · |∩|) // |∪|`` — exact integer arithmetic that the DuckDB
     oracle reproduces bit-for-bit (float ratios would hash-mismatch).
 
-    The entity table is orders of magnitude smaller than the corpus, so a
-    (label, key-prefix) coarse groupby bounds the pair search; recall is
-    limited to aliases sharing a first character — the documented trade-off
-    (same shape as LSH bucketing)."""
+    The entity table is orders of magnitude smaller than the corpus, so
+    bounded candidate buckets do the pair search. TWO bucket families per
+    entity (a pair is a candidate if it shares EITHER bucket — union
+    recall, still bounded like LSH banding):
+
+    * ``(label, first char of norm_key)`` — prefix family;
+    * ``(label, lexicographic min 3-gram)`` — an identity-hash MinHash
+      band, which catches aliases that differ in their first character
+      (e.g. ``parse foo`` vs ``xparse foo``).
+
+    Both bucket keys are deterministic string functions, so the DuckDB
+    oracle reproduces candidate generation exactly; duplicate pairs from
+    the two families are deduped in a second coarse group."""
     import pandas as pd
 
     from ccnerx_ray.functions.grouping import coarse_grouped
@@ -155,8 +164,12 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column("norm_key").to_pylist()
         labs = batch.column("label").to_pylist()
-        b = [f"{l}|{k[:1]}" for l, k in zip(labs, keys)]
-        return batch.append_column("_bucket", pa.array(b, pa.string()))
+        prefix = [f"{l}|c:{k[:1]}" for l, k in zip(labs, keys)]
+        ming = [f"{l}|g:{min(_char_ngrams(k), default='')}"
+                for l, k in zip(labs, keys)]
+        doubled = pa.concat_tables([batch, batch])
+        return doubled.append_column(
+            "_bucket", pa.array(prefix + ming, pa.string()))
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         from ccnerx_ray.state import metrics
@@ -185,7 +198,17 @@ def alias_pairs(entities, threshold: float = 0.6, max_group: int = 256):
                              "jaccard_pm": sim})
 
     keyed = entities.map_batches(add_bucket, batch_format="pyarrow")
-    return coarse_grouped(keyed, ["_bucket"], local, num_buckets=64,
+    pairs = coarse_grouped(keyed, ["_bucket"], local, num_buckets=64,
+                           out_dtypes={"canonical_id": "string",
+                                       "alias_id": "string",
+                                       "jaccard_pm": "int64"})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["canonical_id", "alias_id"])
+                 .drop_duplicates(subset=["canonical_id", "alias_id"]))
+
+    return coarse_grouped(pairs, ["canonical_id", "alias_id"], dedup,
+                          num_buckets=16,
                           out_dtypes={"canonical_id": "string",
                                       "alias_id": "string",
                                       "jaccard_pm": "int64"})

@@ -396,3 +396,32 @@ def test_media_headers_stage(ray_session):
             assert r["sample_rate"] in (8000, 16000, 44100)
         else:
             assert not r["header_ok"] and r["width"] == -1
+
+
+def test_dup_components_million_nodes_distributed(ray_session):
+    """>1M synthetic nodes through the distributed path with NO driver
+    materialization of pairs (VERDICT r1 #2 'Done' bar): 600k pairs
+    exceed driver_max_pairs, every odd node must label to its even
+    partner; verification is itself distributed (per-batch mismatch
+    counts → sum)."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import dup_components
+
+    def mk(batch):
+        ids = batch["id"]
+        return pa.table({"id_a": pa.array(ids * 2, pa.int64()),
+                         "id_b": pa.array(ids * 2 + 1, pa.int64())})
+
+    pairs = ray.data.range(600_000).map_batches(mk, batch_format="numpy")
+    comp = dup_components(pairs)          # auto-selects distributed path
+
+    def check(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        c = np.asarray(batch.column("component").to_pylist(), dtype=np.int64)
+        return pa.table({"bad": pa.array([int((c != d - (d % 2)).sum())],
+                                         pa.int64()),
+                         "n": pa.array([len(d)], pa.int64())})
+
+    checked = comp.map_batches(check, batch_format="pyarrow").materialize()
+    assert checked.sum("bad") == 0
+    assert checked.sum("n") == 1_200_000

@@ -232,3 +232,21 @@ def test_compact_store_multi_row_group(ray_session, tmp_path):
     got = pq.read_table(os.path.join(dest, "part=0", "compacted-0.parquet"))
     assert got.num_rows == 300
     assert len({s.as_py() for s in got.column("subj")}) == 300
+
+
+def test_alias_pairs_cross_first_char(ray_session):
+    """The min-3-gram bucket family catches aliases whose first chars
+    differ (round-2 recall improvement; the prefix family alone misses
+    this pair)."""
+    import ray.data
+    from ccnerx_ray.stages.canonical import alias_pairs
+
+    rows = [
+        {"entity_id": "e1", "norm_key": "parse foo", "label": "FUNC",
+         "repr_surface": "parse_foo", "n_mentions": 5},
+        {"entity_id": "e2", "norm_key": "xparse foo", "label": "FUNC",
+         "repr_surface": "xparse_foo", "n_mentions": 2},
+    ]
+    pairs = alias_pairs(ray.data.from_items(rows), threshold=0.5).take_all()
+    assert {(p["canonical_id"], p["alias_id"]) for p in pairs} == {("e1", "e2")}
+    assert all(p["jaccard_pm"] == 857142 for p in pairs)  # 6/7 exactly
