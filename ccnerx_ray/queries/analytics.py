@@ -609,6 +609,64 @@ def q_stratified_docs(sf_dir: str):
 
 ANALYTICS_QUERIES["stratified_docs"] = q_stratified_docs
 
+
+def q_prefix_leakage(sf_dir: str):
+    """J5 prefix-containment superset scan (reference ``NER.ipynb`` cell 1
+    checks eval texts against a train superset via ``startswith``; r1
+    approximated it with an exact-key anti-join — this is the real
+    semantics): for each document, how many OTHER documents have this
+    document's text as a prefix (equality counts — exact dups are the
+    common leakage case).
+
+    Scale shape: bucket by FIRST CHARACTER (``startswith`` with a
+    non-empty prefix implies an equal first char — exact for every
+    input, unlike a first-token key which misses single-token prefixes
+    that continue mid-token) → within bucket, sort texts once and
+    binary-search each prefix range (``e ≤ t < e + U+10FFFF``) —
+    O(k log k) per bucket, so even the skewed buckets a 26-way key
+    produces stay cheap; at extreme scale, widen the key to the first
+    token and route single-token docs through a side pass."""
+    import bisect
+
+    import pandas as pd
+
+    def add_first_token(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ft = [(t[:1] if t else "") for t in texts]
+        return batch.append_column("_ft", pa.array(ft, pa.string()))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n = [], []
+        for _, sub in g.groupby("_ft", sort=False):
+            texts = sorted(sub["text"])
+            for did, e in zip(sub["doc_id"], sub["text"]):
+                lo = bisect.bisect_left(texts, e)
+                hi = bisect.bisect_left(texts, e + "\U0010FFFF")
+                n = hi - lo - 1          # minus self
+                if n > 0:
+                    out_id.append(int(did))
+                    out_n.append(n)
+        return pd.DataFrame({"doc_id": out_id, "n_matches": out_n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).filter(lambda r: r["text"] != "")
+    keyed = ds.map_batches(add_first_token, batch_format="pyarrow")
+    from ccnerx_ray.functions.grouping import coarse_grouped
+    return coarse_grouped(keyed, ["_ft"], local, num_buckets=64,
+                          out_dtypes={"doc_id": "int64",
+                                      "n_matches": "int64"})
+
+
+ORACLE_PREFIX_LEAKAGE = """
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM documents e JOIN documents t
+  ON t.doc_id <> e.doc_id AND starts_with(t.text, e.text)
+WHERE e.text <> ''
+GROUP BY e.doc_id
+"""
+
+ANALYTICS_QUERIES["prefix_leakage"] = q_prefix_leakage
+ANALYTICS_ORACLE["prefix_leakage"] = ORACLE_PREFIX_LEAKAGE
+
 # rank = sha256('seed|key|id') hex prefix on BOTH sides — the stratified
 # sample is oracle-exact, not merely deterministic
 ORACLE_STRATIFIED_DOCS = """
