@@ -29,6 +29,16 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_wide(sf_dir: str, columns=None):
+    """documents fanned out for compute-heavy per-batch stages: the sf
+    table is one file / one row group → one read task whose streaming
+    generator trickles blocks and caps downstream parallelism (see
+    corpus_from_documents). Cheap-map queries don't need this."""
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return _docs(sf_dir, columns).repartition(max(16, n))
+
+
 def _emb(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -218,12 +228,13 @@ FROM t
 
 
 def q_minhash_pairs(sf_dir: str):
-    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+    return minhash_dedup_pairs(_docs_wide(sf_dir, ["doc_id", "text"]),
                                threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
-    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=6)
+    return simhash_pairs(_docs_wide(sf_dir, ["doc_id", "text"]),
+                         max_hamming=6)
 
 
 def q_ivf_knn(sf_dir: str):
@@ -299,7 +310,17 @@ def docs_to_corpus(batch: pa.Table) -> pa.Table:
 
 def corpus_from_documents(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
-    return ds.map_batches(docs_to_corpus, batch_format="pyarrow")
+    # the sf documents table ships as ONE parquet file with ONE row group
+    # → one read task, whose streaming block generator trickles blocks and
+    # caps downstream tag parallelism at a couple of in-flight tasks
+    # (measured 3.5s → 1.0s at sf0.1/32cpu). Repartition fans the tiny
+    # table out before the heavy tagger stage; the production corpus path
+    # (pipelines/kg.py:read_corpus) gets parallelism from file count and
+    # does NOT need this.
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ds.repartition(max(16, n)) \
+             .map_batches(docs_to_corpus, batch_format="pyarrow")
 
 
 def q_kg_triples(sf_dir: str):
