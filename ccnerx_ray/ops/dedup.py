@@ -225,6 +225,61 @@ def ngram_jaccard_verify(pairs_rows: list[dict], docs_by_id: dict,
     return out
 
 
+def winnow_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 8, w: int = 4, max_bucket: int | None = None):
+    """Winnowing near-dup pairs (the MOSS candidate-generation shape):
+    explode each document's winnowed fingerprint set
+    (:func:`ccnerx_ray.ops.text.winnow_fingerprints`) → coarse groupby on
+    the fingerprint → all pairs per fingerprint → per-pair count of
+    shared fingerprints. Output: ``(id_a, id_b, n_shared)``; any pair
+    sharing a run of ``k + w - 1`` tokens is guaranteed to appear.
+
+    ``max_bucket=None`` (exact — the oracle-checked configuration); set a
+    cap at production scale (a stop-phrase fingerprint shared by millions
+    of docs would emit O(n²) pairs), counted into ``lsh_rows_truncated``."""
+    from ccnerx_ray.ops.text import winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for fp in winnow_fingerprints(t or "", k, w):
+                ids.append(i)
+                fps.append(fp)
+        return pa.table({id_col: pa.array(ids),
+                         "fp": pa.array(fps, pa.string())})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        from ccnerx_ray.state import metrics
+
+        ida, idb = [], []
+        truncated = 0
+        for _, sub in g.groupby("fp", sort=False):
+            if len(sub) < 2:
+                continue
+            if max_bucket is not None:
+                truncated += max(0, len(sub) - max_bucket)
+                sub = sub.sort_values(id_col).head(max_bucket)
+            ids = np.sort(sub[id_col].to_numpy())
+            for x in range(len(ids) - 1):
+                ida.extend([int(ids[x])] * (len(ids) - 1 - x))
+                idb.extend(int(v) for v in ids[x + 1:])
+        metrics.incr("lsh_rows_truncated", truncated)
+        return pd.DataFrame({"id_a": ida, "id_b": idb})
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["id_a", "id_b"], sort=False).size()
+                 .reset_index(name="n_shared"))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = coarse_grouped(exploded, ["fp"], local, num_buckets=256,
+                           out_dtypes={"id_a": "int64", "id_b": "int64"})
+    return coarse_grouped(pairs, ["id_a", "id_b"], reduce_pairs,
+                          num_buckets=64,
+                          out_dtypes={"id_a": "int64", "id_b": "int64",
+                                      "n_shared": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -135,3 +135,39 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
         fps.append(min(h16(" ".join(toks[i:i + window]))
                        for i in range(len(toks) - window + 1)))
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> list[str]:
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken, the MOSS scheme): hash
+    the k-token shingles, slide a window of ``w`` consecutive shingle
+    hashes, keep each window's minimum — the distinct selected hashes are
+    the document's fingerprint SET (guarantees any shared run of
+    ``k + w - 1`` tokens yields a shared fingerprint). Hashes are
+    16-hex-char sha256 prefixes so the DuckDB oracle reproduces the
+    selection exactly."""
+    import hashlib
+
+    toks = _WS_RE.split(text.strip()) if text and text.strip() else []
+    if not toks:
+        return []
+
+    def h16(s: str) -> str:
+        return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
+
+    if len(toks) <= k:
+        return [h16(" ".join(toks))]
+    sh = [h16(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+    if len(sh) <= w:
+        return [min(sh)]
+    fps = {min(sh[i:i + w]) for i in range(len(sh) - w + 1)}
+    return sorted(fps)
+
+
+def add_winnow_fingerprints(batch: pa.Table, text_col: str = "text",
+                            k: int = 8, w: int = 4) -> pa.Table:
+    """Append ``winnow`` (``list<string>``): the winnowed fingerprint set
+    per document."""
+    vals = [winnow_fingerprints(t or "", k, w)
+            for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("winnow",
+                               pa.array(vals, pa.list_(pa.string())))

@@ -688,6 +688,47 @@ GROUP BY e.doc_id
 ANALYTICS_QUERIES["prefix_leakage"] = q_prefix_leakage
 ANALYTICS_ORACLE["prefix_leakage"] = ORACLE_PREFIX_LEAKAGE
 
+
+def q_winnow_pairs(sf_dir: str):
+    """True-winnowing near-dup candidates (MOSS scheme): pairs of docs
+    sharing ≥1 window-selected shingle hash, with the shared count."""
+    from ccnerx_ray.ops.dedup import winnow_pairs
+    return winnow_pairs(_docs_wide(sf_dir, ["doc_id", "text"]), k=8, w=4)
+
+
+# mirrors ops/text.py:winnow_fingerprints exactly: 8-token shingles →
+# 16-hex sha256 prefixes → min per window of 4 → distinct per doc
+ORACLE_WINNOW_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) <= 8
+         THEN [substr(sha256(array_to_string(toks, ' ')), 1, 16)]
+         ELSE list_transform(generate_series(1, len(toks) - 7),
+              i -> substr(sha256(array_to_string(toks[i:i+7], ' ')), 1, 16))
+    END AS hashes
+  FROM t WHERE toks IS NOT NULL
+), fps AS (
+  SELECT doc_id,
+    CASE WHEN len(hashes) <= 4 THEN [list_min(hashes)]
+         ELSE list_distinct(list_transform(
+              generate_series(1, len(hashes) - 3),
+              i -> list_min(hashes[i:i+3])))
+    END AS fp_set
+  FROM sh
+), u AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["winnow_pairs"] = q_winnow_pairs
+ANALYTICS_ORACLE["winnow_pairs"] = ORACLE_WINNOW_PAIRS
+
 # rank = sha256('seed|key|id') hex prefix on BOTH sides — the stratified
 # sample is oracle-exact, not merely deterministic
 ORACLE_STRATIFIED_DOCS = """

@@ -425,3 +425,40 @@ def test_dup_components_million_nodes_distributed(ray_session):
     checked = comp.map_batches(check, batch_format="pyarrow").materialize()
     assert checked.sum("bad") == 0
     assert checked.sum("n") == 1_200_000
+
+
+def test_embedding_lsh_high_dim(ray_session):
+    """Embeddings wider than 64 dims flow through the LSH scale path (r1
+    ADVICE: hyperplanes were hardcoded 64×n and dim>64 raised)."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(2)
+    V = rng.standard_normal((30, 128))
+    V[9] = V[4] + 0.01 * rng.standard_normal(128)     # planted near-dup
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(30)]
+    pairs = embedding_dup_pairs_lsh(ray.data.from_items(rows),
+                                    threshold=0.95, n_tables=8,
+                                    n_planes=8).take_all()
+    assert any({p["id_a"], p["id_b"]} == {4, 9} for p in pairs)
+
+
+def test_winnow_guarantee_and_pairs(ray_session):
+    """Winnowing guarantee: documents sharing a run of k+w-1 tokens share
+    ≥1 selected fingerprint; unrelated docs share none."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import winnow_pairs
+    from ccnerx_ray.ops.text import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(11))          # k+w-1 = 11
+    a = "xa xb xc " + shared + " ya yb"
+    b = "qa qb " + shared + " zc zd ze"
+    fa, fb = set(winnow_fingerprints(a)), set(winnow_fingerprints(b))
+    assert fa & fb
+
+    rows = [{"doc_id": 0, "text": a}, {"doc_id": 1, "text": b},
+            {"doc_id": 2, "text": " ".join(f"u{i}" for i in range(30))}]
+    pairs = winnow_pairs(ray.data.from_items(rows)).take_all()
+    assert any({p["id_a"], p["id_b"]} == {0, 1} and p["n_shared"] >= 1
+               for p in pairs)
+    assert not any(2 in (p["id_a"], p["id_b"]) for p in pairs)
