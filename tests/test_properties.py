@@ -106,3 +106,81 @@ def test_normalize_surface_idempotent(tokens):
     from ccnerx_ray.functions.tokenize import normalize_surface
     once = normalize_surface(tokens)
     assert normalize_surface(once.split(" ")) == once
+
+
+# ---------------------------------------------------------------------------
+# KG oracle closed form ≡ greedy leftmost-longest scan (property)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccnerx_ray.queries.analytics import TESTDATA_CATALOG
+
+_CAT1 = {s[0]: l for s, l in TESTDATA_CATALOG if len(s) == 1}
+_CAT2 = {tuple(s): l for s, l in TESTDATA_CATALOG if len(s) == 2}
+_ALPHABET = sorted({t for s, _ in TESTDATA_CATALOG for t in s}) + \
+    ["foo", "bar", "x1"]
+
+
+def _greedy(tokens):
+    """The scan the tagger provably implements on catalog-only corpora."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and (tokens[i], tokens[i + 1]) in _CAT2:
+            out.append((i, i + 2, " ".join(tokens[i:i + 2])))
+            i += 2
+        elif tokens[i] in _CAT1:
+            out.append((i, i + 1, tokens[i]))
+            i += 1
+        else:
+            i += 1
+    return out
+
+
+def _closed_form(tokens):
+    """The one-lookback selection rule the SQL oracle encodes
+    (queries/analytics.py:_kg_sql_fragments)."""
+    n = len(tokens)
+    sel2 = [0] * n
+    for i in range(n):
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        prev = tokens[i - 1] if i > 0 else ""
+        pair = (tokens[i], nxt)
+        if pair in _CAT2:
+            guards = [x for (x, c) in _CAT2 if c == tokens[i]]
+            if prev not in guards:
+                sel2[i] = 1
+    out = []
+    for i in range(n):
+        if sel2[i]:
+            out.append((i, i + 2, " ".join(tokens[i:i + 2])))
+        elif tokens[i] in _CAT1 and not (i > 0 and sel2[i - 1]):
+            out.append((i, i + 1, tokens[i]))
+    return sorted(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(_ALPHABET), max_size=24))
+def test_kg_oracle_closed_form_matches_greedy(tokens):
+    assert sorted(_greedy(tokens)) == _closed_form(tokens)
+
+
+def test_kg_sql_fragments_reject_long_chains():
+    """A catalog whose bigram overlap chains exceed length 2 must fail
+    the import-time assertion instead of silently mis-oracling."""
+    import pytest
+
+    from ccnerx_ray.queries import analytics as A
+
+    orig = A.TESTDATA_CATALOG
+    try:
+        # chain a->b, b->c, c->d: ('a','b') pre-empted by ('x','a')? build
+        # explicit 3-chain: (p,q) then (q,r): (q,r) guarded by (p,q); and
+        # (o,p) makes the (p,q) guard itself guarded → chain length 3.
+        A.TESTDATA_CATALOG = [(("o", "p"), "FUNC"), (("p", "q"), "FUNC"),
+                              (("q", "r"), "FUNC")]
+        with pytest.raises(AssertionError):
+            A._kg_sql_fragments()
+    finally:
+        A.TESTDATA_CATALOG = orig
