@@ -42,6 +42,10 @@ def main() -> int:
                     help="input files per resumable chunk")
     ap.add_argument("--no-resume", action="store_true",
                     help="single monolithic run (fresh output dir required)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after a chunked run, compact the store into one "
+                    "file per partition (streaming row-group copy) at "
+                    "<output>_compacted")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; on a cluster leave unset")
     args = ap.parse_args()
@@ -102,6 +106,14 @@ def main() -> int:
                 columns=["subj", "pred", "norm_key", "surface", "label"])
             entities_from_triples(store).write_parquet(ents_path)
             summary["entities_path"] = ents_path
+    if args.compact and not args.no_resume:
+        import shutil
+
+        from ccnerx_ray.io.store import compact_store
+        cpath = args.output.rstrip("/") + "_compacted"
+        shutil.rmtree(cpath, ignore_errors=True)
+        summary["compacted"] = compact_store(args.output, cpath)
+        summary["compacted_path"] = cpath
     summary["wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
     ray.shutdown()
