@@ -402,3 +402,52 @@ GROUP BY band
 
 RELATIONAL2_QUERIES["price_bands"] = q_price_bands
 RELATIONAL2_ORACLE["price_bands"] = ORACLE_PRICE_BANDS
+
+
+# ---------------------------------------------------------- sliding window
+def q_events_sliding(sf_dir: str, window_min: int = 30, step_min: int = 10):
+    """SLIDING-window aggregate (events_hourly is the tumbling case):
+    30-minute windows stepping every 10 minutes — each event lands in
+    window_min/step_min = 3 windows. Ray shape: vectorized flat-map of
+    each event to its window starts (epoch-ms integers), then a coarse
+    grouped count; no ordering assumption, no sort."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    step = step_min * 60 * 1000
+    k = window_min // step_min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        base = (us // 1000) // step * step
+        n = len(base)
+        ws = np.concatenate([base - i * step for i in range(k)])
+        et = batch.column("event_type").to_pylist() * k
+        return pa.table({
+            "window_start_ms": pa.array(ws, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "one": pa.array(np.ones(n * k, dtype=np.int64), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = grouped_reduce(ds.map_batches(explode, batch_format="pyarrow"),
+                         ["window_start_ms", "event_type"], {"one": "sum"},
+                         num_buckets=64)
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["n_events" if c == "one" else c for c in b.column_names]),
+        batch_format="pyarrow")
+
+
+ORACLE_EVENTS_SLIDING = """
+SELECT ws AS window_start_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type,
+         (epoch_ms(ts) // 600000) * 600000
+             - 600000 * unnest(generate_series(0, 2)) AS ws
+  FROM events)
+GROUP BY 1, 2
+"""
+
+RELATIONAL2_QUERIES["events_sliding"] = q_events_sliding
+RELATIONAL2_ORACLE["events_sliding"] = ORACLE_EVENTS_SLIDING
