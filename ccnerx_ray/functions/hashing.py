@@ -50,6 +50,26 @@ def entity_id(norm_key: str) -> str:
     return hashlib.sha256(norm_key.encode("utf-8")).hexdigest()[:16]
 
 
+def sha256_int60(s: str | bytes) -> int:
+    """60-bit integer from the first 15 hex chars of sha256 — the shingle
+    hash domain of the MinHash pipeline. sha256-derived so the DuckDB
+    oracle reproduces it exactly (``('0x' || substr(sha256(x),1,15))::
+    UBIGINT``); 60 bits keeps ``a*h`` inside HUGEINT for the oracle's
+    permutation arithmetic."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int(hashlib.sha256(s).hexdigest()[:15], 16)
+
+
+def sha256_int64(s: str | bytes) -> int:
+    """64-bit integer from the first 16 hex chars of sha256 — the SimHash
+    token-hash domain (DuckDB-reproducible:
+    ``('0x' || substr(sha256(x),1,16))::UBIGINT``)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int(hashlib.sha256(s).hexdigest()[:16], 16)
+
+
 _MINHASH_PRIME = (1 << 61) - 1
 
 

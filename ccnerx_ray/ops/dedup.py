@@ -93,11 +93,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """k-token shingle hashes as 60-bit sha256-derived ints
+    (:func:`~ccnerx_ray.functions.hashing.sha256_int60`) — the choice that
+    makes the whole MinHash+LSH pipeline reproducible by the DuckDB
+    oracle."""
+    from ccnerx_ray.functions.hashing import sha256_int60
+
     toks = text.split()
     if len(toks) < k:
-        return (np.array([stable_hash64(" ".join(toks))], dtype=np.int64)
+        return (np.array([sha256_int60(" ".join(toks))], dtype=np.int64)
                 if toks else np.empty(0, dtype=np.int64))
-    return np.fromiter((stable_hash64(" ".join(toks[i:i + k]))
+    return np.fromiter((sha256_int60(" ".join(toks[i:i + k]))
                         for i in range(len(toks) - k + 1)),
                        dtype=np.int64)
 
@@ -302,12 +308,17 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     width = 64 // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
+        from ccnerx_ray.functions.hashing import sha256_int64
+
         ids = batch.column(id_col).to_pylist()
         ob, oi, of = [], [], []
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
             toks = (t or "").split()
-            th = np.fromiter((stable_hash64(w) for w in toks), dtype=np.int64) \
-                if toks else np.empty(0, dtype=np.int64)
+            # sha256-derived 64-bit token hashes: the whole SimHash
+            # pipeline becomes DuckDB-oracle-reproducible
+            th = np.fromiter((sha256_int64(w) for w in toks),
+                             dtype=np.uint64) \
+                if toks else np.empty(0, dtype=np.uint64)
             fp = simhash64(th)
             fpb = np.array([fp], dtype=np.uint64).tobytes()
             for bidx in range(bands):

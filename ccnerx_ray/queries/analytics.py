@@ -729,6 +729,154 @@ GROUP BY 1, 2
 ANALYTICS_QUERIES["winnow_pairs"] = q_winnow_pairs
 ANALYTICS_ORACLE["winnow_pairs"] = ORACLE_WINNOW_PAIRS
 
+
+def _minhash_oracle(num_perm: int = 64, shingle_k: int = 3,
+                    bands: int = 16, threshold: float = 0.5,
+                    seed: int = 1, max_bucket: int = 64) -> str:
+    """Full MinHash+LSH in SQL, mirroring ``ops/dedup.py`` bit for bit:
+
+    * shingle hashes: 60-bit sha256 prefixes (``sha256_int60``);
+    * permutations: the SAME seeded (a, b) coefficients, injected as
+      literals; the arithmetic replicates numpy's uint64 WRAPAROUND
+      (``(a*h+b) mod 2^64 mod p``) via HUGEINT double-mod;
+    * banding: a candidate pair shares ≥1 exact band of r = P/bands
+      signature components (the Python side hashes the band to a bucket
+      key; equal bands ⇔ equal buckets modulo a ~2^-64 hash collision);
+    * verification: est_jaccard = equal-component fraction (k/64 is a
+      dyadic rational — float-exact on both sides), filtered at
+      ``threshold``."""
+    from ccnerx_ray.functions.hashing import _MINHASH_PRIME, minhash_params
+
+    a, b = minhash_params(num_perm, seed)
+    A = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    B = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    P = _MINHASH_PRIME
+    r = num_perm // bands
+    return rf"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN toks IS NULL THEN CAST([] AS UBIGINT[])
+         WHEN len(toks) < {shingle_k}
+         THEN [('0x' || substr(sha256(array_to_string(toks, ' ')), 1, 15))::UBIGINT]
+         ELSE list_transform(generate_series(1, len(toks) - {shingle_k - 1}),
+              i -> ('0x' || substr(sha256(array_to_string(
+                   toks[i:i+{shingle_k - 1}], ' ')), 1, 15))::UBIGINT)
+    END AS hashes
+  FROM t
+), hx AS (
+  SELECT doc_id, unnest(hashes) AS h FROM sh
+), pv AS (
+  -- row-based min instead of nested list lambdas: ~9x faster in DuckDB
+  SELECT doc_id, i,
+         min(CAST((CAST(({A})[i] AS HUGEINT) * h + ({B})[i])
+                  % 18446744073709551616 % {P} AS BIGINT)) AS v
+  FROM hx, (SELECT unnest(generate_series(1, {num_perm})) AS i) perms
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id, list(v ORDER BY i) AS s FROM pv GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, list_transform(generate_series(1, {num_perm}),
+                                i -> CAST({P} AS BIGINT))
+  FROM sh WHERE len(hashes) = 0
+), bk AS (
+  SELECT doc_id, s, bi, band_key,
+         row_number() OVER (PARTITION BY bi, band_key
+                            ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, s, bi,
+           array_to_string(s[bi*{r}+1 : bi*{r}+{r}], ',') AS band_key
+    FROM (SELECT doc_id, s, unnest(generate_series(0, {bands - 1})) AS bi
+          FROM sig))
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(generate_series(1, {num_perm}),
+                       i -> a.s[i] = b.s[i])) / {num_perm}.0 AS est_jaccard
+FROM bk a JOIN bk b
+  ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ AND a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+WHERE len(list_filter(generate_series(1, {num_perm}),
+                      i -> a.s[i] = b.s[i])) / {num_perm}.0 >= {threshold}
+"""
+
+
+ANALYTICS_ORACLE["minhash_pairs"] = _minhash_oracle()
+
+
+def _simhash_oracle(max_hamming: int = 6, max_bucket: int = 64) -> str:
+    """Full SimHash in SQL, mirroring ``ops/dedup.py:simhash_pairs``:
+    sha256-derived 64-bit token hashes, per-bit ±1 votes, fingerprint =
+    bits with positive vote, ``max_hamming+1`` disjoint bands of
+    ``64 // bands`` bits (equal bands ⇔ equal Python bucket keys modulo a
+    ~2^-64 hash collision), exact popcount verify — INCLUDING the
+    ``max_bucket`` cap (both sides keep only the ``max_bucket``
+    smallest-id members of each band bucket; caught live when the sf0.01
+    gate flagged one truncated pair and the ``lsh_rows_truncated``
+    metric confirmed 55 dropped rows)."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    return rf"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t WHERE toks IS NOT NULL)
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(sum(CASE WHEN vote > 0
+                           THEN CAST(1 AS HUGEINT) << b
+                           ELSE CAST(0 AS HUGEINT) END),
+                       0) AS UBIGINT) AS f
+  FROM bits GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS UBIGINT) FROM t WHERE toks IS NULL
+), bands AS (
+  SELECT doc_id, f, bi, key,
+         row_number() OVER (PARTITION BY bi, key ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, f, bi, (f >> (bi * {width})) & {(1 << width) - 1} AS key
+    FROM (SELECT doc_id, f, unnest(generate_series(0, {bands - 1})) AS bi
+          FROM fp))
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id
+ AND a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
+ANALYTICS_ORACLE["simhash_pairs"] = _simhash_oracle()
+
+# connected components over the (SQL-reproducible) MinHash pair set:
+# recursive transitive closure, component = min reachable id — the same
+# semantics as ops/dedup.py:dup_components
+ANALYTICS_ORACLE["minhash_dedup_keepers"] = f"""
+WITH RECURSIVE mh AS (
+  SELECT * FROM ({_minhash_oracle()})
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM mh
+          UNION ALL SELECT id_b, id_a FROM mh),
+walk(node, reach) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
 # rank = sha256('seed|key|id') hex prefix on BOTH sides — the stratified
 # sample is oracle-exact, not merely deterministic
 ORACLE_STRATIFIED_DOCS = """
