@@ -244,6 +244,17 @@ def q_ivf_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ivf_knn_full(sf_dir: str):
+    """IVF with nprobe = n_centroids probes EVERY cluster, so the result
+    must equal exact brute-force KNN — an invariant that oracle-checks
+    the whole IVF machinery (driver k-means quantizer, probe routing,
+    per-block top-k, merge tie-breaks) against the exact-KNN SQL."""
+    Q, qids = _query_matrix(sf_dir)
+    out = ivf_knn(_emb(sf_dir), Q, query_ids=qids, k=10,
+                  n_centroids=8, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing over a deterministic synthetic media table
     (size scaled loosely by the sf dir name)."""
@@ -574,6 +585,7 @@ ANALYTICS_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ivf_knn": q_ivf_knn,
+    "ivf_knn_full": q_ivf_knn_full,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "kg_triples": q_kg_triples,
@@ -590,6 +602,7 @@ ANALYTICS_ORACLE = {
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "langid": ORACLE_LANGID,
     "fingerprint": ORACLE_FINGERPRINT,
+    "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "kg_mentions": ORACLE_KG_MENTIONS,
     "kg_label_dist": ORACLE_KG_LABEL_DIST,
     "kg_entities": ORACLE_KG_ENTITIES,

@@ -55,7 +55,7 @@ def _query_names():
     "top_words", "user_sessions", "quantity_stats",
     "langid", "fingerprint", "stratified_docs",
     "kg_mentions", "kg_label_dist", "kg_entities", "kg_triples",
-    "kg_aliases", "click_last_purchase", "price_bands", "prefix_leakage", "winnow_pairs", "events_sliding", "minhash_pairs", "simhash_pairs", "minhash_dedup_keepers",
+    "kg_aliases", "click_last_purchase", "price_bands", "prefix_leakage", "winnow_pairs", "events_sliding", "minhash_pairs", "simhash_pairs", "minhash_dedup_keepers", "ivf_knn_full",
 ])
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
