@@ -537,6 +537,7 @@ def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
                              "changed": (agg.to_numpy() < old.to_numpy())
                              .astype(np.int64)})
 
+    changed = 0
     for _ in range(max_rounds):
         both = edges_t.union(
             labels.map_batches(as_label_rows, batch_format="pyarrow"))
@@ -548,6 +549,13 @@ def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels.select_columns(["node", "label"]).materialize()
         if not changed:
             break
+    if changed:
+        # a component with diameter > max_rounds did not converge; count
+        # it rather than silently emitting partial components (dup
+        # clusters are near-cliques, so this fires only on pathological
+        # chain graphs — raise max_rounds there)
+        from ccnerx_ray.state import metrics
+        metrics.incr("components_unconverged_labels", int(changed))
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow")

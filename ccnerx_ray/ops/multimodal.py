@@ -78,6 +78,25 @@ def parse_png_header(payload: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def parse_gif_header(payload: bytes) -> tuple[int, int] | None:
+    """GIF87a/GIF89a logical-screen descriptor → (width, height);
+    little-endian uint16 at bytes 6..10 (GIF spec §17-18)."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return int(w), int(h)
+
+
+def make_gif(width: int, height: int, seed: int = 0,
+             body_bytes: int = 64) -> bytes:
+    """A structurally valid GIF89a prefix (header + logical screen
+    descriptor) over noise body — real header, fake pixel data."""
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, size=body_bytes, dtype=np.uint8).tobytes()
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\xf7\x00\x00" + body + b"\x3b")
+
+
 def parse_wav_header(payload: bytes) -> dict | None:
     """RIFF/WAVE chunk walk → sample_rate / channels / bit depth /
     duration_ms (data bytes ÷ byte rate); None when not a WAV."""
@@ -117,9 +136,9 @@ def probe_media_headers(batch: pa.Table) -> pa.Table:
         payload = payload or b""
         w = h = sr = ch = bits = dur = -1
         ok = False
-        png = parse_png_header(payload)
-        if png is not None:
-            w, h = png
+        img = parse_png_header(payload) or parse_gif_header(payload)
+        if img is not None:
+            w, h = img
             ok = True
         else:
             wav = parse_wav_header(payload)
@@ -253,7 +272,11 @@ def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = int(rng.integers(8, 256)), int(rng.integers(8, 256))
-            payload = make_png(w, h, seed=seed * 100003 + i)
+            # alternate real container formats: PNG and GIF
+            if (i // 3) % 2:
+                payload = make_gif(w, h, seed=seed * 100003 + i)
+            else:
+                payload = make_png(w, h, seed=seed * 100003 + i)
             dur = -1
         elif kind == "audio":
             sr = int(rng.choice([8000, 16000, 44100]))

@@ -462,3 +462,9 @@ def test_winnow_guarantee_and_pairs(ray_session):
     assert any({p["id_a"], p["id_b"]} == {0, 1} and p["n_shared"] >= 1
                for p in pairs)
     assert not any(2 in (p["id_a"], p["id_b"]) for p in pairs)
+
+
+def test_gif_header_parse():
+    from ccnerx_ray.ops.multimodal import make_gif, parse_gif_header
+    assert parse_gif_header(make_gif(320, 200)) == (320, 200)
+    assert parse_gif_header(b"GIF00a" + b"\x00" * 8) is None
