@@ -56,15 +56,24 @@ def _consume(res) -> int:
     return 0
 
 
-def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
+def run_queries(sf_dir: str, names: list[str],
+                reps: int = 2) -> dict[str, float]:
+    """Each query runs ``reps`` times; the reported time is the best —
+    steady-state on a warm cluster, the same protocol as the scaling
+    legs (this shared box shows uniform ~2x swings under external load;
+    single-shot walls would alias that noise into the bench)."""
     import __ray_entry__ as e
     qs = e.queries()
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        n = _consume(qs[name](sf_dir))
-        out[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        walls, n = [], 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = _consume(qs[name](sf_dir))
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
+        print(f"# {name}: {walls} -> {out[name]}s ({n} rows)",
+              file=sys.stderr)
     return out
 
 
