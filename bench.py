@@ -156,16 +156,30 @@ def _burn(dur: float) -> float:
     return n / (time.time() - t0)
 
 
-def _percore_rate_ratio(lo: int, hi: int) -> float:
-    """Pure-python per-core throughput at lo-busy vs hi-busy occupancy."""
+def _percore_rate_ratio(lo: int, hi: int, pin_to: int = 0) -> float:
+    """Pure-python per-core throughput at lo-busy vs hi-busy occupancy.
+    With ``pin_to`` set, the lo-measurement runs alongside ``pin_to - lo``
+    burner processes (the same occupancy pinning the scaling legs use) —
+    so the returned ratio MEASURES whether the pin actually equalized
+    per-core conditions (≈1.0 when it worked) instead of assuming it."""
     import multiprocessing as mp
 
-    def rate(nproc: int) -> float:
-        with mp.Pool(nproc) as p:
-            rates = p.map(_burn, [2.0] * nproc)
+    def rate(nproc: int, extra_burners: int = 0) -> float:
+        burners = [mp.Process(target=_burn_forever, daemon=True)
+                   for _ in range(extra_burners)]
+        for bp in burners:
+            bp.start()
+        try:
+            with mp.Pool(nproc) as p:
+                rates = p.map(_burn, [2.0] * nproc)
+        finally:
+            for bp in burners:
+                bp.terminate()
+            for bp in burners:
+                bp.join()
         return sum(rates) / len(rates)
 
-    return rate(lo) / rate(hi)
+    return rate(lo, max(0, pin_to - lo)) / rate(hi)
 
 
 def _burn_forever() -> None:  # pragma: no cover - killed externally
@@ -227,9 +241,11 @@ def scaling() -> None:
     lo, hi = min(legs), max(legs)
     thr8, thr32 = legs[lo]["docs_per_s"], legs[hi]["docs_per_s"]
     eff = (thr32 / thr8) / (hi / lo)
-    # transparency companion to the pinning: pure-python per-core rate at
-    # lo-busy vs hi-busy occupancy (≈1.0 when pinning is on)
-    ratio = _percore_rate_ratio(lo, hi) if not pin else 1.0
+    # pin validation: MEASURE the per-core rate ratio under the same
+    # conditions each leg ran in (pinned lo-leg vs bare hi-leg). ≈1.0
+    # proves the pin equalized clocks; a ratio >1 would mean the burners
+    # failed (e.g. cgroup caps) and raw eff is still confounded.
+    ratio = _percore_rate_ratio(lo, hi, pin_to=hi if pin else 0)
     eff_norm = eff * ratio
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",

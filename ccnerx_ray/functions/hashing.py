@@ -50,6 +50,16 @@ def entity_id(norm_key: str) -> str:
     return hashlib.sha256(norm_key.encode("utf-8")).hexdigest()[:16]
 
 
+def sha256_hex16(s: str | bytes) -> str:
+    """16-hex-char sha256 prefix — the oracle-critical contract shared by
+    fingerprinting, winnowing and stratified-rank keys; the DuckDB mirror
+    is ``substr(sha256(x), 1, 16)``. Keep every Python user on this ONE
+    helper so the Python/SQL pairing can't drift."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return hashlib.sha256(s).hexdigest()[:16]
+
+
 def sha256_int60(s: str | bytes) -> int:
     """60-bit integer from the first 15 hex chars of sha256 — the shingle
     hash domain of the MinHash pipeline. sha256-derived so the DuckDB

@@ -261,11 +261,22 @@ def compact_store(store_dir: str, out_dir: str,
                     rows += t.num_rows
         return rows
 
+    # carry num_partitions from the source store's lineage: without it a
+    # compacted store's lookup modulus would fall back to counting
+    # non-empty part= dirs (the very under-count bug lookup_subject fixes)
+    src_lin = os.path.join(roots[0], LINEAGE_DIR, "_summary.json")
+    src_np = None
+    if os.path.isfile(src_lin):
+        with open(src_lin) as fh:
+            src_np = json.load(fh).get("num_partitions")
+
     t0 = time.time()
     rows = ray.get([compact_one.remote(p, fs, tmp)
                     for p, fs in sorted(parts.items())])
-    summary = write_lineage(tmp, time.time() - t0,
-                            {"compacted_from": len(roots)})
+    extra = {"compacted_from": len(roots)}
+    if num_partitions or src_np:
+        extra["num_partitions"] = num_partitions or src_np
+    summary = write_lineage(tmp, time.time() - t0, extra)
     os.rename(tmp, out_dir)
     summary["rows_check"] = sum(rows)
     return summary

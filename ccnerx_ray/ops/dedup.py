@@ -252,7 +252,10 @@ def winnow_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             for fp in winnow_fingerprints(t or "", k, w):
                 ids.append(i)
                 fps.append(fp)
-        return pa.table({id_col: pa.array(ids),
+        # explicit id type: an all-empty batch would otherwise emit a
+        # null-typed column and poison downstream schema unification
+        return pa.table({id_col: pa.array(ids,
+                                          batch.schema.field(id_col).type),
                          "fp": pa.array(fps, pa.string())})
 
     def local(g: pd.DataFrame) -> pd.DataFrame:

@@ -39,17 +39,16 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
     ``hash``), and reproducible by the DuckDB oracle
     (``substr(sha256(concat(...)), 1, 16)`` ordering). The pattern a
     training-data pipeline uses for class-balanced subsets."""
-    import hashlib
-
     import pandas as pd
     import pyarrow as pa
 
     from ccnerx_ray.functions.grouping import coarse_grouped
+    from ccnerx_ray.functions.hashing import sha256_hex16
 
     def add_rank_key(batch: pa.Table) -> pa.Table:
         ks = batch.column(key_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        h = [hashlib.sha256(f"{seed}|{k}|{i}".encode()).hexdigest()[:16]
+        h = [sha256_hex16(f"{seed}|{k}|{i}")
              for k, i in zip(ks, ids)]
         return batch.append_column("_rk", pa.array(h, pa.string()))
 

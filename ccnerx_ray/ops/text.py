@@ -117,10 +117,7 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     reproducible in the DuckDB oracle (``substr(sha256(x), 1, 16)``) —
     which is why this uses sha256 rather than blake2b
     (:func:`~ccnerx_ray.functions.hashing.stable_hash64`)."""
-    import hashlib
-
-    def h16(s: str) -> str:
-        return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
+    from ccnerx_ray.functions.hashing import sha256_hex16 as h16
 
     texts = batch.column(text_col).to_pylist()
     fps = []
@@ -145,14 +142,11 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> list[str]:
     ``k + w - 1`` tokens yields a shared fingerprint). Hashes are
     16-hex-char sha256 prefixes so the DuckDB oracle reproduces the
     selection exactly."""
-    import hashlib
+    from ccnerx_ray.functions.hashing import sha256_hex16 as h16
 
     toks = _WS_RE.split(text.strip()) if text and text.strip() else []
     if not toks:
         return []
-
-    def h16(s: str) -> str:
-        return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
 
     if len(toks) <= k:
         return [h16(" ".join(toks))]

@@ -560,14 +560,21 @@ g AS (
                      i -> s2[i:i+2])) END AS grams
   FROM ent
 ),
-gg AS (SELECT *, COALESCE(list_min(grams), '') AS ming FROM g)
+gg AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY label, c1
+                            ORDER BY entity_id) AS rnc,
+         row_number() OVER (PARTITION BY label, ming
+                            ORDER BY entity_id) AS rng
+  FROM (SELECT *, COALESCE(list_min(grams), '') AS ming FROM g))
 SELECT a.entity_id AS canonical_id, b.entity_id AS alias_id,
        CAST((1000000 * len(list_intersect(a.grams, b.grams)))
             // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
            AS jaccard_pm
 FROM gg a JOIN gg b
   ON a.label = b.label AND a.entity_id < b.entity_id
- AND (a.c1 = b.c1 OR a.ming = b.ming)
+ AND ((a.c1 = b.c1 AND a.rnc <= 256 AND b.rnc <= 256)
+   OR (a.ming = b.ming AND a.rng <= 256 AND b.rng <= 256))
 WHERE len(list_intersect(a.grams, b.grams)) > 0
   AND (1000000 * len(list_intersect(a.grams, b.grams)))
       // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000

@@ -342,7 +342,11 @@ def q_click_last_purchase(sf_dir: str):
             "user_id": df["user_id"].astype("int64"),
             "ts_ms": (pd.to_datetime(df["ts"]).astype("datetime64[ms]")
                       .astype("int64")),
-            "purchase_cents": (df["value"] * 100).round().astype("int64"),
+            # floor(x+0.5) = half-up on both sides; pandas .round() is
+            # half-to-even while DuckDB round() is half-away — an exact
+            # .5 product would diverge
+            "purchase_cents": np.floor(df["value"].to_numpy() * 100 + 0.5)
+                                .astype("int64"),
         })
 
     return joined.map_batches(finalize, batch_format="pandas")
@@ -351,7 +355,7 @@ def q_click_last_purchase(sf_dir: str):
 ORACLE_CLICK_LAST_PURCHASE = """
 SELECT c.event_id, c.user_id,
        epoch_ms(c.ts) AS ts_ms,
-       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+       CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT user_id, ts, value FROM events
            WHERE event_type = 'purchase') p

@@ -7,6 +7,14 @@ zero-CPU counter actor collects increments from any worker;
 (``io/store.py:write_lineage``). Fire-and-forget ``.remote`` increments
 keep the hot path free of round-trips — truncation is the rare case, so
 the actor sees traffic only when a cap actually bites.
+
+SEMANTICS — counters are SESSION-CUMULATIVE, BEST-EFFORT SIGNALS, not
+exact per-dataset accounting: Dataset re-execution / task retries /
+repeated query runs re-fire the increments (over-count), and a snapshot
+taken immediately after a job can race still-in-flight sends
+(under-count). Their job is to make a nonzero drop VISIBLE, never to be
+arithmetic inputs. Call :func:`reset` at the start of a run whose
+lineage should reflect only that run (``jobs/kg_job.py`` does).
 """
 
 from __future__ import annotations

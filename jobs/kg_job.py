@@ -61,6 +61,11 @@ def main() -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    # lineage counters should reflect THIS run only (metrics are
+    # session-cumulative otherwise; see state/metrics.py semantics)
+    from ccnerx_ray.state import metrics as _metrics
+    _metrics.reset()
+
     from ccnerx_ray.config import PipelineConfig
     from ccnerx_ray.io.store import run_resumable
     from ccnerx_ray.pipelines.kg import run_kg

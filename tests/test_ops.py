@@ -293,11 +293,13 @@ def test_simhash_default_bands_cover_radius(ray_session):
     pigeonhole-guaranteed a shared band (the r1 ADVICE recall gap: the old
     bands=4 default only guaranteed hamming ≤ 3)."""
     import ray.data
-    from ccnerx_ray.functions.hashing import simhash64, stable_hash64
+    from ccnerx_ray.functions.hashing import sha256_int64, simhash64
 
     def fp(text: str) -> int:
-        th = np.fromiter((stable_hash64(w) for w in text.split()),
-                         dtype=np.int64)
+        # must use the pipeline's token hash (sha256_int64) or the planted
+        # distance is not the distance simhash_pairs actually sees
+        th = np.fromiter((sha256_int64(w) for w in text.split()),
+                         dtype=np.uint64)
         return simhash64(th)
 
     base = " ".join(f"tok{i}" for i in range(64))

@@ -250,3 +250,24 @@ def test_alias_pairs_cross_first_char(ray_session):
     pairs = alias_pairs(ray.data.from_items(rows), threshold=0.5).take_all()
     assert {(p["canonical_id"], p["alias_id"]) for p in pairs} == {("e1", "e2")}
     assert all(p["jaccard_pm"] == 857142 for p in pairs)  # 6/7 exactly
+
+
+def test_compacted_store_lookup_inherits_partitions(ray_session, tmp_path):
+    """compact_store must carry num_partitions into the compacted
+    lineage: counting non-empty part= dirs there would shift the lookup
+    modulus exactly like the pre-round-2 bug (code-review finding)."""
+    import ray.data
+    from ccnerx_ray.io.store import (compact_store, lookup_subject,
+                                     write_triple_store)
+
+    triples = ray.data.from_items([
+        {"subj": "s1", "pred": "p", "obj": "o1"},
+        {"subj": "s2", "pred": "p", "obj": "o2"},
+    ])
+    src = str(tmp_path / "sparse16")
+    write_triple_store(triples, src, num_partitions=16)
+    dest = str(tmp_path / "sparse16_c")
+    summary = compact_store(src, dest)
+    assert summary["num_partitions"] == 16
+    assert lookup_subject(dest, "s1")[0]["obj"] == "o1"
+    assert lookup_subject(dest, "s2")[0]["obj"] == "o2"
