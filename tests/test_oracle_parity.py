@@ -45,18 +45,14 @@ def _query_names():
     return sorted(e.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "lineitem_agg", "orders_topk", "customers_by_region",
-    "revenue_by_segment", "distinct_flags", "union_shipdate",
-    "customers_without_orders", "events_hourly", "top_parts_per_brand",
-    "building_orders", "token_stats", "quality", "exact_dedup", "knn",
-    "embedding_dedup", "supplier_balance_range", "acctbal_histogram",
-    "orders_monthly", "economy_parts", "discount_split", "events_props",
-    "top_words", "user_sessions", "quantity_stats",
-    "langid", "fingerprint", "stratified_docs",
-    "kg_mentions", "kg_label_dist", "kg_entities", "kg_triples",
-    "kg_aliases", "click_last_purchase", "price_bands", "prefix_leakage", "winnow_pairs", "events_sliding", "minhash_pairs", "simhash_pairs", "minhash_dedup_keepers", "ivf_knn_full",
-])
+def _oracle_names():
+    """Parametrize straight from the registry: a new oracle is parity-
+    tested automatically, and a renamed one can't silently drop out."""
+    from ccnerx_ray.queries import all_oracles
+    return sorted(all_oracles())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
     qs, os_ = e.queries(), e.oracle_sql()
