@@ -46,8 +46,9 @@ def stable_hash64_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 def entity_id(norm_key: str) -> str:
     """Deterministic canonical-entity id: first 16 hex chars of sha256 of
-    the normalized surface key."""
-    return hashlib.sha256(norm_key.encode("utf-8")).hexdigest()[:16]
+    the normalized surface key (the :func:`sha256_hex16` contract — the
+    KG oracles recompute it as ``substr(sha256(norm_key), 1, 16)``)."""
+    return sha256_hex16(norm_key)
 
 
 def sha256_hex16(s: str | bytes) -> str:

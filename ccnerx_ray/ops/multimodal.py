@@ -117,7 +117,10 @@ def parse_wav_header(payload: bytes) -> dict | None:
     if fmt is None:
         return None
     ch, sr, br, bits = fmt
-    dur = int(data_size * 1000 // br) if (data_size and br) else -1
+    # data_size == 0 is a VALID empty data chunk (0 ms), distinct from a
+    # missing data chunk (data_size is None → unknown duration)
+    dur = (int(data_size * 1000 // br)
+           if (data_size is not None and br) else -1)
     return {"sample_rate": sr, "n_channels": ch,
             "bits_per_sample": bits, "duration_ms": dur}
 
@@ -270,11 +273,14 @@ def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        mime = {"image": "image/png", "audio": "audio/wav",
+                "video": "video/mp4"}[kind]
         if kind == "image":
             w, h = int(rng.integers(8, 256)), int(rng.integers(8, 256))
             # alternate real container formats: PNG and GIF
             if (i // 3) % 2:
                 payload = make_gif(w, h, seed=seed * 100003 + i)
+                mime = "image/gif"
             else:
                 payload = make_png(w, h, seed=seed * 100003 + i)
             dur = -1
@@ -290,9 +296,7 @@ def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
             w = h = -1
             dur = int(rng.integers(1000, 10000))
         rows.append({
-            "media_id": i, "kind": kind, "payload": payload,
-            "mime": {"image": "image/png", "audio": "audio/wav",
-                     "video": "video/mp4"}[kind],
+            "media_id": i, "kind": kind, "payload": payload, "mime": mime,
             "width": w, "height": h, "duration_ms": dur,
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

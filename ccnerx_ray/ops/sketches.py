@@ -77,8 +77,10 @@ def asof_join(left, right, on: str, by: str | None = None,
 
     from ccnerx_ray.functions.grouping import coarse_grouped
 
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    # .names works for Arrow AND pandas block schemas (base_schema field
+    # iteration breaks when an upstream map_groups produced pandas blocks)
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
 
     def tag(side):
         def fn(batch: _pa.Table) -> _pa.Table:
@@ -127,8 +129,8 @@ def range_join(points, intervals, point_col: str, start_col: str,
 
     from ccnerx_ray.functions.grouping import coarse_grouped
 
-    pcols = [f.name for f in points.schema().base_schema]
-    icols = [f.name for f in intervals.schema().base_schema]
+    pcols = list(points.schema().names)
+    icols = list(intervals.schema().names)
 
     def point_rows(batch: _pa.Table) -> _pa.Table:
         vals = np.asarray(batch.column(point_col).to_pylist(), dtype=np.float64)

@@ -29,14 +29,23 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _docs_wide(sf_dir: str, columns=None):
-    """documents fanned out for compute-heavy per-batch stages: the sf
-    table is one file / one row group → one read task whose streaming
-    generator trickles blocks and caps downstream parallelism (see
-    corpus_from_documents). Cheap-map queries don't need this."""
+def _fan_out(ds):
+    """Repartition a TINY single-file dataset across the cluster before a
+    compute-heavy stage: the sf tables ship as one parquet file with one
+    row group, so the lone read task's streaming block generator trickles
+    blocks and caps downstream parallelism at a couple of in-flight tasks
+    (measured 3.5s → 1.0s at sf0.1/32cpu). The production corpus path
+    (pipelines/kg.py:read_corpus) gets parallelism from file count and
+    must NOT do this."""
     import ray
     n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return _docs(sf_dir, columns).repartition(max(16, n))
+    return ds.repartition(max(16, n))
+
+
+def _docs_wide(sf_dir: str, columns=None):
+    """documents fanned out for compute-heavy per-batch stages; cheap-map
+    queries read plain ``_docs``."""
+    return _fan_out(_docs(sf_dir, columns))
 
 
 def _emb(sf_dir: str):
@@ -52,12 +61,16 @@ def q_token_stats(sf_dir: str):
 
 
 ORACLE_TOKEN_STATS = r"""
-SELECT doc_id,
-  CASE WHEN trim(text)='' THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-  CASE WHEN trim(text)='' THEN 0
-       ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq_tokens
-FROM documents
+WITH t AS (
+  -- filtered regex split of the RAW text == Python split() of the
+  -- stripped text for ALL whitespace (DuckDB trim() strips spaces only)
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_uniq_tokens
+FROM t
 """
 
 
@@ -71,8 +84,10 @@ def q_quality(sf_dir: str):
 ORACLE_QUALITY = rf"""
 WITH t AS (
   SELECT doc_id, text,
-    CASE WHEN trim(text)='' THEN NULL
-         ELSE string_split_regex(trim(text), '\s+') END AS toks
+    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                              w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
   FROM documents
 ), m AS (
   SELECT doc_id, text, toks,
@@ -180,8 +195,10 @@ def _langid_oracle() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN NULL
-         ELSE list_transform(string_split_regex(trim(text), '\s+'),
+    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_transform(list_filter(string_split_regex(text, '\s+'),
+                                         w -> w <> ''),
                              w -> lower(w)) END AS low
   FROM documents
 ), h AS (
@@ -213,8 +230,10 @@ def q_fingerprint(sf_dir: str):
 # (same definition as ops/text.py add_fingerprint)
 ORACLE_FINGERPRINT = r"""
 WITH t AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
-         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -320,18 +339,8 @@ def docs_to_corpus(batch: pa.Table) -> pa.Table:
 
 
 def corpus_from_documents(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
-    # the sf documents table ships as ONE parquet file with ONE row group
-    # → one read task, whose streaming block generator trickles blocks and
-    # caps downstream tag parallelism at a couple of in-flight tasks
-    # (measured 3.5s → 1.0s at sf0.1/32cpu). Repartition fans the tiny
-    # table out before the heavy tagger stage; the production corpus path
-    # (pipelines/kg.py:read_corpus) gets parallelism from file count and
-    # does NOT need this.
-    import ray
-    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return ds.repartition(max(16, n)) \
-             .map_batches(docs_to_corpus, batch_format="pyarrow")
+    ds = _fan_out(_docs(sf_dir, ["doc_id", "text", "lang", "source"]))
+    return ds.map_batches(docs_to_corpus, batch_format="pyarrow")
 
 
 def q_kg_triples(sf_dir: str):
@@ -663,8 +672,10 @@ def q_prefix_leakage(sf_dir: str):
     non-empty prefix implies an equal first char — exact for every
     input, unlike a first-token key which misses single-token prefixes
     that continue mid-token) → within bucket, sort texts once and
-    binary-search each prefix range (``e ≤ t < e + U+10FFFF``) —
-    O(k log k) per bucket, so even the skewed buckets a 26-way key
+    binary-search each prefix range (lower bound by ``bisect``, upper
+    bound by a predicate binary search on ``startswith`` — a sentinel
+    like ``e + U+10FFFF`` would miss texts whose next char IS U+10FFFF)
+    — O(k log k) per bucket, so even the skewed buckets a 26-way key
     produces stay cheap; at extreme scale, widen the key to the first
     token and route single-token docs through a side pass."""
     import bisect
@@ -682,8 +693,14 @@ def q_prefix_leakage(sf_dir: str):
             texts = sorted(sub["text"])
             for did, e in zip(sub["doc_id"], sub["text"]):
                 lo = bisect.bisect_left(texts, e)
-                hi = bisect.bisect_left(texts, e + "\U0010FFFF")
-                n = hi - lo - 1          # minus self
+                a, b = lo, len(texts)    # first non-prefix index ≥ lo
+                while a < b:
+                    m = (a + b) // 2
+                    if texts[m].startswith(e):
+                        a = m + 1
+                    else:
+                        b = m
+                n = a - lo - 1           # minus self
                 if n > 0:
                     out_id.append(int(did))
                     out_n.append(n)
@@ -720,8 +737,10 @@ def q_winnow_pairs(sf_dir: str):
 # 16-hex sha256 prefixes → min per window of 4 → distinct per doc
 ORACLE_WINNOW_PAIRS = r"""
 WITH t AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
-         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -774,8 +793,10 @@ def _minhash_oracle(num_perm: int = 64, shingle_k: int = 3,
     r = num_perm // bands
     return rf"""
 WITH t AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
-         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -840,8 +861,10 @@ def _simhash_oracle(max_hamming: int = 6, max_bucket: int = 64) -> str:
     width = 64 // bands
     return rf"""
 WITH t AS (
-  SELECT doc_id, CASE WHEN trim(text) = '' THEN NULL
-         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS h

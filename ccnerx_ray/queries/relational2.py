@@ -326,12 +326,20 @@ def q_click_last_purchase(sf_dir: str):
 
     from ccnerx_ray.ops.sketches import asof_join
 
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
     ev = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
     clicks = ev.filter(lambda r: r["event_type"] == "click") \
                .select_columns(["event_id", "user_id", "ts"])
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
-                  .select_columns(["user_id", "ts", "value"])
+    # collapse same-timestamp purchases to max(value) BEFORE the as-of:
+    # with ties on the on-key, merge_asof picks the last row in block
+    # order and DuckDB ASOF picks its own arbitrary row — aggregating
+    # first makes both sides deterministic and identical
+    purchases = grouped_reduce(
+        ev.filter(lambda r: r["event_type"] == "purchase")
+          .select_columns(["user_id", "ts", "value"]),
+        ["user_id", "ts"], {"value": "max"}, num_buckets=32)
     joined = asof_join(clicks, purchases, on="ts", by="user_id",
                        direction="backward")
 
@@ -357,8 +365,8 @@ SELECT c.event_id, c.user_id,
        epoch_ms(c.ts) AS ts_ms,
        CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF JOIN (SELECT user_id, ts, value FROM events
-           WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2) p
   ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 

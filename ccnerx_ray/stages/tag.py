@@ -109,8 +109,13 @@ class MentionTagger:
         if backend == "torch":
             from ccnerx_ray.model.torch_adapter import TorchTaggerModel
             self.model = TorchTaggerModel(catalog, self.cfg, device=device)
-        else:
+        elif backend == "numpy":
             self.model = TaggerModel(catalog, self.cfg)
+        else:
+            # a typo ('Torch', 'cuda') silently running the numpy model on
+            # an idle GPU pool would be invisible — fail loudly instead
+            raise ValueError(f"unknown tagger backend {backend!r}; "
+                             "expected 'numpy' or 'torch'")
         self.emit = emit
         if emit in ("triples", "mentions"):
             from ccnerx_ray.stages.link import LinkScorer

@@ -470,3 +470,13 @@ def test_gif_header_parse():
     from ccnerx_ray.ops.multimodal import make_gif, parse_gif_header
     assert parse_gif_header(make_gif(320, 200)) == (320, 200)
     assert parse_gif_header(b"GIF00a" + b"\x00" * 8) is None
+
+
+def test_wav_zero_data_and_backend_validation():
+    from ccnerx_ray.ops.multimodal import make_wav, parse_wav_header
+    from ccnerx_ray.stages.tag import MentionTagger
+
+    wav = parse_wav_header(make_wav(8000, 1, 16, n_data_bytes=0))
+    assert wav["duration_ms"] == 0          # empty audio, not 'unknown'
+    with pytest.raises(ValueError):
+        MentionTagger(catalog_pairs=[], backend="Torch")

@@ -91,3 +91,34 @@ def test_entry_smoke(ray_session):
     df = _to_df(res)
     assert len(df) > 0
     assert {"subj", "pred", "obj", "content_sha256"} <= set(df.columns)
+
+
+def test_whitespace_edges_match_oracle():
+    """Tabs/newlines at text edges: DuckDB trim() strips spaces only, so
+    the oracles split the RAW text and filter empty tokens — this test
+    pins the contract with documents the synthetic fixtures never
+    contain (code-review finding)."""
+    import pyarrow as pa
+
+    from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
+                                     add_token_stats)
+    from ccnerx_ray.queries.analytics import (ORACLE_FINGERPRINT,
+                                              ORACLE_LANGID,
+                                              ORACLE_TOKEN_STATS)
+
+    texts = ["\tthe cat sat on the mat with a hat\n", "  \t ", "",
+             "a\nb\tc d", "\n\nder die das und zu ist für auf\t"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for fn, sql, cols in [
+        (add_token_stats, ORACLE_TOKEN_STATS, ["n_tokens", "n_uniq_tokens"]),
+        (add_langid, ORACLE_LANGID, ["pred_lang"]),
+        (add_fingerprint, ORACLE_FINGERPRINT, ["fingerprint"]),
+    ]:
+        got = fn(batch).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        for c in cols:
+            assert got[c].tolist() == want[c].tolist(), (c, got[c], want[c])
+    con.close()
