@@ -268,35 +268,77 @@ def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
     containers (parseable headers, noise bodies) so the header-probe stage
     exercises genuine byte parsing; video stays an opaque stand-in (no
     stdlib MP4 writer — that decode remains honestly stubbed)."""
-    rng = np.random.default_rng(seed)
     rows = []
-    kinds = ["image", "audio", "video"]
+    for p in _media_params(n, seed):
+        if p["kind"] == "image":
+            payload = (make_gif(p["width"], p["height"], seed=p["payload_seed"])
+                       if p["mime"] == "image/gif" else
+                       make_png(p["width"], p["height"], seed=p["payload_seed"]))
+        elif p["kind"] == "audio":
+            payload = make_wav(p["sample_rate"], 1, 16, p["n_data_bytes"],
+                               seed=p["payload_seed"])
+        else:
+            payload = p["video_body"]
+        rows.append({
+            "media_id": p["media_id"], "kind": p["kind"], "payload": payload,
+            "mime": p["mime"], "width": p["width"], "height": p["height"],
+            "duration_ms": p["duration_ms"],
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _media_params(n: int, seed: int) -> list[dict]:
+    """The fixture's parameter draws, separated from container encoding so
+    ``expected_media_headers`` can state what the byte parsers MUST recover
+    without ever touching the payloads."""
+    rng = np.random.default_rng(seed)
+    out = []
     for i in range(n):
-        kind = kinds[i % 3]
-        mime = {"image": "image/png", "audio": "audio/wav",
-                "video": "video/mp4"}[kind]
+        kind = ["image", "audio", "video"][i % 3]
+        p = {"media_id": i, "kind": kind, "payload_seed": seed * 100003 + i,
+             "mime": {"image": "image/png", "audio": "audio/wav",
+                      "video": "video/mp4"}[kind],
+             "width": -1, "height": -1, "sample_rate": -1,
+             "n_data_bytes": -1, "duration_ms": -1, "video_body": b""}
         if kind == "image":
-            w, h = int(rng.integers(8, 256)), int(rng.integers(8, 256))
-            # alternate real container formats: PNG and GIF
-            if (i // 3) % 2:
-                payload = make_gif(w, h, seed=seed * 100003 + i)
-                mime = "image/gif"
-            else:
-                payload = make_png(w, h, seed=seed * 100003 + i)
-            dur = -1
+            p["width"] = int(rng.integers(8, 256))
+            p["height"] = int(rng.integers(8, 256))
+            if (i // 3) % 2:               # alternate PNG / GIF containers
+                p["mime"] = "image/gif"
         elif kind == "audio":
             sr = int(rng.choice([8000, 16000, 44100]))
             nb = int(rng.integers(2000, 32000)) * 2
-            payload = make_wav(sr, 1, 16, nb, seed=seed * 100003 + i)
-            w = h = -1
-            dur = nb * 1000 // (sr * 2)
+            p.update(sample_rate=sr, n_data_bytes=nb,
+                     duration_ms=nb * 1000 // (sr * 2))
         else:
-            payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                                   dtype=np.uint8).tobytes()
-            w = h = -1
-            dur = int(rng.integers(1000, 10000))
+            p["video_body"] = rng.integers(
+                0, 256, size=int(rng.integers(64, 512)),
+                dtype=np.uint8).tobytes()
+            p["duration_ms"] = int(rng.integers(1000, 10000))
+        out.append(p)
+    return out
+
+
+def expected_media_headers(n: int, seed: int = 5) -> pa.Table:
+    """The header table ``probe_media_headers`` MUST produce for
+    ``synthetic_media_table(n, seed)``, derived from the generator's
+    *parameter draws* only — never from the payload bytes. The probe, by
+    contrast, reads ONLY the bytes, so comparing the two verifies the full
+    encode→binary→parse roundtrip. This is what backs the driver-checkable
+    literal-VALUES SQL oracle for the ``media_headers`` query."""
+    rows = []
+    for p in _media_params(n, seed):
+        audio = p["kind"] == "audio"
         rows.append({
-            "media_id": i, "kind": kind, "payload": payload, "mime": mime,
-            "width": w, "height": h, "duration_ms": dur,
+            "media_id": p["media_id"], "kind": p["kind"], "mime": p["mime"],
+            "width": p["width"], "height": p["height"],
+            # WAV fixture is always mono 16-bit PCM; the parser's duration
+            # (data bytes*1000 // byte rate) equals the drawn duration_ms
+            "sample_rate": p["sample_rate"] if audio else -1,
+            "n_channels": 1 if audio else -1,
+            "bits_per_sample": 16 if audio else -1,
+            "duration_ms": p["duration_ms"] if audio else -1,
+            # video payloads are opaque noise → header probe must refuse
+            "header_ok": p["kind"] in ("image", "audio"),
         })
-    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    return pa.Table.from_pylist(rows, schema=MEDIA_HEADER_SCHEMA)

@@ -286,15 +286,57 @@ def q_media_features(sf_dir: str):
 
 
 def q_media_headers(sf_dir: str):
-    """REAL container-header decode (PNG IHDR / WAV RIFF via stdlib
-    struct) over the synthetic media table — width/height/sample-rate/
-    duration come from parsing genuine bytes, not metadata passthrough."""
+    """REAL container-header decode (PNG IHDR / GIF LSD / WAV RIFF via
+    stdlib struct) over the synthetic media table — width/height/sample-
+    rate/duration come from parsing genuine bytes, not metadata
+    passthrough. Oracle-checked: the SQL side states the generator's
+    parameter draws as literals (``expected_media_headers``), so the
+    comparison proves the encode→binary→parse roundtrip end to end."""
+    import pyarrow as pa
     import ray.data
-    from ccnerx_ray.ops.multimodal import (extract_media_headers,
+    from ccnerx_ray.ops.multimodal import (MEDIA_HEADER_SCHEMA,
+                                           extract_media_headers,
                                            synthetic_media_table)
     n = 120 if sf_dir.rstrip("/").endswith("0.1") else 60
     ds = ray.data.from_arrow(synthetic_media_table(n))
-    return extract_media_headers(ds)
+    out = extract_media_headers(ds)
+    # int32 production schema → BIGINT to match the oracle's literal types
+    schema64 = pa.schema([
+        (f.name, pa.int64() if pa.types.is_int32(f.type) else f.type)
+        for f in MEDIA_HEADER_SCHEMA])
+    return out.map_batches(lambda t: t.cast(schema64), batch_format="pyarrow")
+
+
+def _media_headers_oracle_sql() -> str:
+    """Literal-VALUES oracle for ``media_headers``: the expected table is
+    derived from the fixture's parameter draws (never its payload bytes),
+    emitted as a VALUES list. The driver runs at sf0.01 (n=60) and the
+    sf0.1 sweep at n=120, so the SQL switches on the ``documents`` row
+    count — the only sf signal visible to a static SQL string."""
+    from ccnerx_ray.ops.multimodal import expected_media_headers
+
+    def values(n: int) -> str:
+        return ",\n".join(
+            "({media_id}, '{kind}', '{mime}', {width}, {height}, "
+            "{sample_rate}, {n_channels}, {bits_per_sample}, {duration_ms}, "
+            "{ok})".format(**r, ok="TRUE" if r["header_ok"] else "FALSE")
+            for r in expected_media_headers(n).to_pylist())
+
+    cols = ("media_id, kind, mime, width, height, sample_rate, n_channels, "
+            "bits_per_sample, duration_ms, header_ok")
+    casts = ", ".join(
+        c if c in ("kind", "mime", "header_ok")
+        else f"CAST({c} AS BIGINT) AS {c}"
+        for c in cols.split(", "))
+    legs = []
+    for n, guard in ((60, "<"), (120, ">=")):
+        legs.append(
+            f"SELECT {casts} FROM (VALUES\n{values(n)}\n) AS t({cols})\n"
+            f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+    return "\nUNION ALL\n".join(legs)
+
+
+ORACLE_MEDIA_HEADERS = _media_headers_oracle_sql()
 
 
 # ------------------------------------------------------------- KG flagship
@@ -624,8 +666,9 @@ ANALYTICS_ORACLE = {
     "kg_entities": ORACLE_KG_ENTITIES,
     "kg_triples": ORACLE_KG_TRIPLES,
     "kg_aliases": ORACLE_KG_ALIASES,
-    # minhash/simhash/ivf/media/keepers: rows-only (sketch/model semantics
-    # with no SQL counterpart — covered by planted-fixture pytest oracles)
+    "media_headers": ORACLE_MEDIA_HEADERS,
+    # ivf_knn (approximate; its machinery is oracle-checked via
+    # ivf_knn_full) and media_features (stubbed learned kernel): rows-only
 }
 
 
@@ -706,7 +749,7 @@ def q_prefix_leakage(sf_dir: str):
                     out_n.append(n)
         return pd.DataFrame({"doc_id": out_id, "n_matches": out_n})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).filter(lambda r: r["text"] != "")
+    ds = _docs(sf_dir, ["doc_id", "text"]).filter(expr="text != ''")
     keyed = ds.map_batches(add_first_token, batch_format="pyarrow")
     from ccnerx_ray.functions.grouping import coarse_grouped
     return coarse_grouped(keyed, ["_ft"], local, num_buckets=64,

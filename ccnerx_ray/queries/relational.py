@@ -132,17 +132,22 @@ GROUP BY r_name
 
 # --------------------------------------------------------------------- q4
 def q_revenue_by_segment(sf_dir: str):
-    """Fact ⋈ fact via hash-partitioned ``Dataset.join`` on the customer
-    key (J2/J3 shape at scale: customer is fact-scale in TPC-H, so it must
-    NOT be broadcast as a driver dict — both sides hash-shuffle on the
-    join key instead; only the tiny nation/region dims are broadcast
-    elsewhere)."""
+    """Fact ⋈ fact on the customer key via the stats-ADAPTIVE join
+    (J2/J3 shape at scale): customer is fact-scale in TPC-H, so it must
+    NOT be unconditionally broadcast as a driver dict — ``adaptive_join``
+    broadcasts only below an asserted byte bound (re-checked after
+    materializing) and hash-shuffles both sides otherwise. At bench sf
+    the projected customer table is ~1 MB → shuffle-free probe; at the
+    100 TB target the estimate trips the bound → ``Dataset.join``."""
     from ray.data.aggregate import Count, Sum
+
+    from ccnerx_ray.ops.join import adaptive_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = adaptive_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey", join_type="inner",
+                           build_bytes_hint=cust.size_bytes())
     out = (joined.groupby("c_mktsegment")
                  .aggregate(Count(), Sum("o_totalprice")))
     return out.map_batches(_rename_cents(
@@ -174,10 +179,19 @@ def q_union_shipdate(sf_dir: str):
     """dataset union then aggregate (§2.8; merge_json.py:4-14 analogue)."""
     from ray.data.aggregate import Count
     cols = ["l_returnflag", "l_shipdate"]
-    early = _read(sf_dir, "lineitem", cols).filter(
-        lambda r: r["l_shipdate"].year < 1994)
-    late = _read(sf_dir, "lineitem", cols).filter(
-        lambda r: r["l_shipdate"].year > 1996)
+
+    def year_mask(op, bound):
+        # vectorized batch-level filter (Dataset.filter(expr=...) cannot
+        # compare date32 columns yet; a row lambda would be 100x slower)
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(op(pc.year(batch.column("l_shipdate")),
+                                   bound))
+        return fn
+
+    early = _read(sf_dir, "lineitem", cols).map_batches(
+        year_mask(pc.less, 1994), batch_format="pyarrow")
+    late = _read(sf_dir, "lineitem", cols).map_batches(
+        year_mask(pc.greater, 1996), batch_format="pyarrow")
     out = early.union(late).groupby("l_returnflag").aggregate(Count())
     return out.map_batches(_rename_cents({"count()": "n_rows"}, {}),
                            batch_format="pyarrow")
@@ -194,15 +208,22 @@ SELECT l_returnflag, count(*) AS n_rows FROM (
 
 # --------------------------------------------------------------------- q7
 def q_customers_without_orders(sf_dir: str):
-    """Hash-partitioned ANTI join (Dataset.join; J5 leakage-check shape):
-    customers with no finished ('F') order."""
+    """ANTI join (J5 leakage-check shape): customers with no finished
+    ('F') order. Strategy is stats-adaptive: the build side (distinct-ish
+    custkeys of F-orders) broadcasts below the byte bound, hash-shuffles
+    above it; the byte hint is the PRE-filter source estimate (an upper
+    bound — the filter only shrinks it) so no derived plan runs twice."""
     from ray.data.aggregate import Count
+
+    from ccnerx_ray.ops.join import adaptive_join
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
-        lambda r: r["o_orderstatus"] == "F").select_columns(["o_custkey"])
-    no_orders = cust.join(orders, join_type="left_anti",
-                          num_partitions=8,
-                          on=("c_custkey",), right_on=("o_custkey",))
+    orders_src = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    orders = orders_src.filter(expr="o_orderstatus == 'F'") \
+                       .select_columns(["o_custkey"])
+    no_orders = adaptive_join(cust, orders, on="c_custkey",
+                              right_on="o_custkey", join_type="left_anti",
+                              build_bytes_hint=orders_src.size_bytes())
     out = no_orders.groupby("c_nationkey").aggregate(Count())
     return out.map_batches(_rename_cents({"count()": "n_customers"}, {}),
                            batch_format="pyarrow")

@@ -330,14 +330,14 @@ def q_click_last_purchase(sf_dir: str):
 
     ev = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click") \
+    clicks = ev.filter(expr="event_type == 'click'") \
                .select_columns(["event_id", "user_id", "ts"])
     # collapse same-timestamp purchases to max(value) BEFORE the as-of:
     # with ties on the on-key, merge_asof picks the last row in block
     # order and DuckDB ASOF picks its own arbitrary row — aggregating
     # first makes both sides deterministic and identical
     purchases = grouped_reduce(
-        ev.filter(lambda r: r["event_type"] == "purchase")
+        ev.filter(expr="event_type == 'purchase'")
           .select_columns(["user_id", "ts", "value"]),
         ["user_id", "ts"], {"value": "max"}, num_buckets=32)
     joined = asof_join(clicks, purchases, on="ts", by="user_id",

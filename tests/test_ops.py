@@ -480,3 +480,62 @@ def test_wav_zero_data_and_backend_validation():
     assert wav["duration_ms"] == 0          # empty audio, not 'unknown'
     with pytest.raises(ValueError):
         MentionTagger(catalog_pairs=[], backend="Torch")
+
+
+# ----------------------------------------------------------- adaptive join
+
+def _join_fixture():
+    import ray.data
+    probe = ray.data.from_items(
+        [{"k": i % 7, "v": i} for i in range(100)]).repartition(5)
+    build = ray.data.from_items(
+        [{"bk": k, "name": f"n{k}"} for k in (0, 1, 2, 3, 9)])
+    return probe, build
+
+
+@pytest.mark.parametrize("bcast", [1 << 30, 0])   # broadcast vs hash path
+def test_adaptive_inner_join_paths_agree(ray_session, bcast):
+    from ccnerx_ray.ops.join import adaptive_join
+    probe, build = _join_fixture()
+    out = adaptive_join(probe, build, on="k", right_on="bk",
+                        join_type="inner", broadcast_bytes=bcast,
+                        num_partitions=3).take_all()
+    want = [(i % 7, i, f"n{i % 7}") for i in range(100) if i % 7 <= 3]
+    assert sorted((r["k"], r["v"], r["name"]) for r in out) == sorted(want)
+
+
+@pytest.mark.parametrize("bcast", [1 << 30, 0])
+def test_adaptive_anti_join_paths_agree(ray_session, bcast):
+    from ccnerx_ray.ops.join import adaptive_join
+    probe, build = _join_fixture()
+    out = adaptive_join(probe, build, on="k", right_on="bk",
+                        join_type="left_anti", broadcast_bytes=bcast,
+                        num_partitions=3).take_all()
+    want = [(i % 7, i) for i in range(100) if i % 7 > 3]
+    assert sorted((r["k"], r["v"]) for r in out) == sorted(want)
+
+
+def test_adaptive_join_lying_low_estimate_falls_back(ray_session):
+    """A hint that claims 'tiny' while the actual table exceeds the slack
+    bound must NOT broadcast — the materialized-size re-check routes the
+    join to the hash-partitioned path (and results stay correct)."""
+    import ray.data
+    from ccnerx_ray.ops.join import adaptive_join
+    probe = ray.data.from_items([{"k": i, "v": i} for i in range(50)])
+    build = ray.data.from_items(
+        [{"k": i, "pad": "x" * 4096} for i in range(50)])
+    out = adaptive_join(probe, build, on="k", join_type="inner",
+                        broadcast_bytes=1024, build_bytes_hint=8,
+                        num_partitions=2)
+    assert out.count() == 50
+
+
+def test_media_headers_expected_equals_probe():
+    """Parameter-derived expectation == byte-parsed probe output for the
+    fixture (the invariant behind the media_headers SQL oracle)."""
+    from ccnerx_ray.ops.multimodal import (expected_media_headers,
+                                           probe_media_headers,
+                                           synthetic_media_table)
+    for n in (30, 60):
+        assert expected_media_headers(n).equals(
+            probe_media_headers(synthetic_media_table(n)))
