@@ -138,3 +138,55 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: list[int] | None = None,
     local = ds.map_batches(local_topk, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(merge_topk,
                                                 batch_format="pandas")
+
+
+def group_centroids(ds, group_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Mergeable per-group vector aggregate: for each group, the count
+    and the element-wise float64 sum of its embedding vectors (centroid
+    = sum / n, left to the consumer so the emitted ``sum_micro`` column
+    stays an exact integer for the value-hash oracle).
+
+    Shape: per-batch PARTIAL sums (a pandas groupby over a numpy matrix —
+    one row per (group, batch), never one per vector) → tiny final merge
+    on the group key. The shuffle carries ``n_groups × n_blocks`` partial
+    rows of ``dim`` doubles; the corpus never moves. Output is long-form
+    ``(label, dim, n, sum_micro)`` — ``n_groups × dim`` rows.
+
+    Used for: class centroids (diversity sampling, dataset cartography),
+    IVF coarse-quantizer refinement, per-source embedding drift checks.
+    Assumes group cardinality ≪ corpus size (true for labels/sources);
+    extreme-cardinality grouping belongs to ``coarse_grouped``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column(group_col).to_pylist())
+        flat = batch.column(vec_col).combine_chunks()
+        V = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = V.size // max(1, batch.num_rows)
+        V = V.reshape(batch.num_rows, dim)
+        df = pd.DataFrame(V)
+        df["_g"] = labels
+        agg = df.groupby("_g", sort=False).agg(["sum", "size"])
+        sums = agg.xs("sum", axis=1, level=1).to_numpy()
+        ns = agg.xs("size", axis=1, level=1).to_numpy()[:, 0]
+        return pa.table({
+            group_col: pa.array(agg.index.to_numpy(), pa.int64()),
+            "n": pa.array(ns.astype(np.int64), pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(g["vsum"].to_numpy())
+        total = M.sum(axis=0)
+        n = int(g["n"].sum())
+        dim = total.size
+        return pd.DataFrame({
+            group_col: np.full(dim, g[group_col].iloc[0], dtype=np.int64),
+            "dim": np.arange(1, dim + 1, dtype=np.int64),
+            "n": np.full(dim, n, dtype=np.int64),
+            "sum_micro": np.round(total * 1e6).astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -52,6 +52,32 @@ def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("n_pieces", pa.array(n_pieces, pa.int64())))
 
 
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append Gopher-style within-document repetition signals: counts of
+    word bigrams/trigrams and their distinct counts (the duplicate-n-gram
+    fraction is ``1 - n_uniq/n``, left to the consumer so every emitted
+    column stays an exact integer for the value-hash oracle).
+
+    N-gram keys join tokens on ``\\x1f`` — the same representation the
+    SQL oracle uses — so both sides share identical (theoretical)
+    collision semantics for tokens containing the separator."""
+    texts = batch.column(text_col).to_pylist()
+    nb, ub, nt, ut = [], [], [], []
+    for t in texts:
+        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        bigs = ["\x1f".join(p) for p in zip(toks, toks[1:])]
+        tris = ["\x1f".join(p) for p in zip(toks, toks[1:], toks[2:])]
+        nb.append(len(bigs))
+        ub.append(len(set(bigs)))
+        nt.append(len(tris))
+        ut.append(len(set(tris)))
+    return (batch
+            .append_column("n_bigrams", pa.array(nb, pa.int64()))
+            .append_column("n_uniq_bigrams", pa.array(ub, pa.int64()))
+            .append_column("n_trigrams", pa.array(nt, pa.int64()))
+            .append_column("n_uniq_trigrams", pa.array(ut, pa.int64())))
+
+
 def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append quality signals (length / punctuation / stopword ratios) and a
     0-100 integer ``quality`` score. Heuristic; deterministic."""

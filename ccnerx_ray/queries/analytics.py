@@ -74,6 +74,81 @@ FROM t
 """
 
 
+# ------------------------------------------------------- repetition signals
+def q_repetition(sf_dir: str):
+    """Gopher-style within-document duplicate-n-gram signals (quality
+    filtering for LLM training corpora: Rae et al. 2021 §A1.1 drops docs
+    whose duplicate 2-/3-gram fraction exceeds thresholds). Stateless
+    vectorizable map; all-integer output for exact value hashing."""
+    from ccnerx_ray.ops.text import add_repetition_stats
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(add_repetition_stats, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_bigrams", "n_uniq_bigrams",
+                              "n_trigrams", "n_uniq_trigrams"])
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct([tk[i] || chr(31) || tk[i+1]
+                               for i in range(1, len(tk))])) AS BIGINT)
+         AS n_uniq_bigrams,
+       CAST(greatest(len(tk) - 2, 0) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct([tk[i] || chr(31) || tk[i+1] || chr(31)
+                               || tk[i+2]
+                               for i in range(1, len(tk) - 1)])) AS BIGINT)
+         AS n_uniq_trigrams
+FROM t
+"""
+
+
+# ------------------------------------------------------ decontamination
+EVAL_SOURCES = ("src0", "src1")     # deterministic eval split of the corpus
+
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style 13-gram train/eval decontamination: for every eval
+    document (source ∈ EVAL_SOURCES), how many of its distinct 13-grams
+    occur verbatim anywhere in the train split. The shuffle carries gram
+    digests (int64), never gram text; see ops/decontaminate.py."""
+    from ccnerx_ray.ops.decontaminate import ngram_contamination
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+    return ngram_contamination(ds, set(EVAL_SOURCES), n=13)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest([ list_aggregate(l[i:i+12], 'string_agg', chr(31))
+                  for i in range(1, len(l) - 11) ]) AS g
+  FROM toks
+), eg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source IN ('src0', 'src1')
+), tg AS (
+  SELECT DISTINCT g FROM grams WHERE source NOT IN ('src0', 'src1')
+), base AS (
+  SELECT doc_id, count(*) AS n FROM eg GROUP BY doc_id
+), cont AS (
+  SELECT doc_id, count(*) AS n FROM eg JOIN tg USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(b.n, 0) AS n_grams,
+       coalesce(c.n, 0) AS n_contaminated
+FROM (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')) d
+LEFT JOIN base b USING (doc_id)
+LEFT JOIN cont c USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- quality
 def q_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -272,6 +347,27 @@ def q_ivf_knn_full(sf_dir: str):
     out = ivf_knn(_emb(sf_dir), Q, query_ids=qids, k=10,
                   n_centroids=8, nprobe=8)
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_centroids(sf_dir: str):
+    """Per-label embedding centroid components (mergeable vector
+    aggregate: per-batch partial sums → tiny merge; long-form integer
+    output). Centroid = sum_micro / (n * 1e6)."""
+    from ccnerx_ray.ops.similarity import group_centroids
+    return group_centroids(_emb(sf_dir), group_col="label")
+
+
+ORACLE_CENTROIDS = r"""
+WITH e AS (
+  SELECT label,
+         unnest([{'dim': i, 'val': CAST(embedding[i] AS DOUBLE)}
+                 for i in range(1, len(embedding) + 1)], recursive := true)
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, dim, count(*) AS n,
+       CAST(round(sum(val) * 1000000) AS BIGINT) AS sum_micro
+FROM e GROUP BY label, dim
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -634,6 +730,8 @@ WHERE len(list_intersect(a.grams, b.grams)) > 0
 
 ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
@@ -644,6 +742,7 @@ ANALYTICS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ivf_knn": q_ivf_knn,
     "ivf_knn_full": q_ivf_knn_full,
+    "centroids": q_centroids,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "kg_triples": q_kg_triples,
@@ -654,6 +753,8 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
+    "repetition": ORACLE_REPETITION,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "quality": ORACLE_QUALITY,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,
@@ -661,6 +762,7 @@ ANALYTICS_ORACLE = {
     "langid": ORACLE_LANGID,
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
+    "centroids": ORACLE_CENTROIDS,
     "kg_mentions": ORACLE_KG_MENTIONS,
     "kg_label_dist": ORACLE_KG_LABEL_DIST,
     "kg_entities": ORACLE_KG_ENTITIES,

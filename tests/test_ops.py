@@ -539,3 +539,53 @@ def test_media_headers_expected_equals_probe():
     for n in (30, 60):
         assert expected_media_headers(n).equals(
             probe_media_headers(synthetic_media_table(n)))
+
+
+def test_repetition_stats_batch():
+    from ccnerx_ray.ops.text import add_repetition_stats
+    t = pa.table({"text": ["a b a b a", "", "x", "  \t ", "p q r"]})
+    out = add_repetition_stats(t)
+    assert out.column("n_bigrams").to_pylist() == [4, 0, 0, 0, 2]
+    assert out.column("n_uniq_bigrams").to_pylist() == [2, 0, 0, 0, 2]
+    assert out.column("n_trigrams").to_pylist() == [3, 0, 0, 0, 1]
+    assert out.column("n_uniq_trigrams").to_pylist() == [2, 0, 0, 0, 1]
+
+
+def test_ngram_contamination_planted(ray_session):
+    """Planted overlap: eval doc 0 shares one 3-gram with train; eval doc
+    1 shares none; eval doc 2 is too short for any 3-gram."""
+    import ray.data
+    from ccnerx_ray.ops.decontaminate import ngram_contamination
+    rows = [
+        {"doc_id": 0, "source": "eval", "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "source": "eval", "text": "eins zwei drei vier"},
+        {"doc_id": 2, "source": "eval", "text": "tiny doc"},
+        {"doc_id": 3, "source": "train", "text": "x alpha beta gamma y"},
+        {"doc_id": 4, "source": "train", "text": "alpha beta gamma"},
+    ]
+    out = {r["doc_id"]: r for r in ngram_contamination(
+        ray.data.from_items(rows).repartition(3), {"eval"},
+        n=3, num_buckets=8).take_all()}
+    assert out[0] == {"doc_id": 0, "n_grams": 2, "n_contaminated": 1}
+    assert out[1] == {"doc_id": 1, "n_grams": 2, "n_contaminated": 0}
+    assert out[2] == {"doc_id": 2, "n_grams": 0, "n_contaminated": 0}
+    assert set(out) == {0, 1, 2}
+
+
+def test_group_centroids_numpy_oracle(ray_session):
+    """Partial-sum merge across blocks == one-shot numpy groupby."""
+    import ray.data
+    from ccnerx_ray.ops.similarity import group_centroids
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((40, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 40)
+    rows = [{"vec_id": i, "label": int(labels[i]), "embedding": V[i].tolist()}
+            for i in range(40)]
+    out = group_centroids(
+        ray.data.from_items(rows).repartition(7)).to_pandas()
+    for lab in range(3):
+        sub = V[labels == lab].astype(np.float64)
+        got = out[out["label"] == lab].sort_values("dim")
+        assert (got["n"] == len(sub)).all()
+        want = np.round(sub.sum(axis=0) * 1e6).astype(np.int64)
+        assert got["sum_micro"].to_numpy().tolist() == want.tolist()

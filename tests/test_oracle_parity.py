@@ -101,9 +101,10 @@ def test_whitespace_edges_match_oracle():
     import pyarrow as pa
 
     from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
-                                     add_token_stats)
+                                     add_repetition_stats, add_token_stats)
     from ccnerx_ray.queries.analytics import (ORACLE_FINGERPRINT,
                                               ORACLE_LANGID,
+                                              ORACLE_REPETITION,
                                               ORACLE_TOKEN_STATS)
 
     texts = ["\tthe cat sat on the mat with a hat\n", "  \t ", "",
@@ -114,6 +115,8 @@ def test_whitespace_edges_match_oracle():
     batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
     for fn, sql, cols in [
         (add_token_stats, ORACLE_TOKEN_STATS, ["n_tokens", "n_uniq_tokens"]),
+        (add_repetition_stats, ORACLE_REPETITION,
+         ["n_bigrams", "n_uniq_bigrams", "n_trigrams", "n_uniq_trigrams"]),
         (add_langid, ORACLE_LANGID, ["pred_lang"]),
         (add_fingerprint, ORACLE_FINGERPRINT, ["fingerprint"]),
     ]:
