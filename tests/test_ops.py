@@ -589,3 +589,23 @@ def test_group_centroids_numpy_oracle(ray_session):
         assert (got["n"] == len(sub)).all()
         want = np.round(sub.sum(axis=0) * 1e6).astype(np.int64)
         assert got["sum_micro"].to_numpy().tolist() == want.tolist()
+
+
+def test_ngram_contamination_bloom_matches_exact(ray_session):
+    """The shuffle-free Bloom path must reproduce the exact operator on
+    the fixture corpus (FP probability ~1e-6 x ~3k probes; a hit would
+    be deterministic and visible, not flaky)."""
+    import ray.data
+    from ccnerx_ray.ops.decontaminate import (ngram_contamination,
+                                              ngram_contamination_bloom)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    ev = {"src0", "src1"}
+    exact = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+             for r in ngram_contamination(docs, ev, n=13).take_all()}
+    bloom = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+             for r in ngram_contamination_bloom(
+                 docs, ev, n=13, expected_grams=50_000,
+                 fpr=1e-6).take_all()}
+    assert bloom == exact
+    assert sum(c for _, c in exact.values()) > 0   # fixture has overlap
