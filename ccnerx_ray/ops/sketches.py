@@ -182,3 +182,71 @@ def range_join(points, intervals, point_col: str, start_col: str,
     # an interval replicated to k buckets can match the same point only in
     # the point's own bucket — no dedup needed (points route to ONE bucket)
     return joined
+
+
+# ------------------------------------------------------- heavy hitters
+def _mg_trim(counts: dict, capacity: int) -> dict:
+    """Misra-Gries reduction: keep ≤ ``capacity`` entries by subtracting
+    the (capacity+1)-th largest count from everything (each entry's
+    stored count under-estimates its true count by at most the sum of
+    subtracted thresholds ≤ N/capacity)."""
+    if len(counts) <= capacity:
+        return counts
+    thresh = sorted(counts.values(), reverse=True)[capacity]
+    return {w: c - thresh for w, c in counts.items() if c > thresh}
+
+
+def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
+                        capacity: int = 4096, num_buckets: int = 64):
+    """Exact global top-k words via the 2-pass sketch-then-recount shape
+    (Misra-Gries / mergeable-summaries, Agarwal et al. 2012):
+
+    pass 1 — per-batch word counts trimmed to a ``capacity``-entry MG
+    sketch; sketches ride to the driver (≤ capacity rows per block — no
+    token-level shuffle) and merge by summed counts + re-trim. Any word
+    with true count > N/capacity is guaranteed present.
+
+    pass 2 — the ≤ capacity candidate words broadcast via ``ray.put``;
+    a map-only pass re-counts EXACTLY those words; a tiny grouped sum +
+    sort yields the exact top-k (assuming the k-th word clears the
+    N/capacity bar — at 100 TB size ``capacity`` to corpus skew).
+
+    Contrast with the single-pass distributed wordcount
+    (``q_top_words``): that shuffles one row per distinct word per
+    bucket; this shuffles one row per CANDIDATE word per block.
+    """
+    import ray
+
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in (t or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        counts = _mg_trim(counts, capacity)
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    merged: dict[str, int] = {}
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged[row["word"]] = merged.get(row["word"], 0) + row["n"]
+        if len(merged) > 4 * capacity:   # lazy trim; the N/(capacity+1)
+            merged = _mg_trim(merged, capacity)   # bound is global
+    merged = _mg_trim(merged, capacity)
+    cand_ref = ray.put(frozenset(merged))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in (t or "").split():
+                if w in cand:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    partials = ds.map_batches(recount, batch_format="pyarrow")
+    totals = grouped_reduce(partials, ["word"], {"n": "sum"},
+                            num_buckets=num_buckets)
+    return totals.sort(["n", "word"], descending=[True, False]).limit(k_out)

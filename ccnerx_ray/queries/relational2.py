@@ -212,6 +212,17 @@ WHERE w <> '' GROUP BY w ORDER BY n DESC, word LIMIT 20
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-20 words via the 2-pass Misra-Gries sketch-then-recount
+    shape (ops/sketches.py:heavy_hitters_words) — the shuffle-minimal
+    alternative to q_top_words: the shuffle carries candidate words
+    only, never the vocabulary. Must equal ORACLE_TOP_WORDS exactly,
+    which oracle-checks the sketch capture guarantee end to end."""
+    from ccnerx_ray.ops.sketches import heavy_hitters_words
+    return heavy_hitters_words(_read(sf_dir, "documents", ["text"]),
+                               k_out=20, capacity=4096)
+
+
 RELATIONAL2_QUERIES = {
     "supplier_balance_range": q_supplier_balance_range,
     "acctbal_histogram": q_acctbal_histogram,
@@ -220,6 +231,7 @@ RELATIONAL2_QUERIES = {
     "discount_split": q_discount_split,
     "events_props": q_events_props,
     "top_words": q_top_words,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 RELATIONAL2_ORACLE = {
@@ -230,6 +242,7 @@ RELATIONAL2_ORACLE = {
     "discount_split": ORACLE_DISCOUNT_SPLIT,
     "events_props": ORACLE_EVENTS_PROPS,
     "top_words": ORACLE_TOP_WORDS,
+    "heavy_hitters": ORACLE_TOP_WORDS,   # 2-pass sketch ≡ exact top-20
 }
 
 

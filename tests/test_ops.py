@@ -609,3 +609,22 @@ def test_ngram_contamination_bloom_matches_exact(ray_session):
                  fpr=1e-6).take_all()}
     assert bloom == exact
     assert sum(c for _, c in exact.values()) > 0   # fixture has overlap
+
+
+def test_misra_gries_capture_guarantee(ray_session):
+    """Adversarial trim path: tiny capacity forces reductions, yet every
+    word with true count > N/(capacity+1) must survive to the candidate
+    set, so the 2-pass recount returns the exact top-k."""
+    import ray.data
+    from ccnerx_ray.ops.sketches import heavy_hitters_words
+    # 3 heavy words among 60 singleton distractors (N=120)
+    words = (["heavy"] * 30 + ["mid"] * 20 + ["low"] * 10
+             + [f"rare{i}" for i in range(60)])
+    rng = np.random.default_rng(11)
+    rng.shuffle(words)
+    docs = [{"text": " ".join(words[i::6])} for i in range(6)]
+    out = heavy_hitters_words(
+        ray.data.from_items(docs).repartition(4),
+        k_out=3, capacity=8).take_all()
+    assert [(r["word"], r["n"]) for r in out] == [
+        ("heavy", 30), ("mid", 20), ("low", 10)]
