@@ -11,11 +11,15 @@ second stage" shape.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ccnerx_ray.functions.hashing import stable_hash64
+
+logger = logging.getLogger(__name__)
 
 
 def _hll_registers(values, p: int) -> np.ndarray:
@@ -224,16 +228,39 @@ def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
         for t in batch.column(text_col).to_pylist():
             for w in (t or "").split():
                 counts[w] = counts.get(w, 0) + 1
+        total = sum(counts.values())    # pre-trim batch token weight
         counts = _mg_trim(counts, capacity)
+        # batch_total rides on the first row only (summed by the driver
+        # to recover N for the capture-guarantee certificate); an
+        # aggressive trim can empty the dict while total > 0 — keep the
+        # weight on a sentinel row ('' is never a split() token)
+        if not counts and total:
+            counts = {"": 0}
+        totals_col = [total] + [0] * (len(counts) - 1) if counts else []
         return pa.table({"word": pa.array(list(counts), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+                         "n": pa.array(list(counts.values()), pa.int64()),
+                         "batch_total": pa.array(totals_col, pa.int64())})
 
     merged: dict[str, int] = {}
+    grand_total = 0
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged[row["word"]] = merged.get(row["word"], 0) + row["n"]
+        grand_total += row["batch_total"]
         if len(merged) > 4 * capacity:   # lazy trim; the N/(capacity+1)
             merged = _mg_trim(merged, capacity)   # bound is global
     merged = _mg_trim(merged, capacity)
+    # capture certificate (no silent caps): a word ABSENT from the sketch
+    # has true count ≤ N/(capacity+1); if the k-th surviving sketch count
+    # clears that bar, no missing word can belong in the top-k. A sketch
+    # count only under-estimates, so this certificate is conservative.
+    floor = grand_total // (capacity + 1)
+    kth = (sorted(merged.values(), reverse=True)[k_out - 1]
+           if len(merged) >= k_out else 0)
+    if kth <= floor:
+        logger.warning(
+            "heavy_hitters_words: capture guarantee NOT certified "
+            "(k-th sketch count %d <= N/(capacity+1) = %d); the top-%d "
+            "may miss a word — raise capacity", kth, floor, k_out)
     cand_ref = ray.put(frozenset(merged))
 
     def recount(batch: pa.Table) -> pa.Table:

@@ -628,3 +628,19 @@ def test_misra_gries_capture_guarantee(ray_session):
         k_out=3, capacity=8).take_all()
     assert [(r["word"], r["n"]) for r in out] == [
         ("heavy", 30), ("mid", 20), ("low", 10)]
+
+
+def test_heavy_hitters_uncertified_warns(ray_session, caplog):
+    """When the k-th sketch count can't clear N/(capacity+1), the capture
+    guarantee is not certified and the operator must say so (no silent
+    caps) — a flat distribution with a tiny capacity triggers it."""
+    import logging
+
+    import ray.data
+    from ccnerx_ray.ops.sketches import heavy_hitters_words
+    docs = [{"text": " ".join(f"w{i}_{j}" for j in range(40))}
+            for i in range(5)]
+    with caplog.at_level(logging.WARNING, logger="ccnerx_ray.ops.sketches"):
+        heavy_hitters_words(ray.data.from_items(docs), k_out=3,
+                            capacity=4).take_all()
+    assert any("NOT certified" in r.message for r in caplog.records)
