@@ -65,3 +65,22 @@ def normalize_surface(tokens: list[str] | tuple) -> str:
         for piece in tok.replace("_", " ").split():
             parts.extend(_CAMEL_RE.split(piece))
     return " ".join(p.casefold() for p in parts if p)
+
+
+# --- oracle-contract whitespace tokenization -------------------------------
+# DuckDB's regex engine is RE2, whose \s is the ASCII class [\t\n\f\r ]
+# and \w is [0-9A-Za-z_]; Python's str.split() / re '\s' are Unicode-wider
+# (\x0b, \xa0,  , ...). Every operator whose DuckDB oracle tokenizes
+# with string_split_regex(text, '\s+') MUST tokenize through this ONE
+# helper so both sides agree on every input, not just ASCII fixtures.
+ASCII_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def ws_tokens(text: str | None) -> list[str]:
+    """Non-empty tokens of ``text`` split on the RE2 ``\\s`` class —
+    equals ``list_filter(string_split_regex(text, '\\s+'), w -> w <> '')``
+    in DuckDB for ALL inputs (including Unicode whitespace, which is NOT
+    a separator here, matching RE2)."""
+    if not text:
+        return []
+    return [w for w in ASCII_WS_RE.split(text) if w]

@@ -29,25 +29,25 @@ included as a first-class LLM-data-pipeline operator.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
 from ccnerx_ray.functions.hashing import stable_hash64
-
-_WS_RE = re.compile(r"\s+")
+from ccnerx_ray.functions.tokenize import ws_tokens
 
 _OUT_DTYPES = {"doc_id": "int64", "n_grams": "int64",
                "n_contaminated": "int64"}
 
 
+def _doc_gram_strings(text: str, n: int) -> set[str]:
+    toks = ws_tokens(text)
+    return {"\x1f".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
 def _doc_grams(text: str, n: int) -> set[int]:
-    toks = _WS_RE.split(text.strip()) if text and text.strip() else []
-    return {stable_hash64("\x1f".join(toks[i:i + n]))
-            for i in range(len(toks) - n + 1)}
+    return {stable_hash64(g) for g in _doc_gram_strings(text, n)}
 
 
 def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
@@ -72,7 +72,7 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
                                  batch.column(text_col).to_pylist()):
             if src in evset:
                 ids.append(did)
-                out.append(len(_doc_grams(txt, n)))
+                out.append(len(_doc_gram_strings(txt, n)))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_grams": pa.array(out, pa.int64()),
                          "n_contaminated": pa.array([0] * len(ids),
@@ -123,9 +123,9 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
 
 
 class BloomFilter:
-    """Mergeable Bloom filter over 63-bit digests (Kirsch-Mitzenmacher
-    double hashing: position_i = (h1 + i*h2) mod m from one digest, so
-    membership needs no re-hashing and stays fully vectorized).
+    """Mergeable Bloom filter over 63-bit digests (k probe positions per
+    digest via a splitmix64 finalizer of ``digest ^ i·golden`` — no
+    re-hashing of the original key, fully vectorized).
 
     The scale path for decontamination: the EXACT operator above
     shuffles every train gram once; this sketch makes the train side a
@@ -140,14 +140,13 @@ class BloomFilter:
 
     @staticmethod
     def params_for(expected_items: int, fpr: float) -> tuple[int, int]:
-        """Standard sizing m = -n·ln p/(ln 2)², k = (m/n)·ln 2 — with m
-        rounded UP to a power of two: the double-hash stride h2 is odd,
-        so only for power-of-two m is it invertible mod m and the k
-        probe positions all distinct (a composite m shares factors with
-        strides and collapses probes — measured 70× the target FPR)."""
+        """Standard sizing: m = -n·ln p/(ln 2)², k = (m/n)·ln 2. No
+        structural constraint on m — each probe position comes from a
+        full splitmix64 mix (see ``_positions``), so any modulus works
+        (classic double hashing, by contrast, needs power-of-two m for
+        stride invertibility and still showed a ~30× FPR floor here)."""
         n = max(1, expected_items)
         m = int(np.ceil(-n * np.log(fpr) / (np.log(2) ** 2)))
-        m = 1 << int(np.ceil(np.log2(m)))
         k = max(1, int(round(m / n * np.log(2))))
         return m, k
 
@@ -185,9 +184,16 @@ class BloomFilter:
         return self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, payload: bytes, m_bits: int, k: int) -> "BloomFilter":
+    def from_bytes(cls, payload: bytes, m_bits: int, k: int,
+                   writable: bool = True) -> "BloomFilter":
+        """``writable=False`` wraps the buffer zero-copy (read-only) —
+        the right mode for probe stages reading a plasma-shared bitmap
+        (a 2^30-bit filter is 128 MB; copying it per batch would dwarf
+        the probe work). ``add_many``/``merge_or`` on a read-only filter
+        raise ``ValueError`` by numpy's buffer protection."""
         bf = cls(m_bits, k)
-        bf.bits = np.frombuffer(payload, dtype=np.uint8).copy()
+        view = np.frombuffer(payload, dtype=np.uint8)
+        bf.bits = view.copy() if writable else view
         return bf
 
 
@@ -226,7 +232,7 @@ def ngram_contamination_bloom(docs, eval_sources: set[str], *, n: int = 13,
     ref = ray.put(merged.to_bytes())
 
     def probe(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(ref), m_bits, k)
+        bf = BloomFilter.from_bytes(ray.get(ref), m_bits, k, writable=False)
         ids, totals, conts = [], [], []
         for did, src, txt in zip(batch.column(id_col).to_pylist(),
                                  batch.column(source_col).to_pylist(),

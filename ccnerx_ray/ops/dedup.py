@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ccnerx_ray.functions.grouping import coarse_grouped
+from ccnerx_ray.functions.tokenize import ws_tokens
 from ccnerx_ray.functions.hashing import (minhash_params, minhash_signature,
                                           sha256_hex, simhash64, stable_hash64)
 
@@ -99,7 +100,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     oracle."""
     from ccnerx_ray.functions.hashing import sha256_int60
 
-    toks = text.split()
+    toks = ws_tokens(text)
     if len(toks) < k:
         return (np.array([sha256_int60(" ".join(toks))], dtype=np.int64)
                 if toks else np.empty(0, dtype=np.int64))
@@ -316,7 +317,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = batch.column(id_col).to_pylist()
         ob, oi, of = [], [], []
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            toks = (t or "").split()
+            toks = ws_tokens(t)
             # sha256-derived 64-bit token hashes: the whole SimHash
             # pipeline becomes DuckDB-oracle-reproducible
             th = np.fromiter((sha256_int64(w) for w in toks),

@@ -30,6 +30,7 @@ from __future__ import annotations
 import logging
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 logger = logging.getLogger(__name__)
 
@@ -56,14 +57,24 @@ def _materialize_build(build, broadcast_bytes: int,
     if estimate_bytes is None or estimate_bytes > broadcast_bytes:
         return None
     import ray
-    tbl = pa.concat_tables(ray.get(build.to_arrow_refs()))
-    if tbl.nbytes > broadcast_bytes * _ACTUAL_SLACK:
-        logger.warning(
-            "adaptive_join: build side estimate %d B but actual %d B > "
-            "%d B bound — falling back to hash-partitioned join",
-            estimate_bytes, tbl.nbytes, broadcast_bytes * _ACTUAL_SLACK)
-        return None
-    return tbl.combine_chunks()
+    # materialize INCREMENTALLY with a running-size abort: a lying-LOW
+    # estimate must not be allowed to pull an entire fact table into the
+    # driver heap before the re-check fires — the cap is enforced block
+    # by block, so peak driver memory is bound + one block
+    bound = broadcast_bytes * _ACTUAL_SLACK
+    blocks, total = [], 0
+    for ref in build.to_arrow_refs():
+        blk = ray.get(ref)
+        total += blk.nbytes
+        if total > bound:
+            logger.warning(
+                "adaptive_join: build side estimate %d B but materialized "
+                "size exceeded %d B after %d blocks — falling back to "
+                "hash-partitioned join", estimate_bytes, bound,
+                len(blocks) + 1)
+            return None
+        blocks.append(blk)
+    return pa.concat_tables(blocks).combine_chunks()
 
 
 def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
@@ -96,11 +107,65 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
 
     import ray
     ref = ray.put(tbl)
-    pa_type = "inner" if join_type == "inner" else "left anti"
 
-    def _probe_join(batch: pa.Table) -> pa.Table:
-        b = ray.get(ref)            # zero-copy plasma read, once per call
-        return batch.join(b, keys=[on], right_keys=[right_on],
-                          join_type=pa_type)
+    if join_type == "left_anti":
+        def _anti(batch: pa.Table) -> pa.Table:
+            keys = _prepared_build(ref, right_on)[1]
+            hit = pc.is_in(batch.column(on), value_set=keys)
+            # null probe keys never match (SQL semantics): is_in yields
+            # null there, which must mean KEEP under anti
+            return batch.filter(pc.invert(pc.fill_null(hit, False)))
+        return probe.map_batches(_anti, batch_format="pyarrow")
 
-    return probe.map_batches(_probe_join, batch_format="pyarrow")
+    def _inner(batch: pa.Table) -> pa.Table:
+        b, keys, idx = _prepared_build(ref, right_on)
+        if idx is None:
+            # duplicate (or null) build keys: acero hash join per batch
+            return batch.join(b, keys=[on], right_keys=[right_on],
+                              join_type="inner")
+        # unique build keys (the common dimension-table case): one cached
+        # pandas Index per worker process -> vectorized gather per batch,
+        # no per-batch hash-table rebuild. Output columns match acero's
+        # inner join: probe columns + build columns minus the build key.
+        indexer = idx.get_indexer(batch.column(on).to_pandas())
+        matched = indexer >= 0
+        out = batch.filter(pa.array(matched))
+        picked = b.take(pa.array(indexer[matched], type=pa.int64()))
+        for name in b.column_names:
+            if name != right_on:
+                out = out.append_column(name, picked.column(name))
+        return out
+
+    return probe.map_batches(_inner, batch_format="pyarrow")
+
+
+# per-worker-process cache of prepared build-side probe structures
+# (same singleton shape as stages/tag.py's _PROCESS_MODELS): plasma gets
+# are zero-copy, but the pandas Index / value set are built once per
+# process instead of once per batch
+_PROCESS_BUILDS: dict = {}
+
+
+def _prepared_build(ref, right_on: str):
+    key = (ref.hex(), right_on)
+    got = _PROCESS_BUILDS.get(key)
+    if got is None:
+        import pandas as pd
+        import ray
+        if len(_PROCESS_BUILDS) > 8:    # bound per-process cache growth
+            _PROCESS_BUILDS.clear()
+        tbl = ray.get(ref)
+        raw = tbl.column(right_on).combine_chunks()
+        # anti value set: null build keys never match under SQL semantics
+        # (pyarrow's is_in would match probe nulls against a set null)
+        keys = pc.drop_null(raw)
+        # inner gather index: positions must align with tbl ROWS, so it
+        # is built from the RAW column and only when keys are unique and
+        # non-null; otherwise the acero fallback preserves exact SQL
+        # duplicate/null semantics
+        kser = raw.to_pandas()
+        idx = (pd.Index(kser)
+               if kser.notna().all() and kser.is_unique else None)
+        got = (tbl, keys, idx)
+        _PROCESS_BUILDS[key] = got
+    return got

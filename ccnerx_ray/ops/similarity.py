@@ -185,7 +185,11 @@ def group_centroids(ds, group_col: str = "label",
             group_col: np.full(dim, g[group_col].iloc[0], dtype=np.int64),
             "dim": np.arange(1, dim + 1, dtype=np.int64),
             "n": np.full(dim, n, dtype=np.int64),
-            "sum_micro": np.round(total * 1e6).astype(np.int64),
+            # DuckDB round() is half-AWAY-from-zero; np.round is half-to-
+            # even and diverges on exact .5 boundaries (oracle contract)
+            "sum_micro": (np.sign(total)
+                          * np.floor(np.abs(total * 1e6) + 0.5)
+                          ).astype(np.int64),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ccnerx_ray.functions.hashing import stable_hash64
+from ccnerx_ray.functions.tokenize import ws_tokens
 
 logger = logging.getLogger(__name__)
 
@@ -97,10 +98,12 @@ def asof_join(left, right, on: str, by: str | None = None,
         right.map_batches(tag("R"), batch_format="pyarrow"))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == "L"][[c for c in lcols if c in g.columns]]
-        rf = g[g["_side"] == "R"][[c for c in rcols if c in g.columns]]
-        if lf.empty:
-            return pd.DataFrame()
+        # reindex (not column-subset) + running the merge EVEN WHEN the
+        # left slice is empty keeps every bucket's output frame on the
+        # same named+typed columns — a bare pd.DataFrame() here is the
+        # untyped-empty-block poison grouping.py documents (VERDICT r1 #5)
+        lf = g[g["_side"] == "L"].reindex(columns=lcols)
+        rf = g[g["_side"] == "R"].reindex(columns=rcols)
         lf = lf.sort_values(on)
         rf = rf.sort_values(on)
         merged = pd.merge_asof(lf, rf, on=on, by=by, direction=direction,
@@ -164,10 +167,17 @@ def range_join(points, intervals, point_col: str, start_col: str,
         intervals.map_batches(interval_rows, batch_format="pyarrow"))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pf = g[g["_side"] == "P"][[c for c in pcols if c in g.columns]]
-        iv = g[g["_side"] == "I"][[c for c in icols if c in g.columns]]
+        pf = g[g["_side"] == "P"].reindex(columns=pcols)
+        iv = g[g["_side"] == "I"].reindex(columns=icols)
         if pf.empty or iv.empty:
-            return pd.DataFrame()
+            # schema-stable empty: same named columns as the non-empty
+            # path (point cols + suffixed interval cols), zero rows —
+            # never a bare pd.DataFrame() (untyped-empty poison)
+            out_cols = pcols + [c if c not in pcols else c + suffix
+                                for c in icols]
+            return pd.concat([pf, iv.rename(columns={
+                c: (c if c not in pcols else c + suffix)
+                for c in icols})], axis=1).reindex(columns=out_cols).iloc[:0]
         pf = pf.reset_index(drop=True)
         iv = iv.reset_index(drop=True)
         pv = pf[point_col].to_numpy(dtype=np.float64)
@@ -212,8 +222,11 @@ def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
 
     pass 2 — the ≤ capacity candidate words broadcast via ``ray.put``;
     a map-only pass re-counts EXACTLY those words; a tiny grouped sum +
-    sort yields the exact top-k (assuming the k-th word clears the
-    N/capacity bar — at 100 TB size ``capacity`` to corpus skew).
+    sort yields the exact top-k. The capture precondition (k-th word
+    count > N/(capacity+1)) is CHECKED from the merged sketch; when it
+    fails the recount runs unfiltered (exact full wordcount) — the
+    result is always exact, only the shuffle width degrades. At 100 TB
+    size ``capacity`` to corpus skew to stay on the cheap path.
 
     Contrast with the single-pass distributed wordcount
     (``q_top_words``): that shuffles one row per distinct word per
@@ -226,7 +239,7 @@ def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
     def sketch(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
         for t in batch.column(text_col).to_pylist():
-            for w in (t or "").split():
+            for w in ws_tokens(t):
                 counts[w] = counts.get(w, 0) + 1
         total = sum(counts.values())    # pre-trim batch token weight
         counts = _mg_trim(counts, capacity)
@@ -256,19 +269,23 @@ def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
     floor = grand_total // (capacity + 1)
     kth = (sorted(merged.values(), reverse=True)[k_out - 1]
            if len(merged) >= k_out else 0)
-    if kth <= floor:
+    certified = kth > floor
+    if not certified:
         logger.warning(
             "heavy_hitters_words: capture guarantee NOT certified "
-            "(k-th sketch count %d <= N/(capacity+1) = %d); the top-%d "
-            "may miss a word — raise capacity", kth, floor, k_out)
-    cand_ref = ray.put(frozenset(merged))
+            "(k-th sketch count %d <= N/(capacity+1) = %d) — degrading "
+            "to an exact unfiltered recount (full-vocabulary shuffle); "
+            "raise capacity to regain the cheap path", kth, floor)
+    # uncertified → recount EVERY word (exact wordcount): the operator
+    # stays total/exact, only the shuffle width degrades
+    cand_ref = ray.put(frozenset(merged) if certified else None)
 
     def recount(batch: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
         counts: dict[str, int] = {}
         for t in batch.column(text_col).to_pylist():
-            for w in (t or "").split():
-                if w in cand:
+            for w in ws_tokens(t):
+                if cand is None or w in cand:
                     counts[w] = counts.get(w, 0) + 1
         return pa.table({"word": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})

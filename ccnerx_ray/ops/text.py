@@ -17,10 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ccnerx_ray.functions.hashing import stable_hash64
+from ccnerx_ray.functions.tokenize import ws_tokens
 
-# whitespace tokenization — definition shared with the SQL oracle:
-# tokens = regexp_split(trim(text), '\s+')
-_WS_RE = re.compile(r"\s+")
 
 # BPE-ish subword pieces: runs of letters / digits / single symbol
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z0-9]")
@@ -33,7 +31,9 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las y de un una en es para con que se por".split()),
     "zh": frozenset("的 了 在 是 我 有 和 就 不 人 都 一 上 也".split()),
 }
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# punct == what RE2 '[\w\s]' deletion leaves: ASCII \w and
+# ASCII \s WITHOUT \x0b (RE2's \s is [\t\n\f\r ])
+_PUNCT_RE = re.compile(r"[^0-9A-Za-z_ \t\n\f\r]")
 
 
 def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -42,7 +42,7 @@ def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     n_tok, n_uniq, n_pieces = [], [], []
     for t in texts:
-        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        toks = ws_tokens(t)
         n_tok.append(len(toks))
         n_uniq.append(len(set(toks)))
         n_pieces.append(len(_BPE_RE.findall(t)) if t else 0)
@@ -64,7 +64,7 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     nb, ub, nt, ut = [], [], [], []
     for t in texts:
-        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        toks = ws_tokens(t)
         bigs = ["\x1f".join(p) for p in zip(toks, toks[1:])]
         tris = ["\x1f".join(p) for p in zip(toks, toks[1:], toks[2:])]
         nb.append(len(bigs))
@@ -85,12 +85,12 @@ def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     quality, stop_ratio_pm, punct_pm = [], [], []
     en_stops = _LANG_PROFILES["en"]
     for t in texts:
-        if not t or not t.strip():
+        toks = ws_tokens(t)
+        if not toks:
             quality.append(0)
             stop_ratio_pm.append(0)
             punct_pm.append(0)
             continue
-        toks = _WS_RE.split(t.strip())
         n = len(toks)
         stops = sum(1 for w in toks if w.lower() in en_stops)
         punct = len(_PUNCT_RE.findall(t))
@@ -122,7 +122,7 @@ def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     preds = []
     for t in texts:
-        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        toks = ws_tokens(t)
         low = [w.lower() for w in toks]
         best, best_score = "und", 0
         for lang in sorted(_LANG_PROFILES):
@@ -148,7 +148,7 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col).to_pylist()
     fps = []
     for t in texts:
-        toks = _WS_RE.split(t.strip()) if t and t.strip() else []
+        toks = ws_tokens(t)
         if not toks:
             fps.append("0")
             continue
@@ -170,7 +170,7 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> list[str]:
     selection exactly."""
     from ccnerx_ray.functions.hashing import sha256_hex16 as h16
 
-    toks = _WS_RE.split(text.strip()) if text and text.strip() else []
+    toks = ws_tokens(text)
     if not toks:
         return []
 

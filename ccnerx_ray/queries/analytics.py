@@ -370,14 +370,24 @@ FROM e GROUP BY label, dim
 """
 
 
+def _media_n(sf_dir: str) -> int:
+    """Media fixture size, derived from the documents ROW COUNT — the
+    same (and only) scale signal a static oracle SQL string can read, so
+    the Python and SQL sides can never disagree on which leg applies
+    (deriving it from the sf dir NAME did, for any dir not literally
+    named *0.1)."""
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return 120 if n_docs >= 2000 else 60
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing over a deterministic synthetic media table
-    (size scaled loosely by the sf dir name)."""
+    (size scaled with the corpus)."""
     import ray.data
     from ccnerx_ray.ops.multimodal import (extract_media_features,
                                            synthetic_media_table)
-    n = 120 if sf_dir.rstrip("/").endswith("0.1") else 60
-    ds = ray.data.from_arrow(synthetic_media_table(n))
+    ds = ray.data.from_arrow(synthetic_media_table(_media_n(sf_dir)))
     return extract_media_features(ds, dim=32, concurrency=2)
 
 
@@ -393,8 +403,7 @@ def q_media_headers(sf_dir: str):
     from ccnerx_ray.ops.multimodal import (MEDIA_HEADER_SCHEMA,
                                            extract_media_headers,
                                            synthetic_media_table)
-    n = 120 if sf_dir.rstrip("/").endswith("0.1") else 60
-    ds = ray.data.from_arrow(synthetic_media_table(n))
+    ds = ray.data.from_arrow(synthetic_media_table(_media_n(sf_dir)))
     out = extract_media_headers(ds)
     # int32 production schema → BIGINT to match the oracle's literal types
     schema64 = pa.schema([

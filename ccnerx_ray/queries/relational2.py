@@ -193,8 +193,9 @@ def q_top_words(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
+        from ccnerx_ray.functions.tokenize import ws_tokens
         for t in batch.column("text").to_pylist():
-            for w in (t or "").split():
+            for w in ws_tokens(t):
                 counts[w] = counts.get(w, 0) + 1
         return pa.table({"word": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})

@@ -94,21 +94,26 @@ def test_entry_smoke(ray_session):
 
 
 def test_whitespace_edges_match_oracle():
-    """Tabs/newlines at text edges: DuckDB trim() strips spaces only, so
-    the oracles split the RAW text and filter empty tokens — this test
-    pins the contract with documents the synthetic fixtures never
-    contain (code-review finding)."""
+    """Whitespace the fixtures never contain: tabs/newlines at edges
+    (DuckDB trim() strips spaces only) AND the RE2-vs-Python class gap —
+    RE2's \\s is [\\t\\n\\f\\r ] while Python's str.split()/re \\s also
+    break on \\x0b, \\xa0, \\u2028…; ws_tokens pins the RE2 contract, so
+    vertical tabs and non-breaking spaces are TOKEN CHARACTERS on both
+    sides (code-review findings, rounds 1+2)."""
     import pyarrow as pa
 
     from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
+                                     add_quality_score,
                                      add_repetition_stats, add_token_stats)
     from ccnerx_ray.queries.analytics import (ORACLE_FINGERPRINT,
                                               ORACLE_LANGID,
+                                              ORACLE_QUALITY,
                                               ORACLE_REPETITION,
                                               ORACLE_TOKEN_STATS)
 
     texts = ["\tthe cat sat on the mat with a hat\n", "  \t ", "",
-             "a\nb\tc d", "\n\nder die das und zu ist für auf\t"]
+             "a\nb\tc d", "\n\nder die das und zu ist für auf\t",
+             "a\x0bb c\xa0d e f", "\x0b", "x\x0b y\f z\r w"]
     docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     con = duckdb.connect()
     con.register("documents", docs)
@@ -117,6 +122,8 @@ def test_whitespace_edges_match_oracle():
         (add_token_stats, ORACLE_TOKEN_STATS, ["n_tokens", "n_uniq_tokens"]),
         (add_repetition_stats, ORACLE_REPETITION,
          ["n_bigrams", "n_uniq_bigrams", "n_trigrams", "n_uniq_trigrams"]),
+        (add_quality_score, ORACLE_QUALITY,
+         ["stopword_pm", "punct_pm", "quality"]),
         (add_langid, ORACLE_LANGID, ["pred_lang"]),
         (add_fingerprint, ORACLE_FINGERPRINT, ["fingerprint"]),
     ]:
