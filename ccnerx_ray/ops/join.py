@@ -87,7 +87,8 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
     Parameters
     ----------
     on / right_on : join key column on probe / build (default: same).
-    join_type : ``"inner"`` or ``"left_anti"`` (probe rows with no match).
+    join_type : ``"inner"``, ``"left_semi"`` (probe rows with a match,
+        probe columns only) or ``"left_anti"`` (probe rows with none).
     broadcast_bytes : build sides estimated under this go shuffle-free.
     build_bytes_hint : byte estimate for the build side; pass the
         pre-filter ``read_parquet(...).size_bytes()`` so derived plans
@@ -96,7 +97,7 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
     num_partitions : hash-path shuffle width.
     """
     right_on = right_on or on
-    if join_type not in ("inner", "left_anti"):
+    if join_type not in ("inner", "left_semi", "left_anti"):
         raise ValueError(f"unsupported join_type: {join_type}")
 
     tbl = _materialize_build(build, broadcast_bytes, build_bytes_hint)
@@ -108,14 +109,17 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
     import ray
     ref = ray.put(tbl)
 
-    if join_type == "left_anti":
-        def _anti(batch: pa.Table) -> pa.Table:
+    if join_type in ("left_semi", "left_anti"):
+        keep_hits = join_type == "left_semi"
+
+        def _membership(batch: pa.Table) -> pa.Table:
             keys = _prepared_build(ref, right_on)[1]
-            hit = pc.is_in(batch.column(on), value_set=keys)
             # null probe keys never match (SQL semantics): is_in yields
-            # null there, which must mean KEEP under anti
-            return batch.filter(pc.invert(pc.fill_null(hit, False)))
-        return probe.map_batches(_anti, batch_format="pyarrow")
+            # null there — semi drops those rows, anti keeps them
+            hit = pc.fill_null(pc.is_in(batch.column(on), value_set=keys),
+                               False)
+            return batch.filter(hit if keep_hits else pc.invert(hit))
+        return probe.map_batches(_membership, batch_format="pyarrow")
 
     def _inner(batch: pa.Table) -> pa.Table:
         b, keys, idx = _prepared_build(ref, right_on)

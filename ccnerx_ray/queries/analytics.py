@@ -149,6 +149,33 @@ LEFT JOIN cont c USING (doc_id)
 """
 
 
+# ------------------------------------------------------------- profiling
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile(sf_dir: str):
+    """Numeric column profile of the biggest fact table (null rates,
+    ranges, magnitudes) — mergeable partial stats per block, tiny merge;
+    the first thing any ingestion run computes at 100 TB."""
+    from ccnerx_ray.ops.profile import profile_numeric
+    return profile_numeric(_read_rel(sf_dir, "lineitem", _PROFILE_COLS),
+                           _PROFILE_COLS)
+
+
+def _read_rel(sf_dir: str, table: str, columns):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def _profile_oracle() -> str:
+    from ccnerx_ray.ops.profile import profile_oracle_sql
+    return profile_oracle_sql("lineitem", _PROFILE_COLS)
+
+
+ORACLE_PROFILE = _profile_oracle()
+
+
 # ------------------------------------------------------------- quality
 def q_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -741,6 +768,7 @@ ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
+    "profile": q_profile,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
@@ -764,6 +792,7 @@ ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "profile": ORACLE_PROFILE,
     "quality": ORACLE_QUALITY,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,

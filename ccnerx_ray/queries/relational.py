@@ -237,6 +237,35 @@ GROUP BY c_nationkey
 """
 
 
+# -------------------------------------------------------------------- q7b
+def q_customers_with_open_orders(sf_dir: str):
+    """SEMI join (EXISTS shape), the third adaptive-join strategy:
+    customers holding at least one open ('O') order, counted per nation.
+    Probe columns only — the membership test never widens the row."""
+    from ray.data.aggregate import Count
+
+    from ccnerx_ray.ops.join import adaptive_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_src = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    orders = orders_src.filter(expr="o_orderstatus == 'O'") \
+                       .select_columns(["o_custkey"])
+    with_open = adaptive_join(cust, orders, on="c_custkey",
+                              right_on="o_custkey", join_type="left_semi",
+                              build_bytes_hint=orders_src.size_bytes())
+    out = with_open.groupby("c_nationkey").aggregate(Count())
+    return out.map_batches(_rename_cents({"count()": "n_customers"}, {}),
+                           batch_format="pyarrow")
+
+
+ORACLE_Q7B = """
+SELECT c_nationkey, count(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------- q8
 def q_events_hourly(sf_dir: str):
     """Windowed (hourly-bucket) aggregate over the event stream table —
@@ -324,6 +353,7 @@ RELATIONAL_QUERIES = {
     "distinct_flags": q_distinct_flags,
     "union_shipdate": q_union_shipdate,
     "customers_without_orders": q_customers_without_orders,
+    "customers_with_open_orders": q_customers_with_open_orders,
     "events_hourly": q_events_hourly,
     "top_parts_per_brand": q_top_parts_per_brand,
     "building_orders": q_building_orders,
@@ -337,6 +367,7 @@ RELATIONAL_ORACLE = {
     "distinct_flags": ORACLE_Q5,
     "union_shipdate": ORACLE_Q6,
     "customers_without_orders": ORACLE_Q7,
+    "customers_with_open_orders": ORACLE_Q7B,
     "events_hourly": ORACLE_Q8,
     "top_parts_per_brand": ORACLE_Q9,
     "building_orders": ORACLE_Q10,

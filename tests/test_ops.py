@@ -644,3 +644,30 @@ def test_heavy_hitters_uncertified_warns(ray_session, caplog):
         heavy_hitters_words(ray.data.from_items(docs), k_out=3,
                             capacity=4).take_all()
     assert any("NOT certified" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("bcast", [1 << 30, 0])
+def test_adaptive_semi_join_paths_agree(ray_session, bcast):
+    from ccnerx_ray.ops.join import adaptive_join
+    probe, build = _join_fixture()
+    out = adaptive_join(probe, build, on="k", right_on="bk",
+                        join_type="left_semi", broadcast_bytes=bcast,
+                        num_partitions=3).take_all()
+    want = [(i % 7, i) for i in range(100) if i % 7 <= 3]
+    assert sorted((r["k"], r["v"]) for r in out) == sorted(want)
+
+
+def test_profile_numeric_with_nulls(ray_session):
+    """Profile merge across blocks, including an all-null column and a
+    negative-boundary value exercising half-away-from-zero rounding."""
+    import ray.data
+    from ccnerx_ray.ops.profile import profile_numeric
+    rows = [{"a": float(i), "b": None if i < 6 else -0.0000025}
+            for i in range(6)]
+    rows += [{"a": -2.5e-6, "b": None}]
+    out = {r["col_name"]: r for r in profile_numeric(
+        ray.data.from_items(rows).repartition(3), ["a", "b"]).take_all()}
+    assert out["a"]["n_rows"] == 7 and out["a"]["n_null"] == 0
+    assert out["a"]["min_micro"] == -3          # half AWAY from zero
+    assert out["a"]["max_micro"] == 5_000_000
+    assert out["b"]["n_null"] == 7 and out["b"]["min_micro"] == 0

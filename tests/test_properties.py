@@ -184,3 +184,29 @@ def test_kg_sql_fragments_reject_long_chains():
             A._kg_sql_fragments()
     finally:
         A.TESTDATA_CATALOG = orig
+
+
+# --- ws_tokens == DuckDB string_split_regex('\s+') on ARBITRARY text -------
+# the oracle-contract tokenizer must agree with RE2 for every input, not
+# just the ASCII fixtures; exercise the divergence-prone characters hard
+_WS_ALPHABET = st.sampled_from(
+    list("ab ") + ["\t", "\n", "\r", "\f", "\x0b", "\xa0", " ",
+                   "　", "ü", "的", "\x1f"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(_WS_ALPHABET, max_size=12), min_size=1, max_size=8))
+def test_ws_tokens_matches_duckdb_split(texts):
+    import duckdb
+    import pandas as pd
+
+    from ccnerx_ray.functions.tokenize import ws_tokens
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(texts)), "s": texts}))
+    want = con.sql(
+        r"SELECT i, list_filter(string_split_regex(s, '\s+'),"
+        r" w -> w <> '') AS tk FROM t ORDER BY i").df()["tk"].tolist()
+    con.close()
+    got = [ws_tokens(s) for s in texts]
+    assert [list(w) for w in want] == got, (texts, want, got)
