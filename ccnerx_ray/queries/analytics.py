@@ -176,6 +176,34 @@ def _profile_oracle() -> str:
 ORACLE_PROFILE = _profile_oracle()
 
 
+_QUANTILE_QS = [(10, 0.01), (250, 0.25), (500, 0.5), (750, 0.75),
+                (900, 0.9), (990, 0.99)]
+
+
+def q_quantiles(sf_dir: str):
+    """EXACT order statistics of order totals WITHOUT a global sort:
+    histogram-refinement (ops/profile.py:exact_quantiles) — mergeable
+    int64 histogram vectors per block, bounded driver collect. Matches
+    DuckDB quantile_disc rank-for-rank."""
+    import pyarrow as pa
+    from ccnerx_ray.ops.profile import exact_quantiles
+    ds = _read_rel(sf_dir, "orders", ["o_totalprice"])
+    got = exact_quantiles(ds, "o_totalprice", [q for _, q in _QUANTILE_QS])
+    return pa.table({
+        "q_permille": pa.array([pm for pm, _ in _QUANTILE_QS], pa.int64()),
+        "value_cents": pa.array(
+            [int(round(got[q] * 100)) for _, q in _QUANTILE_QS],
+            pa.int64()),
+    })
+
+
+ORACLE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT CAST({pm} AS BIGINT) AS q_permille, "
+    f"CAST(round(quantile_disc(o_totalprice, {q}) * 100) AS BIGINT) "
+    f"AS value_cents FROM orders"
+    for pm, q in _QUANTILE_QS)
+
+
 # ------------------------------------------------------------- quality
 def q_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -769,6 +797,7 @@ ANALYTICS_QUERIES = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "profile": q_profile,
+    "quantiles": q_quantiles,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
@@ -793,6 +822,7 @@ ANALYTICS_ORACLE = {
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "profile": ORACLE_PROFILE,
+    "quantiles": ORACLE_QUANTILES,
     "quality": ORACLE_QUALITY,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,

@@ -671,3 +671,23 @@ def test_profile_numeric_with_nulls(ray_session):
     assert out["a"]["min_micro"] == -3          # half AWAY from zero
     assert out["a"]["max_micro"] == 5_000_000
     assert out["b"]["n_null"] == 7 and out["b"]["min_micro"] == 0
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    """Histogram-refinement quantiles == sorted-array selection at the
+    DuckDB quantile_disc rank (ceil(q*n), 1-based), including a heavy
+    duplicate mass that forces bucket-range refinement."""
+    import math
+
+    import ray.data
+    from ccnerx_ray.ops.profile import exact_quantiles
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 100, 3000),
+                           np.full(2000, 42.5)])   # dup-heavy spike
+    ds = ray.data.from_items([{"x": float(v)} for v in vals]).repartition(6)
+    got = exact_quantiles(ds, "x", [0.01, 0.5, 0.9], num_bins=64,
+                          max_collect=200)
+    s = np.sort(vals)
+    for q, v in got.items():
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        assert v == want, (q, v, want)
