@@ -138,8 +138,8 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
     ranks = {q: max(1, int(math.ceil(q * n))) for q in qs}
 
     def _vals(batch: pa.Table) -> np.ndarray:
-        return np.asarray(pc.drop_null(batch.column(col)).to_pylist(),
-                          dtype=np.float64)
+        return (pc.drop_null(batch.column(col)).combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.float64))
 
     out: dict[float, float] = {}
     pending = dict(ranks)               # q -> GLOBAL rank, still unsolved
@@ -169,6 +169,11 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
         next_range = None
         for q in sorted(pending, key=pending.get):
             local = pending[q] - cum_before
+            if local < 1 or local > int(csum[-1]):
+                # rank lies outside the refined range (it sat in a
+                # DIFFERENT oversized bucket of an earlier round) —
+                # leave it for the exact safety collect below
+                continue
             b = int(np.searchsorted(csum, local))
             if hist[b] <= max_collect:
                 e0, e1 = edges[b], edges[b + 1]
@@ -198,13 +203,14 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
         if next_range is None:
             break
         blo, bhi, cum_before = next_range
-    for q in list(pending):             # safety: exact but driver-heavy
+    if pending:                         # safety: exact but driver-heavy
         def _all_vals(batch: pa.Table) -> pa.Table:
             return pa.table({"v": pa.array(_vals(batch), pa.float64())})
         vals = np.sort(np.array(
             [r["v"] for r in ds.map_batches(
                 _all_vals, batch_format="pyarrow").take_all()],
             dtype=np.float64))
-        out[q] = float(vals[pending[q] - 1])
-        del pending[q]
+        for q in list(pending):         # one collect+sort, k lookups
+            out[q] = float(vals[pending[q] - 1])
+            del pending[q]
     return out

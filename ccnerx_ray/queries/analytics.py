@@ -163,9 +163,8 @@ def q_profile(sf_dir: str):
 
 
 def _read_rel(sf_dir: str, table: str, columns):
-    import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns)
+    from ccnerx_ray.queries.relational import _read
+    return _read(sf_dir, table, columns)
 
 
 def _profile_oracle() -> str:
@@ -185,14 +184,19 @@ def q_quantiles(sf_dir: str):
     histogram-refinement (ops/profile.py:exact_quantiles) — mergeable
     int64 histogram vectors per block, bounded driver collect. Matches
     DuckDB quantile_disc rank-for-rank."""
+    import math
+
     import pyarrow as pa
+
     from ccnerx_ray.ops.profile import exact_quantiles
     ds = _read_rel(sf_dir, "orders", ["o_totalprice"])
     got = exact_quantiles(ds, "o_totalprice", [q for _, q in _QUANTILE_QS])
     return pa.table({
         "q_permille": pa.array([pm for pm, _ in _QUANTILE_QS], pa.int64()),
+        # half-away-from-zero (DuckDB round), not Python's half-to-even
         "value_cents": pa.array(
-            [int(round(got[q] * 100)) for _, q in _QUANTILE_QS],
+            [int(math.copysign(math.floor(abs(got[q] * 100) + 0.5), got[q]))
+             for _, q in _QUANTILE_QS],
             pa.int64()),
     })
 

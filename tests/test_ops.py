@@ -662,7 +662,7 @@ def test_profile_numeric_with_nulls(ray_session):
     negative-boundary value exercising half-away-from-zero rounding."""
     import ray.data
     from ccnerx_ray.ops.profile import profile_numeric
-    rows = [{"a": float(i), "b": None if i < 6 else -0.0000025}
+    rows = [{"a": float(i), "b": None if i < 3 else -0.0000025}
             for i in range(6)]
     rows += [{"a": -2.5e-6, "b": None}]
     out = {r["col_name"]: r for r in profile_numeric(
@@ -670,7 +670,8 @@ def test_profile_numeric_with_nulls(ray_session):
     assert out["a"]["n_rows"] == 7 and out["a"]["n_null"] == 0
     assert out["a"]["min_micro"] == -3          # half AWAY from zero
     assert out["a"]["max_micro"] == 5_000_000
-    assert out["b"]["n_null"] == 7 and out["b"]["min_micro"] == 0
+    assert out["b"]["n_null"] == 4
+    assert out["b"]["min_micro"] == -3 and out["b"]["max_micro"] == -3
 
 
 def test_exact_quantiles_vs_numpy(ray_session):
@@ -691,3 +692,20 @@ def test_exact_quantiles_vs_numpy(ray_session):
     for q, v in got.items():
         want = s[max(1, math.ceil(q * len(s))) - 1]
         assert v == want, (q, v, want)
+
+
+def test_exact_quantiles_two_oversized_buckets(ray_session):
+    """Two dup spikes in two different oversized buckets in one round:
+    the first refines, the second must route to the safety collect (was
+    an IndexError when the rank fell outside the refined range)."""
+    import math
+
+    import ray.data
+    from ccnerx_ray.ops.profile import exact_quantiles
+    vals = np.concatenate([np.full(500, 1.0), np.full(500, 2.0)])
+    ds = ray.data.from_items([{"x": float(v)} for v in vals]).repartition(4)
+    got = exact_quantiles(ds, "x", [0.25, 0.75], num_bins=16,
+                          max_collect=100, max_rounds=3)
+    s = np.sort(vals)
+    for q, v in got.items():
+        assert v == s[max(1, math.ceil(q * len(s))) - 1], (q, v)
