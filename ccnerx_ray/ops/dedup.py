@@ -23,6 +23,8 @@ Scale notes (10^12 rows):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -230,6 +232,178 @@ def ngram_jaccard_verify(pairs_rows: list[dict], docs_by_id: dict,
         union = len(sa | sb) or 1
         out.append(dict(row, jaccard=inter / union))
     return out
+
+
+def shingle_set_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                     shingle_k: int = 3):
+    """→ ``(doc_id, sh, n_doc)``: one row per DISTINCT shingle hash per
+    document, with the document's distinct-shingle count ``n_doc`` carried
+    on every row (so the downstream similarity join never needs a second
+    shuffle to attach set sizes)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        oi, oh, on = [], [], []
+        for i, t in zip(ids, texts):
+            hs = np.unique(shingle_hashes(t or "", shingle_k))
+            oi.extend([i] * len(hs))
+            oh.extend(hs.tolist())
+            on.extend([len(hs)] * len(hs))
+        return pa.table({
+            id_col: pa.array(oi, batch.schema.field(id_col).type),
+            "sh": pa.array(oh, pa.int64()),
+            "n_doc": pa.array(on, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _posting_pairs(id_col: str, max_posting: int | None,
+                   pair_filter: set | None = None):
+    """Local fn for :func:`coarse_grouped` over shingle rows: for every
+    shingle (inverted-index posting list), emit all doc pairs sharing it.
+    ``max_posting`` caps hot posting lists (truncation metric-counted);
+    ``pair_filter`` restricts emission to a candidate set (verify mode)."""
+    from ccnerx_ray.state import metrics
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        ida, idb, na, nb = [], [], [], []
+        truncated = 0
+        for _, sub in g.groupby("sh", sort=False):
+            if len(sub) < 2:
+                continue
+            if max_posting is not None:
+                truncated += max(0, len(sub) - max_posting)
+                sub = sub.sort_values(id_col).head(max_posting)
+            else:
+                sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            ns = sub["n_doc"].to_numpy()
+            ai, bi = np.triu_indices(len(ids), k=1)
+            if pair_filter is not None:
+                keep = [j for j in range(len(ai))
+                        if (ids[ai[j]], ids[bi[j]]) in pair_filter]
+                ai, bi = ai[keep], bi[keep]
+            ida.extend(ids[ai].tolist())
+            idb.extend(ids[bi].tolist())
+            na.extend(ns[ai].tolist())
+            nb.extend(ns[bi].tolist())
+        if truncated:
+            metrics.incr("jaccard_postings_truncated", truncated)
+        return pd.DataFrame({"id_a": ida, "id_b": idb,
+                             "n_a": na, "n_b": nb})
+
+    return local
+
+
+_PAIR_DTYPES = {"id_a": "int64", "id_b": "int64",
+                "n_a": "int64", "n_b": "int64"}
+
+
+def _score_jaccard_pairs(pair_rows, threshold: float):
+    """(id_a, id_b, n_a, n_b) multiset → per-pair shared count → exact
+    Jaccard ≥ threshold. One coarse-grouped shuffle keyed on the pair."""
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["id_a", "id_b"], sort=False)
+                .agg(n_a=("n_a", "first"), n_b=("n_b", "first"),
+                     n_shared=("n_a", "size"))
+                .reset_index())
+        j = agg["n_shared"] / (agg["n_a"] + agg["n_b"] - agg["n_shared"])
+        agg["jaccard"] = j
+        return agg[j >= threshold]
+
+    return coarse_grouped(pair_rows, ["id_a", "id_b"], count,
+                          num_buckets=256,
+                          out_dtypes=dict(_PAIR_DTYPES,
+                                          n_shared="int64",
+                                          jaccard="float64"))
+
+
+def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 3, threshold: float = 0.5,
+                  max_posting: int | None = None):
+    """EXACT n-gram Jaccard similarity join (the fourth dedup family
+    member next to exact / MinHash-LSH / SimHash): distributed
+    inverted-index join — explode distinct shingle hashes per doc →
+    coarse-group postings by shingle and emit co-occurring pairs →
+    coarse-group by pair and count shared shingles → exact
+    ``J = shared / (n_a + n_b - shared)`` filtered at ``threshold``.
+
+    Exact when ``max_posting is None``; a cap bounds the quadratic blowup
+    of stop-shingle posting lists at scale (truncation counted into the
+    ``jaccard_postings_truncated`` run metric — no silent caps). For
+    corpora where even capped posting lists are too hot, use
+    :func:`jaccard_pairs_prefix` (prefix-filtered candidate generation).
+
+    Shuffle payload is ``(shingle int64, id, n int64)`` then
+    ``(pair ids, sizes)`` — never the documents themselves.
+    """
+    rows = shingle_set_rows(ds, text_col, id_col, shingle_k)
+    pairs = coarse_grouped(rows, ["sh"],
+                           _posting_pairs(id_col, max_posting),
+                           num_buckets=1024, out_dtypes=_PAIR_DTYPES)
+    return _score_jaccard_pairs(pairs, threshold)
+
+
+def jaccard_pairs_prefix(ds, text_col: str = "text", id_col: str = "doc_id",
+                         shingle_k: int = 3, threshold: float = 0.5,
+                         max_candidates: int = 2_000_000):
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin candidate
+    rule; Bayardo et al., WWW'07): index only each document's first
+    ``p = n - ceil(t*n) + 1`` shingles under the global hash order — any
+    pair with ``J >= t`` must share a prefix shingle — then verify the
+    (small) candidate set exactly against the full shingle rows.
+
+    Same output as :func:`jaccard_pairs` (tested equal); the inverted
+    index only ever sees the prefix postings, so hot stop-shingles deep
+    in documents never explode. The candidate set is materialized on the
+    driver for the verify broadcast — bounded by ``max_candidates``
+    (asserted), which holds whenever near-dup rate is sane."""
+    rows = shingle_set_rows(ds, text_col, id_col, shingle_k)
+
+    def to_prefix(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # Ray may split one doc's rows across batches; keeping each
+        # fragment's p-smallest is safe — anything in the doc's true
+        # p-prefix is in the p-prefix of every fragment containing it,
+        # so the union is a SUPERSET of the true prefix (extra
+        # candidates only; the verify stage is exact).
+        keep = []
+        for _, sub in df.groupby(id_col, sort=False):
+            n = int(sub["n_doc"].iloc[0])
+            p = n - math.ceil(threshold * n) + 1
+            keep.append(sub.nsmallest(p, "sh"))
+        out = (pd.concat(keep) if keep
+               else df.iloc[0:0])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    prefix_rows = rows.map_batches(to_prefix, batch_format="pyarrow")
+    cand = coarse_grouped(prefix_rows, ["sh"], _posting_pairs(id_col, None),
+                          num_buckets=1024, out_dtypes=_PAIR_DTYPES)
+
+    def dedup_local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])
+
+    cand = coarse_grouped(cand, ["id_a", "id_b"], dedup_local,
+                          num_buckets=256, out_dtypes=_PAIR_DTYPES)
+    cand_rows = cand.take_all()
+    assert len(cand_rows) <= max_candidates, (
+        f"{len(cand_rows)} candidate pairs exceed max_candidates="
+        f"{max_candidates}; raise the bound or lower the threshold")
+    pair_set = {(r["id_a"], r["id_b"]) for r in cand_rows}
+    cand_ids = {i for p in pair_set for i in p}
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        mask = [i in cand_ids for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    verify_rows = rows.map_batches(only_cands, batch_format="pyarrow")
+    shared = coarse_grouped(verify_rows, ["sh"],
+                            _posting_pairs(id_col, None, pair_set),
+                            num_buckets=256, out_dtypes=_PAIR_DTYPES)
+    return _score_jaccard_pairs(shared, threshold)
 
 
 def winnow_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -390,6 +390,57 @@ def q_simhash_pairs(sf_dir: str):
                          max_hamming=6)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (distributed inverted-index
+    + group-by-pair count; see :func:`ccnerx_ray.ops.dedup.jaccard_pairs`).
+    Unlike minhash_pairs this has no estimation error — the oracle checks
+    the true Jaccard values bit-for-bit."""
+    from ccnerx_ray.ops.dedup import jaccard_pairs
+    return jaccard_pairs(_docs_wide(sf_dir, ["doc_id", "text"]),
+                         shingle_k=3, threshold=0.5)
+
+
+def _jaccard_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    """Exact set-similarity join in SQL, mirroring
+    ``ops/dedup.py:jaccard_pairs`` bit for bit: the same 60-bit sha256
+    shingle hashes (so even hash-collision semantics agree), distinct per
+    doc, self-join on the hash, per-pair shared count, and
+    ``n_shared/(n_a+n_b-n_shared)`` — an IEEE-exact double division of
+    exact int64s on both sides."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN toks IS NULL THEN CAST([] AS UBIGINT[])
+         WHEN len(toks) < {shingle_k}
+         THEN [('0x' || substr(sha256(array_to_string(toks, ' ')), 1, 15))::UBIGINT]
+         ELSE list_transform(generate_series(1, len(toks) - {shingle_k - 1}),
+              i -> ('0x' || substr(sha256(array_to_string(
+                   toks[i:i+{shingle_k - 1}], ' ')), 1, 15))::UBIGINT)
+    END AS hashes
+  FROM t
+), hx AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hashes) AS h FROM sh)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id
+)
+SELECT p.id_a, p.id_b, na.n AS n_a, nb.n AS n_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / (na.n + nb.n - p.n_shared) AS jaccard
+FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+WHERE CAST(p.n_shared AS DOUBLE) / (na.n + nb.n - p.n_shared) >= {threshold}
+"""
+
+
 def q_ivf_knn(sf_dir: str):
     Q, qids = _query_matrix(sf_dir)
     out = ivf_knn(_emb(sf_dir), Q, query_ids=qids, k=10,
@@ -810,6 +861,7 @@ ANALYTICS_QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "ivf_knn": q_ivf_knn,
     "ivf_knn_full": q_ivf_knn_full,
     "centroids": q_centroids,
@@ -1062,6 +1114,7 @@ WHERE len(list_filter(generate_series(1, {num_perm}),
 
 
 ANALYTICS_ORACLE["minhash_pairs"] = _minhash_oracle()
+ANALYTICS_ORACLE["jaccard_pairs"] = _jaccard_oracle()
 
 
 def _simhash_oracle(max_hamming: int = 6, max_bucket: int = 64) -> str:

@@ -709,3 +709,54 @@ def test_exact_quantiles_two_oversized_buckets(ray_session):
     s = np.sort(vals)
     for q, v in got.items():
         assert v == s[max(1, math.ceil(q * len(s))) - 1], (q, v)
+
+
+# ------------------------------------------------------ exact jaccard join
+def test_jaccard_pairs_exact_values(ray_session):
+    """Planted pair: brute-force shingle-set Jaccard equals the
+    distributed inverted-index join output, and the unrelated doc never
+    pairs above threshold."""
+    from ccnerx_ray.ops.dedup import jaccard_pairs, shingle_hashes
+    ds = near_dup_ds()
+    rows = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    got = {(p["id_a"], p["id_b"]): p
+           for p in jaccard_pairs(ds, threshold=0.5).take_all()}
+    assert (0, 1) in got
+    p = got[(0, 1)]
+    sa = set(shingle_hashes(rows[0], 3).tolist())
+    sb = set(shingle_hashes(rows[1], 3).tolist())
+    assert p["n_a"] == len(sa) and p["n_b"] == len(sb)
+    assert p["n_shared"] == len(sa & sb)
+    assert p["jaccard"] == len(sa & sb) / len(sa | sb)
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_jaccard_prefix_equals_exact(ray_session):
+    """AllPairs prefix filtering is a pure optimization: identical output
+    to the exhaustive inverted-index join, across thresholds."""
+    from ccnerx_ray.ops.dedup import jaccard_pairs, jaccard_pairs_prefix
+    ds = near_dup_ds()
+
+    def norm(pairs):
+        return sorted((p["id_a"], p["id_b"], p["n_a"], p["n_b"],
+                       p["n_shared"], p["jaccard"]) for p in pairs)
+
+    for thr in (0.3, 0.5, 0.8):
+        a = norm(jaccard_pairs(ds, threshold=thr).take_all())
+        b = norm(jaccard_pairs_prefix(ds, threshold=thr).take_all())
+        assert a == b, thr
+
+
+def test_jaccard_posting_cap_counts_truncation(ray_session):
+    """max_posting drops are surfaced as a run metric, never silent."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import jaccard_pairs
+    from ccnerx_ray.state import metrics
+    # 10 identical docs → one 10-doc posting list per shingle
+    rows = [{"doc_id": i, "text": "same exact shingle text every time here"}
+            for i in range(10)]
+    metrics.reset()
+    pairs = jaccard_pairs(ray.data.from_items(rows), threshold=0.9,
+                          max_posting=4).take_all()
+    assert len(pairs) == 6  # C(4,2) per shingle, deduped by pair
+    assert metrics.snapshot().get("jaccard_postings_truncated", 0) > 0
