@@ -477,3 +477,177 @@ GROUP BY 1, 2
 
 RELATIONAL2_QUERIES["events_sliding"] = q_events_sliding
 RELATIONAL2_ORACLE["events_sliding"] = ORACLE_EVENTS_SLIDING
+
+
+# ------------------------------------------------------- window functions
+def q_orders_running_total(sf_dir: str):
+    """Per-key RUNNING TOTAL window (SUM OVER PARTITION BY ... ORDER BY):
+    each order gets its customer's cumulative spend so far. Ray shape:
+    one coarse-grouped shuffle on the partition key, then a vectorized
+    per-customer sort + cumsum inside the group — no global sort. The
+    running sum is integer cents (half-up), so left-to-right pandas
+    cumsum and DuckDB's window SUM are both exact and associative
+    (float accumulation order would hash-diverge).
+
+    Scale note: the window partition (one customer's orders) must fit a
+    worker — true for any per-entity window; a partition that doesn't
+    fit one machine doesn't fit any engine's window operator either."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5) \
+                  .astype("int64")
+        run = (pd.Series(cents).groupby(g["o_custkey"].to_numpy())
+                 .cumsum().to_numpy())
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "running_cents": run,
+        })
+
+    return coarse_grouped(ds, ["o_custkey"], local, num_buckets=64,
+                          out_dtypes={"o_custkey": "int64",
+                                      "o_orderkey": "int64",
+                                      "running_cents": "int64"})
+
+
+ORACLE_ORDERS_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+           AS running_cents
+FROM orders
+"""
+
+RELATIONAL2_QUERIES["orders_running_total"] = q_orders_running_total
+RELATIONAL2_ORACLE["orders_running_total"] = ORACLE_ORDERS_RUNNING_TOTAL
+
+
+def q_events_daily_delta(sf_dir: str):
+    """Keyed LAG window over an aggregated series: events per
+    (event_type, day), each day compared to the type's PREVIOUS observed
+    day (``n - LAG(n)``; first day per type dropped, as SQL LAG yields
+    NULL there). Ray shape: distributed count to the tiny day grain,
+    then a coarse-grouped per-key sort + diff — the raw events never
+    sort, only the aggregated series does."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        day = (us // 1000) // 86_400_000 * 86_400_000
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day_ms": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(day), dtype=np.int64), pa.int64()),
+        })
+
+    daily = grouped_reduce(ds.map_batches(to_day, batch_format="pyarrow"),
+                           ["event_type", "day_ms"], {"one": "sum"},
+                           num_buckets=32)
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day_ms"])
+        n = g["one"].to_numpy()
+        prev = (pd.Series(n).groupby(g["event_type"].to_numpy())
+                  .shift(1).to_numpy())
+        keep = ~np.isnan(prev)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[keep],
+            "day_ms": g["day_ms"].to_numpy()[keep],
+            "n_events": n[keep],
+            "delta": (n[keep] - prev[keep]).astype("int64"),
+        })
+
+    return coarse_grouped(daily, ["event_type"], local, num_buckets=8,
+                          out_dtypes={"event_type": "string",
+                                      "day_ms": "int64",
+                                      "n_events": "int64",
+                                      "delta": "int64"})
+
+
+ORACLE_EVENTS_DAILY_DELTA = """
+WITH d AS (
+  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day_ms, n_events,
+         n_events - LAG(n_events) OVER (PARTITION BY event_type
+                                        ORDER BY day_ms) AS delta
+  FROM d
+)
+SELECT * FROM w WHERE delta IS NOT NULL
+"""
+
+RELATIONAL2_QUERIES["events_daily_delta"] = q_events_daily_delta
+RELATIONAL2_ORACLE["events_daily_delta"] = ORACLE_EVENTS_DAILY_DELTA
+
+
+# ------------------------------------------------------------------ rollup
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, year): order counts and revenue
+    at three grains — (priority, year), (priority), grand total — with
+    'ALL' marking rolled-up levels. Ray shape: ONE distributed pass to
+    the finest grain (mergeable integer sums), then the super-levels
+    re-aggregate the finest RESULT, whose size is bounded by
+    |priorities| x |years| (dozens of rows at any corpus scale) — the
+    raw table is never re-scanned per level."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
+        yr = pd.to_datetime(us, unit="us").year.astype(str)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return pa.table({
+            "priority": batch.column("o_orderpriority"),
+            "o_year": pa.array(yr, pa.string()),
+            "n_orders": pa.array(np.ones(len(yr), dtype=np.int64)),
+            "revenue_cents": pa.array(cents, pa.int64()),
+        })
+
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    finest = grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["priority", "o_year"],
+                            {"n_orders": "sum", "revenue_cents": "sum"},
+                            num_buckets=16)
+    f = pd.DataFrame(finest.take_all())  # bounded: |priority| x |years|
+    by_p = (f.groupby("priority", as_index=False)
+              [["n_orders", "revenue_cents"]].sum())
+    by_p["o_year"] = "ALL"
+    total = pd.DataFrame({"priority": ["ALL"], "o_year": ["ALL"],
+                          "n_orders": [f["n_orders"].sum()],
+                          "revenue_cents": [f["revenue_cents"].sum()]})
+    cols = ["priority", "o_year", "n_orders", "revenue_cents"]
+    return pd.concat([f[cols], by_p[cols], total[cols]], ignore_index=True)
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(CAST(y AS VARCHAR), 'ALL') AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (SELECT o_orderpriority, year(o_orderdate) AS y,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP(o_orderpriority, y)
+"""
+
+RELATIONAL2_QUERIES["revenue_rollup"] = q_revenue_rollup
+RELATIONAL2_ORACLE["revenue_rollup"] = ORACLE_REVENUE_ROLLUP
