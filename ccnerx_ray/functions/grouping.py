@@ -96,13 +96,15 @@ def coarse_grouped(ds, key_cols: Sequence[str],
 
 def grouped_reduce(ds, key_cols: Sequence[str],
                    agg: dict[str, str | Callable],
-                   num_buckets: int = 1024):
+                   num_buckets: int = 1024,
+                   out_dtypes: dict[str, str] | None = None):
     """Convenience: coarse-grouped ``groupby(key_cols).agg(agg)``."""
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(list(key_cols), sort=False).agg(agg).reset_index()
 
-    return coarse_grouped(ds, key_cols, local, num_buckets)
+    return coarse_grouped(ds, key_cols, local, num_buckets,
+                          out_dtypes=out_dtypes)
 
 
 def drop_duplicate_rows(ds, key_cols: Sequence[str], num_buckets: int = 256):

@@ -65,6 +65,11 @@ def _materialize_build(build, broadcast_bytes: int,
     blocks, total = [], 0
     for ref in build.to_arrow_refs():
         blk = ray.get(ref)
+        if blk.num_rows == 0:
+            # a shuffle can emit schema-less empty blocks (Ray passes
+            # them through without calling the UDF); concat would fail
+            # on the zero-column schema — drop them, they carry no rows
+            continue
         total += blk.nbytes
         if total > bound:
             logger.warning(
@@ -74,6 +79,8 @@ def _materialize_build(build, broadcast_bytes: int,
                 len(blocks) + 1)
             return None
         blocks.append(blk)
+    if not blocks:
+        return None  # no non-empty block ⇒ no schema; hash path handles it
     return pa.concat_tables(blocks).combine_chunks()
 
 

@@ -191,3 +191,64 @@ def add_winnow_fingerprints(batch: pa.Table, text_col: str = "text",
             for t in batch.column(text_col).to_pylist()]
     return batch.append_column("winnow",
                                pa.array(vals, pa.list_(pa.string())))
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    top_n: int = 3, num_buckets: int = 256):
+    """Corpus-weighted top terms per document (tf-idf shape): the score
+    is the exact rational ``tf / df`` (document frequency from the whole
+    corpus), so both this and the SQL oracle rank by an IEEE-exact
+    double of two int64s — no transcendental idf to drift on the last
+    ulp. Ties break by term text ascending (deterministic).
+
+    Distributed shape (three digest-size shuffles, never the documents):
+    per-doc term counts via a local Counter → corpus df via a coarse
+    groupby on term → df joined back to the term rows
+    (:func:`ccnerx_ray.ops.join.adaptive_join` — broadcast when the
+    vocabulary is small, hash-partitioned when not) → per-doc top-n via
+    a coarse groupby on doc id."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
+    from ccnerx_ray.ops.join import adaptive_join
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        oi, ot, oc = [], [], []
+        for i, t in zip(ids, texts):
+            for term, n in Counter(ws_tokens(t)).items():
+                oi.append(i)
+                ot.append(term)
+                oc.append(n)
+        return pa.table({
+            id_col: pa.array(oi, batch.schema.field(id_col).type),
+            "term": pa.array(ot, pa.string()),
+            "tf": pa.array(oc, pa.int64()),
+        })
+
+    tf_rows = ds.map_batches(term_counts, batch_format="pyarrow")
+    df_rows = grouped_reduce(
+        tf_rows.map_batches(
+            lambda b: b.select(["term"]).append_column(
+                "df", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["term"], {"df": "sum"}, num_buckets=num_buckets,
+        out_dtypes={"term": "string", "df": "int64"})
+    joined = adaptive_join(tf_rows, df_rows, on="term")
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_s"] = g["tf"].to_numpy() / g["df"].to_numpy()
+        g = g.sort_values([id_col, "_s", "term"],
+                          ascending=[True, False, True])
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g = g[g["rank"] <= top_n]
+        return g[[id_col, "term", "tf", "df", "rank"]]
+
+    return coarse_grouped(joined, [id_col], top, num_buckets=64,
+                          out_dtypes={id_col: "int64", "term": "string",
+                                      "tf": "int64", "df": "int64",
+                                      "rank": "int64"})

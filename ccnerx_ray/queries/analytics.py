@@ -390,6 +390,36 @@ def q_simhash_pairs(sf_dir: str):
                          max_hamming=6)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 tf-idf-weighted terms per document (exact rational tf/df
+    score; see :func:`ccnerx_ray.ops.text.tfidf_top_terms`)."""
+    from ccnerx_ray.ops.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), top_n=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """EXACT n-gram Jaccard similarity join (distributed inverted-index
     + group-by-pair count; see :func:`ccnerx_ray.ops.dedup.jaccard_pairs`).
@@ -862,6 +892,7 @@ ANALYTICS_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "ivf_knn": q_ivf_knn,
     "ivf_knn_full": q_ivf_knn_full,
     "centroids": q_centroids,
@@ -1115,6 +1146,7 @@ WHERE len(list_filter(generate_series(1, {num_perm}),
 
 ANALYTICS_ORACLE["minhash_pairs"] = _minhash_oracle()
 ANALYTICS_ORACLE["jaccard_pairs"] = _jaccard_oracle()
+ANALYTICS_ORACLE["tfidf_top_terms"] = ORACLE_TFIDF_TOP_TERMS
 
 
 def _simhash_oracle(max_hamming: int = 6, max_bucket: int = 64) -> str:

@@ -760,3 +760,23 @@ def test_jaccard_posting_cap_counts_truncation(ray_session):
                           max_posting=4).take_all()
     assert len(pairs) == 6  # C(4,2) per shingle, deduped by pair
     assert metrics.snapshot().get("jaccard_postings_truncated", 0) > 0
+
+
+def test_tfidf_top_terms_planted(ray_session):
+    """Hand-checkable tf/df ranking with a planted score tie: docs 1 and 2
+    share 'x' (df=2); doc 1's 'a a' (tf=2, df=1 → 2.0) outranks 'x'
+    (tf=1/df=2 → 0.5); in doc 3 'b' and 'c' tie at 1.0 and break by term
+    text ascending."""
+    import ray.data
+    from ccnerx_ray.ops.text import tfidf_top_terms
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a a x"},
+        {"doc_id": 2, "text": "x y"},
+        {"doc_id": 3, "text": "b c"},
+    ])
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+           for r in tfidf_top_terms(ds, top_n=2).take_all()}
+    assert out[(1, 1)] == ("a", 2, 1)
+    assert out[(1, 2)] == ("x", 1, 2)
+    assert out[(3, 1)] == ("b", 1, 1)
+    assert out[(3, 2)] == ("c", 1, 1)
