@@ -48,6 +48,9 @@ EXTRAS = [
     "profile",           # mergeable column stats
     "quantiles",         # histogram-refinement exact quantiles
     "centroids",         # per-group embedding centroids
+    "jaccard_pairs",     # exact n-gram Jaccard similarity join
+    "orders_running_total",  # window function (running total)
+    "tfidf_top_terms",   # corpus-weighted term ranking (df join + top-n)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
