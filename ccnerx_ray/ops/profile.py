@@ -98,6 +98,89 @@ FROM {table}""")
     return "\nUNION ALL\n".join(legs)
 
 
+def corr_cents(ds, x_col: str, y_col: str, batch_size: int = 4096):
+    """EXACT distributed Pearson correlation of two cents-scaled columns.
+
+    The five co-moment sums are computed per batch over int64 cents
+    (``floor(v*100+0.5)``, the repo-wide oracle convention) and carried
+    to the driver as DECIMAL STRINGS — the squared-cents sums overflow
+    int64 at corpus scale (price² ≈ 1e14 per row), so the merge runs in
+    Python arbitrary-precision ints, exactly like the oracle's HUGEINT
+    sums. ``batch_size`` bounds rows per partial so the in-batch int64
+    accumulation itself cannot overflow (4096 × 1e14 ≪ 2⁶³).
+
+    The final ``corr_micro`` reproduces the oracle's expression tree
+    operation for operation (int → IEEE double casts, double multiply,
+    sqrt, divide, ×1e6, half-away round) so the BIGINT output hashes
+    exactly. Assumes both columns have nonzero variance.
+
+    Returns a one-row pandas DataFrame:
+    ``(n_rows, sum_x_cents, sum_y_cents, corr_micro)``."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch.column(x_col).to_numpy() * 100 + 0.5) \
+              .astype(np.int64)
+        y = np.floor(batch.column(y_col).to_numpy() * 100 + 0.5) \
+              .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([str(int(x.sum()))], pa.string()),
+            "sy": pa.array([str(int(y.sum()))], pa.string()),
+            "sxx": pa.array([str(int(np.dot(x, x)))], pa.string()),
+            "syy": pa.array([str(int(np.dot(y, y)))], pa.string()),
+            "sxy": pa.array([str(int(np.dot(x, y)))], pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = float(num) / math.sqrt(float(vx) * float(vy))
+    v = 1000000 * corr
+    corr_micro = int(math.copysign(math.floor(abs(v) + 0.5), v))
+    return pd.DataFrame({
+        "n_rows": np.array([n], dtype=np.int64),
+        "sum_x_cents": np.array([sx], dtype=np.int64),
+        "sum_y_cents": np.array([sy], dtype=np.int64),
+        "corr_micro": np.array([corr_micro], dtype=np.int64),
+    })
+
+
+def corr_oracle_sql(table: str, x_col: str, y_col: str) -> str:
+    """The matching DuckDB SQL — HUGEINT co-moment sums, then the same
+    double-precision expression tree as :func:`corr_cents`."""
+    return f"""
+WITH c AS (
+  SELECT CAST(floor({x_col} * 100 + 0.5) AS BIGINT) AS xc,
+         CAST(floor({y_col} * 100 + 0.5) AS BIGINT) AS yc
+  FROM {table}
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(xc AS HUGEINT)) AS sx, SUM(CAST(yc AS HUGEINT)) AS sy,
+         SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+         SUM(CAST(yc AS HUGEINT) * yc) AS syy,
+         SUM(CAST(xc AS HUGEINT) * yc) AS sxy
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_x_cents,
+       CAST(sy AS BIGINT) AS sum_y_cents,
+       CAST(round(1000000 * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+           AS corr_micro
+FROM s
+"""
+
+
 def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
                     max_collect: int = 200_000, max_rounds: int = 6):
     """EXACT order statistics without a global sort: the classic

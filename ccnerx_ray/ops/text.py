@@ -193,6 +193,141 @@ def add_winnow_fingerprints(batch: pa.Table, text_col: str = "text",
                                pa.array(vals, pa.list_(pa.string())))
 
 
+# --------------------------------------------------------------- PII scrub
+# RE2-compatible patterns (no lookaround/backrefs) so the DuckDB oracle
+# applies the IDENTICAL regex; compiled with re.ASCII so Python's \d and
+# \b match RE2's ASCII-only semantics (unicode digits / CJK-adjacent
+# word boundaries would otherwise diverge — contract-tested in tests/).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{10}\b"
+
+_PII_EMAIL = re.compile(PII_EMAIL_RE, re.ASCII)
+_PII_IP = re.compile(PII_IP_RE, re.ASCII)
+_PII_PHONE = re.compile(PII_PHONE_RE, re.ASCII)
+
+
+def scrub_pii(text: str) -> tuple[str, int, int, int]:
+    """Sequentially redact emails → IPv4s → 10-digit phones (the order
+    matters: IP octets must not be half-eaten by the phone rule). Returns
+    ``(redacted, n_emails, n_ips, n_phones)`` with each count taken on
+    the text AFTER the previous rule ran — exactly what the nested
+    ``regexp_replace`` oracle counts."""
+    t1, n_e = _PII_EMAIL.subn("<EMAIL>", text)
+    t2, n_i = _PII_IP.subn("<IP>", t1)
+    t3, n_p = _PII_PHONE.subn("<PHONE>", t2)
+    return t3, n_e, n_i, n_p
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "redacted") -> pa.Table:
+    """Append ``redacted`` plus integer match counts (``n_emails``,
+    ``n_ips``, ``n_phones``). Stateless vectorized-per-batch stage; the
+    compiled patterns are module-level (compiled once per process)."""
+    red, ne, ni, np_ = [], [], [], []
+    for t in batch.column(text_col).to_pylist():
+        r, a, b, c = scrub_pii(t or "")
+        red.append(r)
+        ne.append(a)
+        ni.append(b)
+        np_.append(c)
+    return (batch
+            .append_column(out_col, pa.array(red, pa.string()))
+            .append_column("n_emails", pa.array(ne, pa.int64()))
+            .append_column("n_ips", pa.array(ni, pa.int64()))
+            .append_column("n_phones", pa.array(np_, pa.int64())))
+
+
+# --------------------------------------------------- sequence packing (LLM)
+def pack_documents(ds, budget: int = 512, key_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   chunk: int = 4096):
+    """Token-budget sequence packing: assign documents (ordered by
+    ``id_col`` within ``key_col``) to training packs of ``budget`` tokens
+    — ``pack_id = exclusive_prefix_tokens // budget``, i.e. the
+    budget-quantized contiguous packing a data loader would consume.
+    Returns one row per pack: ``(key, pack_id, n_docs, pack_tokens)``.
+
+    This is a keyed ORDERED prefix sum at corpus scale, computed without
+    ever holding a whole key's documents in one worker (the weakness of
+    the naive per-key window): documents are chunked by ``id_col // chunk``
+    (bounded groups), chunk token-subtotals reduce to a tiny dataset,
+    per-chunk starting offsets come from an exclusive cumsum over that
+    tiny dataset, offsets join back (stats-adaptive: broadcast while the
+    chunk index is small, hash join when it is not), and each bounded
+    chunk group resolves its documents' global prefixes locally."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
+    from ccnerx_ray.ops.join import adaptive_join
+
+    def tokenize_chunked(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        keys = batch.column(key_col).to_pylist()
+        ntok = np.fromiter((len(ws_tokens(t or ""))
+                            for t in batch.column(text_col).to_pylist()),
+                           dtype=np.int64, count=batch.num_rows)
+        ck = ids // chunk
+        return pa.table({
+            key_col: pa.array(keys, pa.string()),
+            "chunk": pa.array(ck, pa.int64()),
+            "chunk_key": pa.array(
+                [f"{k}#{c}" for k, c in zip(keys, ck)], pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    t1 = ds.map_batches(tokenize_chunked, batch_format="pyarrow")
+    chunk_sums = grouped_reduce(
+        t1.select_columns([key_col, "chunk", "n_tokens"]),
+        [key_col, "chunk"], {"n_tokens": "sum"}, num_buckets=64,
+        out_dtypes={key_col: "string", "chunk": "int64",
+                    "n_tokens": "int64"})
+
+    def offsets_local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "chunk"])
+        tot = g["n_tokens"].to_numpy()
+        incl = (pd.Series(tot).groupby(g[key_col].to_numpy())
+                  .cumsum().to_numpy())
+        return pd.DataFrame({
+            "chunk_key": [f"{k}#{c}" for k, c in
+                          zip(g[key_col], g["chunk"])],
+            "offset": (incl - tot).astype("int64"),
+        })
+
+    offsets = coarse_grouped(chunk_sums, [key_col], offsets_local,
+                             num_buckets=16,
+                             out_dtypes={"chunk_key": "string",
+                                         "offset": "int64"})
+    joined = adaptive_join(t1, offsets, on="chunk_key")
+
+    def assign_local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "chunk", id_col])
+        ntok = g["n_tokens"].to_numpy()
+        incl = (pd.Series(ntok)
+                  .groupby(g["chunk_key"].to_numpy()).cumsum().to_numpy())
+        prefix = g["offset"].to_numpy() + incl - ntok
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "pack_id": (prefix // budget).astype("int64"),
+            "n_docs": np.ones(len(g), dtype="int64"),
+            "pack_tokens": ntok,
+        })
+
+    per_doc = coarse_grouped(joined, [key_col, "chunk"], assign_local,
+                             num_buckets=256,
+                             out_dtypes={key_col: "string",
+                                         "pack_id": "int64",
+                                         "n_docs": "int64",
+                                         "pack_tokens": "int64"})
+    return grouped_reduce(per_doc, [key_col, "pack_id"],
+                          {"n_docs": "sum", "pack_tokens": "sum"},
+                          num_buckets=64,
+                          out_dtypes={key_col: "string", "pack_id": "int64",
+                                      "n_docs": "int64",
+                                      "pack_tokens": "int64"})
+
+
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                     top_n: int = 3, num_buckets: int = 256):
     """Corpus-weighted top terms per document (tf-idf shape): the score

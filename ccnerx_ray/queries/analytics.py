@@ -1235,3 +1235,95 @@ SELECT lang, doc_id FROM (
 """
 
 ANALYTICS_ORACLE["stratified_docs"] = ORACLE_STRATIFIED_DOCS
+
+
+# ------------------------------------------------------------ PII redaction
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing (email / IPv4 / 10-digit phone → typed placeholders)
+    with per-document match counts. The synthetic corpus contains no PII,
+    so the query plants it deterministically from table columns — the
+    SAME derivation the oracle builds in SQL — proving the regex
+    machinery end to end on real matches (the operator itself,
+    ``ops/text.py:redact_pii``, runs on any text column)."""
+    from ccnerx_ray.ops.text import redact_pii
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        t = [f"{x} contact {s}@example.com ip 10.0.{i % 256}.7 ph {i:010d}"
+             for x, s, i in zip(batch.column("text").to_pylist(),
+                                batch.column("source").to_pylist(), ids)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(t, pa.string())})
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+              .map_batches(redact_pii, batch_format="pyarrow")
+              .select_columns(["doc_id", "redacted", "n_emails", "n_ips",
+                               "n_phones"]))
+
+
+def _pii_oracle() -> str:
+    from ccnerx_ray.ops.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    return """
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com ip 10.0.'
+              || CAST(doc_id %% 256 AS VARCHAR) || '.7 ph '
+              || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '%(em)s')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '%(em)s', '<EMAIL>', 'g') AS t1
+  FROM t0
+), i AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '%(ip)s')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '%(ip)s', '<IP>', 'g') AS t2
+  FROM e
+)
+SELECT doc_id,
+       regexp_replace(t2, '%(ph)s', '<PHONE>', 'g') AS redacted,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '%(ph)s')) AS BIGINT) AS n_phones
+FROM i
+""" % {"em": PII_EMAIL_RE, "ip": PII_IP_RE, "ph": PII_PHONE_RE}
+
+
+ANALYTICS_QUERIES["pii_redact"] = q_pii_redact
+ANALYTICS_ORACLE["pii_redact"] = _pii_oracle()
+
+
+# -------------------------------------------------------- sequence packing
+def q_doc_packs(sf_dir: str):
+    """Token-budget sequence packing for LLM training (one row per pack):
+    documents ordered by doc_id within each source fill 512-token packs,
+    ``pack_id = exclusive_prefix_tokens // 512``. Distributed as a
+    chunked keyed prefix sum (``ops/text.py:pack_documents``) — no whole
+    source partition ever sits in one worker."""
+    from ccnerx_ray.ops.text import pack_documents
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    return pack_documents(ds, budget=512)
+
+
+ORACLE_DOC_PACKS = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+             - n_tokens AS excl
+  FROM t
+)
+SELECT source, CAST(excl // 512 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM w GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["doc_packs"] = q_doc_packs
+ANALYTICS_ORACLE["doc_packs"] = ORACLE_DOC_PACKS

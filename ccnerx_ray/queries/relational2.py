@@ -651,3 +651,67 @@ GROUP BY ROLLUP(o_orderpriority, y)
 
 RELATIONAL2_QUERIES["revenue_rollup"] = q_revenue_rollup
 RELATIONAL2_ORACLE["revenue_rollup"] = ORACLE_REVENUE_ROLLUP
+
+
+# ------------------------------------------------------------- correlation
+def q_price_quantity_corr(sf_dir: str):
+    """Exact distributed Pearson correlation (quantity vs extendedprice)
+    — a mergeable co-moment aggregate (``ops/profile.py:corr_cents``):
+    per-batch int64 cent sums ride to the driver as decimal strings and
+    merge in arbitrary precision, mirroring the oracle's HUGEINT sums."""
+    from ccnerx_ray.ops.profile import corr_cents
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    return corr_cents(ds, "l_quantity", "l_extendedprice")
+
+
+def _corr_oracle() -> str:
+    from ccnerx_ray.ops.profile import corr_oracle_sql
+    return corr_oracle_sql("lineitem", "l_quantity", "l_extendedprice")
+
+
+RELATIONAL2_QUERIES["price_quantity_corr"] = q_price_quantity_corr
+RELATIONAL2_ORACLE["price_quantity_corr"] = _corr_oracle()
+
+
+# ------------------------------------------------------------------- pivot
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Daily event-type PIVOT: one row per day, one integer-cents revenue
+    column per (known) event type. Ray shape: a stateless map fans each
+    row into the fixed column set (CASE-WHEN equivalent), then one
+    mergeable grouped sum — the pivot never shuffles more than the
+    day-grain aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        day = (us // 1000) // 86_400_000 * 86_400_000
+        cents = np.floor(batch.column("value").to_numpy() * 100 + 0.5) \
+                  .astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        cols = {"day_ms": pa.array(day, pa.int64())}
+        for t in _PIVOT_TYPES:
+            cols[f"{t}_cents"] = pa.array(
+                np.where(et == t, cents, 0), pa.int64())
+        return pa.table(cols)
+
+    aggs = {f"{t}_cents": "sum" for t in _PIVOT_TYPES}
+    dts = {"day_ms": "int64", **{f"{t}_cents": "int64"
+                                 for t in _PIVOT_TYPES}}
+    return grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["day_ms"], aggs, num_buckets=32, out_dtypes=dts)
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+""" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+    f"CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    f"AS {t}_cents" for t in _PIVOT_TYPES) + """
+FROM events GROUP BY 1
+"""
+
+RELATIONAL2_QUERIES["events_pivot"] = q_events_pivot
+RELATIONAL2_ORACLE["events_pivot"] = ORACLE_EVENTS_PIVOT

@@ -128,3 +128,102 @@ def test_stratified_sample_deterministic(ray_session):
     c = stratified_sample(ray.data.from_items(rows), "k", "id", 7,
                           seed=9).take_all()
     assert sorted((r["k"], r["id"]) for r in c) != ka
+
+
+def test_pii_scrub_contract_vs_duckdb():
+    """The Python regexes and DuckDB's RE2 must agree match-for-match on
+    adversarial inputs (boundaries at string edges, 11-digit runs that
+    must NOT match, unicode digits that must NOT match under re.ASCII)."""
+    import duckdb
+
+    from ccnerx_ray.ops.text import (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE,
+                                     scrub_pii)
+
+    cases = [
+        "a.b+c%d@ex-1.co and x@y.io tail",
+        "@nope no@tld x@.com trailing@dot.",
+        "1234567890",                 # bare phone, string edges
+        "x1234567890 12345678901 123456789",   # glued / 11 / 9 digits
+        "ip 1.2.3.4, 255.255.255.255 and 1.2.3.4.5 chain",
+        "mixed a@b.cc 10.0.0.1 0123456789 end",
+        "phone then ip 9999999999 1.2.3.4",
+        "١٢٣٤٥٦٧٨٩٠ unicode digits stay",      # Arabic-Indic digits
+        "數字1234567890漢",                      # CJK-adjacent digit run
+        "",
+    ]
+    con = duckdb.connect()
+    for t in cases:
+        got = scrub_pii(t)
+        want = con.execute(
+            """
+            WITH e AS (SELECT regexp_replace(?, ?, '<EMAIL>', 'g') AS t,
+                       len(regexp_extract_all(?, ?)) AS n),
+            i AS (SELECT regexp_replace(t, ?, '<IP>', 'g') AS t, n,
+                  len(regexp_extract_all(t, ?)) AS ni FROM e)
+            SELECT regexp_replace(t, ?, '<PHONE>', 'g'), n, ni,
+                   len(regexp_extract_all(t, ?)) FROM i
+            """,
+            [t, PII_EMAIL_RE, t, PII_EMAIL_RE, PII_IP_RE, PII_IP_RE,
+             PII_PHONE_RE, PII_PHONE_RE]).fetchone()
+    # DuckDB returns counts as int; align tuple shapes
+        assert got == (want[0], int(want[1]), int(want[2]), int(want[3])), \
+            (t, got, want)
+    con.close()
+
+
+def test_pack_documents_chunk_boundary_invariance(ray_session):
+    """Pack assignment must not depend on the chunking width: a pack that
+    straddles chunk boundaries (chunk=3 forces many) aggregates to the
+    same result as one big chunk."""
+    import ray.data
+
+    from ccnerx_ray.ops.text import pack_documents
+
+    rows = [{"doc_id": i, "source": f"s{i % 2}",
+             "text": " ".join(["w"] * (5 + (i * 7) % 11))}
+            for i in range(40)]
+    ds = ray.data.from_items(rows)
+    small = pack_documents(ds, budget=20, chunk=3).take_all()
+    big = pack_documents(ray.data.from_items(rows), budget=20,
+                         chunk=4096).take_all()
+    key = lambda r: (r["source"], r["pack_id"])
+    assert sorted(map(dict, small), key=key) == \
+           sorted(map(dict, big), key=key)
+    # every pack except possibly each source's last holds ≥ budget-worth
+    # of doc prefixes: total tokens per source == sum over its packs
+    tot = {}
+    for r in small:
+        tot[r["source"]] = tot.get(r["source"], 0) + r["pack_tokens"]
+    want = {}
+    for r in rows:
+        want[r["source"]] = want.get(r["source"], 0) + len(r["text"].split())
+    assert tot == want
+
+
+def test_corr_cents_exact_and_sign(ray_session):
+    """corr_cents must match numpy's float corr to ~1e-6 and flip sign
+    with the relationship; the int64-overflow regime (price²-scale
+    values) must still merge exactly via the string partials."""
+    import ray.data
+
+    from ccnerx_ray.ops.profile import corr_cents
+
+    n = 5000
+    rng = np.random.default_rng(3)
+    x = rng.uniform(1, 50, n).round(2)
+    y = (3.5 * x + rng.normal(0, 5, n)).round(2)
+    ds = ray.data.from_items(
+        [{"x": float(a), "y": float(b)} for a, b in zip(x, y)])
+    out = corr_cents(ds, "x", "y", batch_size=256)
+    xc = np.floor(x * 100 + 0.5)
+    yc = np.floor(y * 100 + 0.5)
+    want = np.corrcoef(xc, yc)[0, 1]
+    assert abs(out["corr_micro"].iloc[0] / 1e6 - want) < 1e-5
+    assert out["n_rows"].iloc[0] == n
+    assert out["sum_x_cents"].iloc[0] == int(xc.sum())
+
+    neg = corr_cents(
+        ray.data.from_items(
+            [{"x": float(a), "y": float(1e5 - 3 * a)} for a in x]),
+        "x", "y", batch_size=256)
+    assert neg["corr_micro"].iloc[0] < -999_000   # ≈ -1
