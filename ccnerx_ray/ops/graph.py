@@ -1,0 +1,153 @@
+"""Iterative graph algorithms over an edge Dataset: degree counts and an
+EXACT integer PageRank.
+
+KG pipelines need graph centrality over the entity/mention graph (which
+entities are load-bearing, which aliases are hubs). The classic blocker
+for oracle-checking PageRank is float drift: distributed float sums are
+association-order sensitive, so a shuffle-order change flips low bits
+and breaks value-hash comparison. This implementation defines PageRank
+in INTEGER micro-units with floor division:
+
+    PR_0(v)      = 1_000_000
+    contrib(u→v) = PR_k(u) // degree(u)
+    PR_{k+1}(v)  = 150_000 + (17 * Σ contrib) // 20     # 0.85 == 17/20
+
+Every operation is an integer sum (order-free) or a floor division, so
+the result is bit-identical regardless of partitioning AND expressible
+in SQL (unrolled iterations) — the DuckDB oracle checks the full fixed-
+iteration computation exactly. ``17*S//20 == 850000*S//1000000`` since
+the fractions are equal, and keeps the intermediate within int64 even
+for hub nodes holding a large share of total mass (bound documented in
+:func:`pagerank_int`).
+
+Distributed shape: edges stay a Dataset throughout; each iteration is
+one stats-adaptive join (node table broadcast while it fits, hash-
+partitioned when it does not) plus one mergeable grouped sum. Nothing
+node- or edge-scale ever lands on the driver.
+
+No reference counterpart; first-class KG-analytics operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ccnerx_ray.functions.grouping import grouped_reduce
+from ccnerx_ray.ops.join import adaptive_join
+
+
+def symmetrize(edges, src_col: str = "u", dst_col: str = "v"):
+    """Undirected view of a directed edge list: each (u, v) also emitted
+    as (v, u). Input must be duplicate-free if degree semantics require
+    it (dedup upstream — e.g. ``grouped_reduce`` on both columns)."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        u = batch.column(src_col)
+        v = batch.column(dst_col)
+        return pa.concat_tables([pa.table({src_col: u, dst_col: v}),
+                                 pa.table({src_col: v, dst_col: u})])
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def degree_counts(edges, src_col: str = "u", num_buckets: int = 256):
+    """Out-degree per source node of an edge Dataset (for an undirected
+    graph, pass the symmetrized edges): ``(node, degree)``."""
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column(src_col),
+            "degree": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_reduce(edges.map_batches(ones, batch_format="pyarrow"),
+                          ["node"], {"degree": "sum"},
+                          num_buckets=num_buckets,
+                          out_dtypes={"node": "string", "degree": "int64"})
+
+
+def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
+                 dst_col: str = "v", num_buckets: int = 256):
+    """Exact integer PageRank over an undirected edge list (see module
+    docstring for the arithmetic). ``edges`` must be duplicate-free
+    directed pairs; they are symmetrized here, so every node has
+    degree ≥ 1 and receives mass every round (no dangling-mass term).
+
+    Returns ``(node, degree, pr_micro)``.
+
+    Overflow bound: ``17 * S_v`` must fit int64, i.e. a single node may
+    receive up to ~5×10¹⁷ micro-units of inbound mass — total graph
+    mass is ``n_nodes × 1e6``, so this holds up to ~5×10¹¹ nodes even
+    if ONE hub absorbed the entire graph's mass."""
+    sym = symmetrize(edges, src_col, dst_col).materialize()
+    # materialized once: reused as the probe side of every iteration's
+    # rank update (a lazy deg would re-run its groupby per iteration)
+    deg = degree_counts(sym, src_col, num_buckets=num_buckets).materialize()
+
+    def init_pr(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pr", pa.array(np.full(batch.num_rows, 1_000_000,
+                                   dtype=np.int64)))
+
+    nodes = deg.map_batches(init_pr, batch_format="pyarrow")
+
+    for _ in range(iterations):
+        nodes = nodes.materialize()     # reused by join + next round
+        joined = adaptive_join(sym, nodes, on=src_col, right_on="node",
+                               build_bytes_hint=nodes.size_bytes())
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            pr = batch.column("pr").to_numpy()
+            d = batch.column("degree").to_numpy()
+            return pa.table({
+                "node": batch.column(dst_col),
+                "s": pa.array(pr // d, pa.int64()),
+            })
+
+        sums = grouped_reduce(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"s": "sum"}, num_buckets=num_buckets,
+            out_dtypes={"node": "string", "s": "int64"}).materialize()
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy()
+            return pa.table({
+                "node": batch.column("node"),
+                "degree": batch.column("degree"),
+                "pr": pa.array(150_000 + (17 * s) // 20, pa.int64()),
+            })
+
+        # degree rides along: join the tiny sums back onto (node, degree)
+        nodes = adaptive_join(
+            deg, sums, on="node",
+            build_bytes_hint=sums.size_bytes()
+        ).map_batches(apply_rank, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["pr_micro" if c == "pr" else c for c in batch.column_names])
+
+    return nodes.map_batches(rename, batch_format="pyarrow")
+
+
+def pagerank_oracle_sql(edge_sql: str, iterations: int = 3) -> str:
+    """DuckDB oracle for :func:`pagerank_int`: ``edge_sql`` must yield
+    duplicate-free directed columns ``u, v``; iterations unroll into
+    chained CTEs performing the identical integer arithmetic."""
+    parts = [f"""
+WITH e0 AS ({edge_sql}),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e GROUP BY u),
+p0 AS (SELECT node, degree, CAST(1000000 AS BIGINT) AS pr FROM deg)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+s{k} AS (SELECT e.v AS node, SUM(p.pr // p.degree) AS s
+         FROM e JOIN p{k - 1} p ON e.u = p.node GROUP BY e.v),
+p{k} AS (SELECT d.node, d.degree,
+                CAST(150000 + (17 * s{k}.s) // 20 AS BIGINT) AS pr
+         FROM deg d JOIN s{k} ON d.node = s{k}.node)""")
+    parts.append(f"""
+SELECT node, degree, pr AS pr_micro FROM p{iterations}""")
+    return "".join(parts)

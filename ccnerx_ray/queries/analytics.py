@@ -1327,3 +1327,43 @@ FROM w GROUP BY 1, 2
 
 ANALYTICS_QUERIES["doc_packs"] = q_doc_packs
 ANALYTICS_ORACLE["doc_packs"] = ORACLE_DOC_PACKS
+
+
+# --------------------------------------------------------- graph centrality
+def q_graph_pagerank(sf_dir: str):
+    """Exact integer PageRank (3 iterations) + degree over the bipartite
+    part–supplier co-occurrence graph from lineitem — the KG-analytics
+    centrality primitive (``ops/graph.py``; see module docstring for why
+    integer arithmetic makes an iterative graph algorithm value-hash
+    exact). Edge build: distinct pairs via hash-partitioned dedup; each
+    iteration is one adaptive join + one mergeable grouped sum."""
+    import ray.data
+
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops.graph import pagerank_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = ["p%d" % x for x in batch.column("l_partkey").to_pylist()]
+        s = ["s%d" % x for x in batch.column("l_suppkey").to_pylist()]
+        return pa.table({"u": pa.array(p, pa.string()),
+                         "v": pa.array(s, pa.string())})
+
+    edges = drop_duplicate_rows(
+        ds.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"],
+        num_buckets=64)
+    return pagerank_int(edges, iterations=3)
+
+
+def _pagerank_oracle() -> str:
+    from ccnerx_ray.ops.graph import pagerank_oracle_sql
+    return pagerank_oracle_sql(
+        "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem",
+        iterations=3)
+
+
+ANALYTICS_QUERIES["graph_pagerank"] = q_graph_pagerank
+ANALYTICS_ORACLE["graph_pagerank"] = _pagerank_oracle()

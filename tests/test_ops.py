@@ -780,3 +780,26 @@ def test_tfidf_top_terms_planted(ray_session):
     assert out[(1, 2)] == ("x", 1, 2)
     assert out[(3, 1)] == ("b", 1, 1)
     assert out[(3, 2)] == ("c", 1, 1)
+
+
+def test_pagerank_int_exact_on_known_graph(ray_session):
+    """3-node path a-b-c: hand-simulate the integer recurrence and check
+    bit-exact equality; b (the middle node) must rank highest."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import pagerank_int
+
+    edges = ray.data.from_items([{"u": "a", "v": "b"},
+                                 {"u": "b", "v": "c"}])
+    got = {r["node"]: (r["degree"], r["pr_micro"])
+           for r in pagerank_int(edges, iterations=3).take_all()}
+
+    # hand simulation of the documented recurrence
+    deg = {"a": 1, "b": 2, "c": 1}
+    nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    pr = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        s = {n: sum(pr[u] // deg[u] for u in nbrs[n]) for n in deg}
+        pr = {n: 150_000 + (17 * s[n]) // 20 for n in deg}
+    assert got == {n: (deg[n], pr[n]) for n in deg}
+    assert got["b"][1] > got["a"][1] == got["c"][1]
