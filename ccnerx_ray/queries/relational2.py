@@ -715,3 +715,53 @@ FROM events GROUP BY 1
 
 RELATIONAL2_QUERIES["events_pivot"] = q_events_pivot
 RELATIONAL2_ORACLE["events_pivot"] = ORACLE_EVENTS_PIVOT
+
+
+# ------------------------------------------------------- grouped quantiles
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group exact percentiles (p25/p50/p75 of extendedprice cents by
+    return flag) — rank convention ``ceil(q*n)`` 1-based, the same
+    quantile_disc calibration as ``ops/profile.py:exact_quantiles``.
+    Groups here are few and worker-sized so a coarse-grouped local sort
+    is the right shape; a group too big for one worker would use the
+    histogram-refinement machinery per group instead."""
+    import math
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+
+    QS = [250, 500, 750]
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_q, out_v = [], [], []
+        for k, sub in g.groupby("l_returnflag", sort=False):
+            cents = np.sort(np.floor(
+                sub["l_extendedprice"].to_numpy() * 100 + 0.5
+            ).astype("int64"))
+            n = len(cents)
+            for q_pm in QS:
+                r = max(1, math.ceil(q_pm / 1000.0 * n))
+                out_k.append(k)
+                out_q.append(q_pm)
+                out_v.append(int(cents[r - 1]))
+        return pd.DataFrame({"l_returnflag": out_k, "q_pm": out_q,
+                             "value_cents": out_v})
+
+    return coarse_grouped(ds, ["l_returnflag"], local, num_buckets=8,
+                          out_dtypes={"l_returnflag": "string",
+                                      "q_pm": "int64",
+                                      "value_cents": "int64"})
+
+
+# quantile_disc requires a CONSTANT fraction → one UNION leg per q
+ORACLE_GROUPED_QUANTILES = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem)
+""" + "\nUNION ALL\n".join(
+    f"SELECT l_returnflag, CAST({q} AS BIGINT) AS q_pm, "
+    f"CAST(quantile_disc(cents, {q / 1000.0}) AS BIGINT) AS value_cents "
+    f"FROM c GROUP BY l_returnflag" for q in (250, 500, 750))
+
+RELATIONAL2_QUERIES["grouped_quantiles"] = q_grouped_quantiles
+RELATIONAL2_ORACLE["grouped_quantiles"] = ORACLE_GROUPED_QUANTILES
