@@ -765,3 +765,39 @@ WITH c AS (SELECT l_returnflag,
 
 RELATIONAL2_QUERIES["grouped_quantiles"] = q_grouped_quantiles
 RELATIONAL2_ORACLE["grouped_quantiles"] = ORACLE_GROUPED_QUANTILES
+
+
+# --------------------------------------------------- count distinct per group
+def q_suppliers_per_flag(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT ...): distinct suppliers per return
+    flag. Distributed shape: dedup the (flag, suppkey) PAIRS first (a
+    digest-size hash-partitioned shuffle), then a tiny mergeable count —
+    the classic two-step that avoids holding per-group value sets in any
+    single reducer."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows, grouped_reduce
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    pairs = drop_duplicate_rows(ds, ["l_returnflag", "l_suppkey"],
+                                num_buckets=64)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_suppliers": pa.array(
+                np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_reduce(pairs.map_batches(ones, batch_format="pyarrow"),
+                          ["l_returnflag"], {"n_suppliers": "sum"},
+                          num_buckets=8,
+                          out_dtypes={"l_returnflag": "string",
+                                      "n_suppliers": "int64"})
+
+
+ORACLE_SUPPLIERS_PER_FLAG = """
+SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+RELATIONAL2_QUERIES["suppliers_per_flag"] = q_suppliers_per_flag
+RELATIONAL2_ORACLE["suppliers_per_flag"] = ORACLE_SUPPLIERS_PER_FLAG
