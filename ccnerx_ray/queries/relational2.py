@@ -801,3 +801,107 @@ FROM lineitem GROUP BY l_returnflag
 
 RELATIONAL2_QUERIES["suppliers_per_flag"] = q_suppliers_per_flag
 RELATIONAL2_ORACLE["suppliers_per_flag"] = ORACLE_SUPPLIERS_PER_FLAG
+
+
+# -------------------------------------------------------------------- cube
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, year): all four grains from ONE distributed
+    pass to the finest grain (same shape as ``q_revenue_rollup``, plus the
+    year-only grain rollup misses); super-levels re-aggregate the bounded
+    finest result, never the raw table."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
+        yr = pd.to_datetime(us, unit="us").year.astype(str)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return pa.table({
+            "priority": batch.column("o_orderpriority"),
+            "o_year": pa.array(yr, pa.string()),
+            "n_orders": pa.array(np.ones(len(yr), dtype=np.int64)),
+            "revenue_cents": pa.array(cents, pa.int64()),
+        })
+
+    fine = grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["priority", "o_year"],
+                          {"n_orders": "sum", "revenue_cents": "sum"},
+                          num_buckets=16)
+    f = pd.DataFrame(fine.take_all())   # bounded: |priority| x |years|
+    by_p = (f.groupby("priority", as_index=False)
+              [["n_orders", "revenue_cents"]].sum())
+    by_p["o_year"] = "ALL"
+    by_y = (f.groupby("o_year", as_index=False)
+              [["n_orders", "revenue_cents"]].sum())
+    by_y["priority"] = "ALL"
+    total = pd.DataFrame({"priority": ["ALL"], "o_year": ["ALL"],
+                          "n_orders": [f["n_orders"].sum()],
+                          "revenue_cents": [f["revenue_cents"].sum()]})
+    cols = ["priority", "o_year", "n_orders", "revenue_cents"]
+    return pd.concat([f[cols], by_p[cols], by_y[cols], total[cols]],
+                     ignore_index=True)
+
+
+ORACLE_REVENUE_CUBE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(CAST(y AS VARCHAR), 'ALL') AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (SELECT o_orderpriority, year(o_orderdate) AS y,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY CUBE(o_orderpriority, y)
+"""
+
+RELATIONAL2_QUERIES["revenue_cube"] = q_revenue_cube
+RELATIONAL2_ORACLE["revenue_cube"] = ORACLE_REVENUE_CUBE
+
+
+# --------------------------------------------------------------- intersect
+def q_common_ship_months(sf_dir: str):
+    """INTERSECT set operation: ship months that appear under BOTH return
+    flag 'A' and 'R'. Distributed shape: one pass to (month, flag)
+    distinct pairs, then a membership count — months with both flags
+    survive (set intersection without materializing either side)."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows, grouped_reduce
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("l_returnflag"),
+                        value_set=pa.array(["A", "R"]))
+        b = batch.filter(keep)
+        m = pc.cast(pc.month(b.column("l_shipdate")), pa.int64())
+        y = pc.cast(pc.year(b.column("l_shipdate")), pa.int64())
+        ym = pc.add(pc.multiply(y, 100), m)
+        return pa.table({"ship_ym": ym,
+                         "l_returnflag": b.column("l_returnflag")})
+
+    pairs = drop_duplicate_rows(ds.map_batches(prep, batch_format="pyarrow"),
+                                ["ship_ym", "l_returnflag"], num_buckets=32)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"ship_ym": batch.column("ship_ym"),
+                         "nf": pa.array(np.ones(batch.num_rows,
+                                                dtype=np.int64))})
+
+    counts = grouped_reduce(pairs.map_batches(ones, batch_format="pyarrow"),
+                            ["ship_ym"], {"nf": "sum"}, num_buckets=16,
+                            out_dtypes={"ship_ym": "int64", "nf": "int64"})
+    return counts.filter(expr="nf == 2").select_columns(["ship_ym"])
+
+
+ORACLE_COMMON_SHIP_MONTHS = """
+SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_ym
+FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT
+SELECT year(l_shipdate) * 100 + month(l_shipdate)
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+RELATIONAL2_QUERIES["common_ship_months"] = q_common_ship_months
+RELATIONAL2_ORACLE["common_ship_months"] = ORACLE_COMMON_SHIP_MONTHS
