@@ -905,3 +905,47 @@ FROM lineitem WHERE l_returnflag = 'R'
 
 RELATIONAL2_QUERIES["common_ship_months"] = q_common_ship_months
 RELATIONAL2_ORACLE["common_ship_months"] = ORACLE_COMMON_SHIP_MONTHS
+
+
+# --------------------------------------------------------- left outer join
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER JOIN family (previously only inner/semi/anti were
+    exercised): every customer with their order count, INCLUDING the
+    zero-order customers the inner join would drop. Distributed shape:
+    reduce orders to per-customer counts first (digest-size build side),
+    then ``Dataset.join(left_outer)`` and a vectorized COALESCE-to-0."""
+    ds_c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds_o = _read(sf_dir, "orders", ["o_custkey"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "n_orders": pa.array(
+                             np.ones(batch.num_rows, dtype=np.int64))})
+
+    counts = grouped_reduce(ds_o.map_batches(ones, batch_format="pyarrow"),
+                            ["o_custkey"], {"n_orders": "sum"},
+                            num_buckets=32,
+                            out_dtypes={"o_custkey": "int64",
+                                        "n_orders": "int64"})
+    joined = ds_c.join(counts, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch.column("n_orders"), 0)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment"),
+                         "n_orders": pc.cast(n, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+RELATIONAL2_QUERIES["customer_order_counts"] = q_customer_order_counts
+RELATIONAL2_ORACLE["customer_order_counts"] = ORACLE_CUSTOMER_ORDER_COUNTS
