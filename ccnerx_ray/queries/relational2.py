@@ -949,3 +949,115 @@ FROM customer LEFT JOIN (
 
 RELATIONAL2_QUERIES["customer_order_counts"] = q_customer_order_counts
 RELATIONAL2_ORACLE["customer_order_counts"] = ORACLE_CUSTOMER_ORDER_COUNTS
+
+
+# --------------------------------------------------------- full outer join
+def q_ship_vs_order_months(sf_dir: str):
+    """FULL OUTER JOIN (completes the join family: inner, left/semi/anti,
+    range, as-of): monthly order counts vs monthly shipment counts, keeping
+    months that appear on EITHER side (lineitem ship dates run past the
+    last order month, so each side has exclusive keys). Distributed shape:
+    both sides reduce to per-month digests first (tiny key space), then a
+    ``full_outer`` hash join and a vectorized COALESCE on key and counts."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    ds_o = _read(sf_dir, "orders", ["o_orderdate"])
+    ds_l = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def to_ym(col: str, key: str, cnt: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch.column(col)
+            ym = pc.add(pc.multiply(pc.cast(pc.year(c), pa.int64()), 100),
+                        pc.cast(pc.month(c), pa.int64()))
+            return pa.table({key: ym, cnt: pa.array(
+                np.ones(batch.num_rows, dtype=np.int64))})
+        return fn
+
+    o = grouped_reduce(ds_o.map_batches(to_ym("o_orderdate", "ym_o", "n_orders"),
+                                        batch_format="pyarrow"),
+                       ["ym_o"], {"n_orders": "sum"}, num_buckets=16,
+                       out_dtypes={"ym_o": "int64", "n_orders": "int64"})
+    s = grouped_reduce(ds_l.map_batches(to_ym("l_shipdate", "ym_s", "n_ships"),
+                                        batch_format="pyarrow"),
+                       ["ym_s"], {"n_ships": "sum"}, num_buckets=16,
+                       out_dtypes={"ym_s": "int64", "n_ships": "int64"})
+    joined = o.join(s, join_type="full_outer", num_partitions=8,
+                    on=("ym_o",), right_on=("ym_s",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the LEFT key column
+        # (unmatched right rows surface with ym_o = right key), so ym_o is
+        # already the COALESCE(o.ym, s.ym) the oracle computes.
+        return pa.table({
+            "ym": pc.cast(batch.column("ym_o"), pa.int64()),
+            "n_orders": pc.cast(pc.fill_null(batch.column("n_orders"), 0),
+                                pa.int64()),
+            "n_ships": pc.cast(pc.fill_null(batch.column("n_ships"), 0),
+                               pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SHIP_VS_ORDER_MONTHS = """
+SELECT COALESCE(o.ym, s.ym) AS ym,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_ships
+FROM (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             count(*) AS n FROM orders GROUP BY 1) o
+FULL JOIN
+     (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+             count(*) AS n FROM lineitem GROUP BY 1) s
+ON o.ym = s.ym
+"""
+
+RELATIONAL2_QUERIES["ship_vs_order_months"] = q_ship_vs_order_months
+RELATIONAL2_ORACLE["ship_vs_order_months"] = ORACLE_SHIP_VS_ORDER_MONTHS
+
+
+# ----------------------------------------------------------------- except
+def q_noorder_ship_months(sf_dir: str):
+    """EXCEPT set operation (completes the family with UNION and
+    INTERSECT): ship months in which NO order was placed (lineitem ship
+    dates trail order dates by up to ~4 months, so the tail months ship
+    without new orders). Distributed shape: each side reduces to distinct
+    months weighted ship=1 / order=2, union, sum per month — months
+    totalling exactly 1 are ship-only (set difference without
+    materializing either side; the distinct pass guarantees each side
+    contributes at most once per month)."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows, grouped_reduce
+
+    ds_l = _read(sf_dir, "lineitem", ["l_shipdate"])
+    ds_o = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def to_month(col: str, w: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch.column(col)
+            ym = pc.add(pc.multiply(pc.cast(pc.year(c), pa.int64()), 100),
+                        pc.cast(pc.month(c), pa.int64()))
+            return pa.table({"ship_ym": ym, "w": pa.array(
+                np.full(batch.num_rows, w, dtype=np.int64))})
+        return fn
+
+    ship = drop_duplicate_rows(
+        ds_l.map_batches(to_month("l_shipdate", 1), batch_format="pyarrow"),
+        ["ship_ym", "w"], num_buckets=32)
+    order = drop_duplicate_rows(
+        ds_o.map_batches(to_month("o_orderdate", 2), batch_format="pyarrow"),
+        ["ship_ym", "w"], num_buckets=32)
+
+    sums = grouped_reduce(ship.union(order), ["ship_ym"], {"w": "sum"},
+                          num_buckets=16,
+                          out_dtypes={"ship_ym": "int64", "w": "int64"})
+    return sums.filter(expr="w == 1").select_columns(["ship_ym"])
+
+
+ORACLE_NOORDER_SHIP_MONTHS = """
+SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_ym
+FROM lineitem
+EXCEPT
+SELECT year(o_orderdate) * 100 + month(o_orderdate)
+FROM orders
+"""
+
+RELATIONAL2_QUERIES["noorder_ship_months"] = q_noorder_ship_months
+RELATIONAL2_ORACLE["noorder_ship_months"] = ORACLE_NOORDER_SHIP_MONTHS
