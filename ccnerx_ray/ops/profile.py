@@ -200,6 +200,19 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
     scalar summary, not a dataset)."""
     import math
 
+    n, lo, hi = count_min_max(ds, col)
+    if n == 0:
+        return {q: None for q in qs}
+    ranks = {q: max(1, int(math.ceil(q * n))) for q in qs}
+    vals = exact_ranks(ds, col, sorted(set(ranks.values())), lo, hi,
+                       num_bins=num_bins, max_collect=max_collect,
+                       max_rounds=max_rounds)
+    return {q: vals[r] for q, r in ranks.items()}
+
+
+def count_min_max(ds, col: str) -> tuple[int, float, float]:
+    """One mergeable pass: (non-null count, min, max) of a numeric column
+    (per-block digests only leave the workers)."""
     def _stats(batch: pa.Table) -> pa.Table:
         c = batch.column(col)
         valid = batch.num_rows - c.null_count
@@ -215,17 +228,25 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
     parts = ds.map_batches(_stats, batch_format="pyarrow").take_all()
     n = sum(r["n"] for r in parts)
     if n == 0:
-        return {q: None for q in qs}
-    lo = min(r["lo"] for r in parts)
-    hi = max(r["hi"] for r in parts)
-    ranks = {q: max(1, int(math.ceil(q * n))) for q in qs}
+        return 0, np.inf, -np.inf
+    return n, min(r["lo"] for r in parts), max(r["hi"] for r in parts)
+
+
+def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
+                *, num_bins: int = 4096, max_collect: int = 200_000,
+                max_rounds: int = 6) -> dict[int, float]:
+    """Histogram-refinement core shared by the disc and cont quantile
+    fronts: solve the given 1-based GLOBAL ranks to their exact order-
+    statistic values, given the column's [lo, hi] envelope from
+    :func:`count_min_max`."""
+    ranks = {r: r for r in rank_list}
 
     def _vals(batch: pa.Table) -> np.ndarray:
         return (pc.drop_null(batch.column(col)).combine_chunks()
                 .to_numpy(zero_copy_only=False).astype(np.float64))
 
-    out: dict[float, float] = {}
-    pending = dict(ranks)               # q -> GLOBAL rank, still unsolved
+    out: dict[int, float] = {}
+    pending = dict(ranks)               # rank -> rank, still unsolved
     cum_before, blo, bhi = 0, lo, hi
     for _ in range(max_rounds):
         if not pending:
@@ -296,4 +317,41 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
         for q in list(pending):         # one collect+sort, k lookups
             out[q] = float(vals[pending[q] - 1])
             del pending[q]
+    return out
+
+
+def exact_quantiles_cont(ds, col: str, qs: list[float],
+                         num_bins: int = 4096, max_collect: int = 200_000,
+                         max_rounds: int = 6):
+    """Continuous (linearly interpolated) quantiles, EXACT and without a
+    global sort: solve the two neighbouring order statistics of each
+    quantile via :func:`exact_ranks`, then interpolate with DuckDB's
+    ``quantile_cont`` formula — 0-based position ``RN = q*(n-1)``,
+    ``v[floor(RN)]*(ceil(RN)-RN) + v[ceil(RN)]*(RN-floor(RN))`` (that
+    exact operand order, so float results agree bit-for-bit with the
+    oracle on cent-valued data).
+
+    Returns ``{q: value}`` (Python floats, driver-side)."""
+    import math
+
+    n, lo, hi = count_min_max(ds, col)
+    if n == 0:
+        return {q: None for q in qs}
+    wanted: dict[float, tuple[int, int, float]] = {}
+    need: set[int] = set()
+    for q in qs:
+        rn = q * (n - 1)
+        frn, crn = int(math.floor(rn)), int(math.ceil(rn))
+        wanted[q] = (frn + 1, crn + 1, rn)      # 1-based ranks
+        need.update((frn + 1, crn + 1))
+    vals = exact_ranks(ds, col, sorted(need), lo, hi, num_bins=num_bins,
+                       max_collect=max_collect, max_rounds=max_rounds)
+    out: dict[float, float] = {}
+    for q, (r_lo, r_hi, rn) in wanted.items():
+        if r_lo == r_hi:
+            out[q] = vals[r_lo]
+        else:
+            frn = r_lo - 1
+            out[q] = (vals[r_lo] * (r_hi - 1 - rn)
+                      + vals[r_hi] * (rn - frn))
     return out

@@ -208,6 +208,43 @@ ORACLE_QUANTILES = "\nUNION ALL\n".join(
     for pm, q in _QUANTILE_QS)
 
 
+_QUANTILE_CONT_QS = [(250, 0.25), (500, 0.5), (750, 0.75), (900, 0.9)]
+
+
+def q_quantiles_cont(sf_dir: str):
+    """CONTINUOUS (interpolated) quantiles of order totals, exact and
+    shuffle-free (ops/profile.py:exact_quantiles_cont): the two order
+    statistics flanking each quantile come from the same histogram-
+    refinement core as `quantiles`, interpolated with DuckDB's
+    quantile_cont operand order. Values reported as quarter-cents
+    (x400) — exact integers for quartile fractions on cent-valued
+    prices, so the oracle compare is integer-exact, not float-fuzzy."""
+    import math
+
+    import pyarrow as pa
+
+    from ccnerx_ray.ops.profile import exact_quantiles_cont
+    ds = _read_rel(sf_dir, "orders", ["o_totalprice"])
+    got = exact_quantiles_cont(ds, "o_totalprice",
+                               [q for _, q in _QUANTILE_CONT_QS])
+    return pa.table({
+        "q_permille": pa.array([pm for pm, _ in _QUANTILE_CONT_QS],
+                               pa.int64()),
+        # half-away-from-zero (DuckDB round), not Python's half-to-even
+        "value_x400": pa.array(
+            [int(math.copysign(math.floor(abs(got[q] * 400) + 0.5), got[q]))
+             for _, q in _QUANTILE_CONT_QS],
+            pa.int64()),
+    })
+
+
+ORACLE_QUANTILES_CONT = "\nUNION ALL\n".join(
+    f"SELECT CAST({pm} AS BIGINT) AS q_permille, "
+    f"CAST(round(quantile_cont(o_totalprice, {q}) * 400) AS BIGINT) "
+    f"AS value_x400 FROM orders"
+    for pm, q in _QUANTILE_CONT_QS)
+
+
 # ------------------------------------------------------------- quality
 def q_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -883,6 +920,7 @@ ANALYTICS_QUERIES = {
     "decontaminate": q_decontaminate,
     "profile": q_profile,
     "quantiles": q_quantiles,
+    "quantiles_cont": q_quantiles_cont,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
@@ -910,6 +948,7 @@ ANALYTICS_ORACLE = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "profile": ORACLE_PROFILE,
     "quantiles": ORACLE_QUANTILES,
+    "quantiles_cont": ORACLE_QUANTILES_CONT,
     "quality": ORACLE_QUALITY,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,
