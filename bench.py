@@ -51,6 +51,13 @@ EXTRAS = [
     "jaccard_pairs",     # exact n-gram Jaccard similarity join
     "orders_running_total",  # window function (running total)
     "tfidf_top_terms",   # corpus-weighted term ranking (df join + top-n)
+    "graph_pagerank",    # iterative joins (integer PageRank)
+    "grouped_quantiles",  # per-group exact p25/p50/p75
+    "quantiles_cont",    # interpolated quantiles (shared rank core)
+    "customer_order_counts",  # left outer join + coalesce
+    "ship_vs_order_months",   # full outer join of per-month digests
+    "pii_redact",        # regex PII scrubbing (vectorized RE2)
+    "doc_packs",         # token-budget sequence packing
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -104,7 +104,7 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
     num_partitions : hash-path shuffle width.
     """
     right_on = right_on or on
-    if join_type not in ("inner", "left_semi", "left_anti"):
+    if join_type not in ("inner", "left_semi", "left_anti", "left_outer"):
         raise ValueError(f"unsupported join_type: {join_type}")
 
     tbl = _materialize_build(build, broadcast_bytes, build_bytes_hint)
@@ -127,6 +127,31 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
                                False)
             return batch.filter(hit if keep_hits else pc.invert(hit))
         return probe.map_batches(_membership, batch_format="pyarrow")
+
+    if join_type == "left_outer":
+        # per-batch left outer is safe under broadcast (each probe row is
+        # joined independently; only FULL outer would need cross-batch
+        # knowledge of unmatched build keys)
+        def _louter(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            b, keys, idx = _prepared_build(ref, right_on)
+            if idx is None:
+                # duplicate (or null) build keys: acero hash join per batch
+                return batch.join(b, keys=[on], right_keys=[right_on],
+                                  join_type="left outer")
+            indexer = idx.get_indexer(batch.column(on).to_pandas())
+            matched = indexer >= 0
+            # null indices gather null rows — unmatched probe rows get
+            # null build columns, matching SQL LEFT OUTER semantics
+            picked = b.take(pa.array(np.where(matched, indexer, 0),
+                                     type=pa.int64(),
+                                     mask=~matched))
+            out = batch
+            for name in b.column_names:
+                if name != right_on:
+                    out = out.append_column(name, picked.column(name))
+            return out
+        return probe.map_batches(_louter, batch_format="pyarrow")
 
     def _inner(batch: pa.Table) -> pa.Table:
         b, keys, idx = _prepared_build(ref, right_on)

@@ -913,7 +913,11 @@ def q_customer_order_counts(sf_dir: str):
     exercised): every customer with their order count, INCLUDING the
     zero-order customers the inner join would drop. Distributed shape:
     reduce orders to per-customer counts first (digest-size build side),
-    then ``Dataset.join(left_outer)`` and a vectorized COALESCE-to-0."""
+    then an adaptive LEFT OUTER join (broadcast under the asserted byte
+    bound, hash-partitioned ``Dataset.join`` beyond it) and a vectorized
+    COALESCE-to-0."""
+    from ccnerx_ray.ops.join import adaptive_join
+
     ds_c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ds_o = _read(sf_dir, "orders", ["o_custkey"])
 
@@ -927,8 +931,11 @@ def q_customer_order_counts(sf_dir: str):
                             num_buckets=32,
                             out_dtypes={"o_custkey": "int64",
                                         "n_orders": "int64"})
-    joined = ds_c.join(counts, join_type="left_outer", num_partitions=8,
-                       on=("c_custkey",), right_on=("o_custkey",))
+    # the counts digest is bounded above by the pruned o_custkey column
+    # bytes — a metadata-cheap estimate for the broadcast/hash decision
+    joined = adaptive_join(ds_c, counts, on="c_custkey",
+                           right_on="o_custkey", join_type="left_outer",
+                           build_bytes_hint=ds_o.size_bytes())
 
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.fill_null(batch.column("n_orders"), 0)

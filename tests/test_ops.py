@@ -515,6 +515,36 @@ def test_adaptive_anti_join_paths_agree(ray_session, bcast):
     assert sorted((r["k"], r["v"]) for r in out) == sorted(want)
 
 
+@pytest.mark.parametrize("bcast", [1 << 30, 0])
+def test_adaptive_left_outer_join_paths_agree(ray_session, bcast):
+    from ccnerx_ray.ops.join import adaptive_join
+    probe, build = _join_fixture()
+    out = adaptive_join(probe, build, on="k", right_on="bk",
+                        join_type="left_outer", broadcast_bytes=bcast,
+                        num_partitions=3).take_all()
+    want = [(i % 7, i, f"n{i % 7}" if i % 7 <= 3 else None)
+            for i in range(100)]
+    got = sorted(((r["k"], r["v"], r["name"]) for r in out), key=str)
+    assert got == sorted(want, key=str)
+
+
+@pytest.mark.parametrize("bcast", [1 << 30])
+def test_adaptive_left_outer_duplicate_build_keys(ray_session, bcast):
+    """Duplicate build keys route the broadcast path through the acero
+    per-batch join: left-outer must fan out matches AND keep misses."""
+    import ray.data
+    from ccnerx_ray.ops.join import adaptive_join
+    probe = ray.data.from_items([{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    build = ray.data.from_items(
+        [{"bk": 1, "name": "a"}, {"bk": 1, "name": "b"}])
+    out = adaptive_join(probe, build, on="k", right_on="bk",
+                        join_type="left_outer",
+                        broadcast_bytes=bcast).take_all()
+    got = sorted(((r["k"], r["v"], r["name"]) for r in out), key=str)
+    assert got == sorted([(1, 10, "a"), (1, 10, "b"), (2, 20, None)],
+                         key=str)
+
+
 def test_adaptive_join_lying_low_estimate_falls_back(ray_session):
     """A hint that claims 'tiny' while the actual table exceeds the slack
     bound must NOT broadcast — the materialized-size re-check routes the
