@@ -724,6 +724,22 @@ def test_exact_quantiles_vs_numpy(ray_session):
         assert v == want, (q, v, want)
 
 
+def test_exact_quantiles_cont_vs_numpy(ray_session):
+    """Interpolated quantiles == numpy 'linear' (the same 0-based
+    RN = q*(n-1) interpolation DuckDB's quantile_cont uses), including
+    the q=0/q=1 edges and a duplicate spike."""
+    import ray.data
+    from ccnerx_ray.ops.profile import exact_quantiles_cont
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(0, 100, 1500), np.full(700, -7.25)])
+    ds = ray.data.from_items([{"x": float(v)} for v in vals]).repartition(5)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    got = exact_quantiles_cont(ds, "x", qs, num_bins=64, max_collect=200)
+    for q in qs:
+        want = float(np.quantile(vals, q, method="linear"))
+        assert abs(got[q] - want) < 1e-12, (q, got[q], want)
+
+
 def test_exact_quantiles_two_oversized_buckets(ray_session):
     """Two dup spikes in two different oversized buckets in one round:
     the first refines, the second must route to the safety collect (was
