@@ -964,9 +964,13 @@ def q_ship_vs_order_months(sf_dir: str):
     range, as-of): monthly order counts vs monthly shipment counts, keeping
     months that appear on EITHER side (lineitem ship dates run past the
     last order month, so each side has exclusive keys). Distributed shape:
-    both sides reduce to per-month digests first (tiny key space), then a
-    ``full_outer`` hash join and a vectorized COALESCE on key and counts."""
+    both sides reduce to per-month digests first (tiny key space,
+    materialized once — bounded by the month count), then FULL OUTER is
+    composed as ``left_outer(o, s) ∪ right_anti(s, o)`` through the
+    adaptive join: entirely shuffle-free while the digests sit under the
+    broadcast byte bound, two hash joins beyond it."""
     from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops.join import adaptive_join
 
     ds_o = _read(sf_dir, "orders", ["o_orderdate"])
     ds_l = _read(sf_dir, "lineitem", ["l_shipdate"])
@@ -983,18 +987,28 @@ def q_ship_vs_order_months(sf_dir: str):
     o = grouped_reduce(ds_o.map_batches(to_ym("o_orderdate", "ym_o", "n_orders"),
                                         batch_format="pyarrow"),
                        ["ym_o"], {"n_orders": "sum"}, num_buckets=16,
-                       out_dtypes={"ym_o": "int64", "n_orders": "int64"})
+                       out_dtypes={"ym_o": "int64", "n_orders": "int64"}
+                       ).materialize()
     s = grouped_reduce(ds_l.map_batches(to_ym("l_shipdate", "ym_s", "n_ships"),
                                         batch_format="pyarrow"),
                        ["ym_s"], {"n_ships": "sum"}, num_buckets=16,
-                       out_dtypes={"ym_s": "int64", "n_ships": "int64"})
-    joined = o.join(s, join_type="full_outer", num_partitions=8,
-                    on=("ym_o",), right_on=("ym_s",))
+                       out_dtypes={"ym_s": "int64", "n_ships": "int64"}
+                       ).materialize()
+    both = adaptive_join(o, s, on="ym_o", right_on="ym_s",
+                         join_type="left_outer",
+                         build_bytes_hint=s.size_bytes())
+    s_only = adaptive_join(s, o, on="ym_s", right_on="ym_o",
+                           join_type="left_anti",
+                           build_bytes_hint=o.size_bytes())
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({"ym_o": batch.column("ym_s"),
+                         "n_orders": pa.nulls(batch.num_rows, pa.int64()),
+                         "n_ships": batch.column("n_ships")})
+
+    joined = both.union(s_only.map_batches(widen, batch_format="pyarrow"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        # Ray's full_outer coalesces the join key into the LEFT key column
-        # (unmatched right rows surface with ym_o = right key), so ym_o is
-        # already the COALESCE(o.ym, s.ym) the oracle computes.
         return pa.table({
             "ym": pc.cast(batch.column("ym_o"), pa.int64()),
             "n_orders": pc.cast(pc.fill_null(batch.column("n_orders"), 0),
