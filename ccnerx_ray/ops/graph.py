@@ -51,9 +51,21 @@ def symmetrize(edges, src_col: str = "u", dst_col: str = "v"):
     return edges.map_batches(both, batch_format="pyarrow")
 
 
-def degree_counts(edges, src_col: str = "u", num_buckets: int = 256):
+def degree_counts(edges, src_col: str = "u", num_buckets: int = 256,
+                  node_dtype: str | None = None):
     """Out-degree per source node of an edge Dataset (for an undirected
-    graph, pass the symmetrized edges): ``(node, degree)``."""
+    graph, pass the symmetrized edges): ``(node, degree)``.
+
+    ``node_dtype`` pins the empty-block schema; when ``None`` it is
+    DERIVED from the edge column's Arrow type (an int-keyed edge list
+    with a hard-coded 'string' here would emit a string-typed empty
+    block from an empty shuffle bucket and poison downstream schema
+    unification — the exact failure out_dtypes exists to prevent)."""
+    if node_dtype is None:
+        sch = edges.schema()
+        t = dict(zip(sch.names, sch.types)).get(src_col)
+        node_dtype = ("int64" if t is not None and pa.types.is_integer(t)
+                      else "string")
 
     def ones(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -64,7 +76,7 @@ def degree_counts(edges, src_col: str = "u", num_buckets: int = 256):
     return grouped_reduce(edges.map_batches(ones, batch_format="pyarrow"),
                           ["node"], {"degree": "sum"},
                           num_buckets=num_buckets,
-                          out_dtypes={"node": "string", "degree": "int64"})
+                          out_dtypes={"node": node_dtype, "degree": "int64"})
 
 
 def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
@@ -81,9 +93,14 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
     mass is ``n_nodes × 1e6``, so this holds up to ~5×10¹¹ nodes even
     if ONE hub absorbed the entire graph's mass."""
     sym = symmetrize(edges, src_col, dst_col).materialize()
+    sch = sym.schema()
+    t = dict(zip(sch.names, sch.types)).get(src_col)
+    node_dtype = ("int64" if t is not None and pa.types.is_integer(t)
+                  else "string")
     # materialized once: reused as the probe side of every iteration's
     # rank update (a lazy deg would re-run its groupby per iteration)
-    deg = degree_counts(sym, src_col, num_buckets=num_buckets).materialize()
+    deg = degree_counts(sym, src_col, num_buckets=num_buckets,
+                        node_dtype=node_dtype).materialize()
 
     def init_pr(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -108,7 +125,7 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
         sums = grouped_reduce(
             joined.map_batches(contrib, batch_format="pyarrow"),
             ["node"], {"s": "sum"}, num_buckets=num_buckets,
-            out_dtypes={"node": "string", "s": "int64"}).materialize()
+            out_dtypes={"node": node_dtype, "s": "int64"}).materialize()
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("s").to_numpy()

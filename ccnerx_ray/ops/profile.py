@@ -247,14 +247,20 @@ def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
 
     out: dict[int, float] = {}
     pending = dict(ranks)               # rank -> rank, still unsolved
-    cum_before, blo, bhi = 0, lo, hi
+    # range_count = rows inside the current refined range (None = whole
+    # column). The collapse branch below may only solve ranks that LIE in
+    # the collapsed range — a rank parked in a DIFFERENT oversized bucket
+    # of an earlier round must fall through to the safety collect.
+    cum_before, blo, bhi, range_count = 0, lo, hi, None
     for _ in range(max_rounds):
         if not pending:
             break
         if blo == bhi:                  # range collapsed: one value
             for q in list(pending):
-                out[q] = blo
-                del pending[q]
+                local = pending[q] - cum_before
+                if range_count is None or 1 <= local <= range_count:
+                    out[q] = blo
+                    del pending[q]
             break
         edges = np.linspace(blo, bhi, num_bins + 1)
 
@@ -303,10 +309,10 @@ def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
                 # two separate buckets of one round)
                 before = int(csum[b - 1]) if b > 0 else 0
                 next_range = (float(edges[b]), float(edges[b + 1]),
-                              cum_before + before)
+                              cum_before + before, int(hist[b]))
         if next_range is None:
             break
-        blo, bhi, cum_before = next_range
+        blo, bhi, cum_before, range_count = next_range
     if pending:                         # safety: exact but driver-heavy
         def _all_vals(batch: pa.Table) -> pa.Table:
             return pa.table({"v": pa.array(_vals(batch), pa.float64())})

@@ -143,14 +143,22 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: list[int] | None = None,
 def group_centroids(ds, group_col: str = "label",
                     vec_col: str = "embedding"):
     """Mergeable per-group vector aggregate: for each group, the count
-    and the element-wise float64 sum of its embedding vectors (centroid
-    = sum / n, left to the consumer so the emitted ``sum_micro`` column
-    stays an exact integer for the value-hash oracle).
+    and the element-wise sum of its embedding vectors in exact integer
+    MICRO units (centroid ≈ sum_micro / (n · 1e6), left to the consumer
+    so the emitted column stays an exact integer for the value-hash
+    oracle).
+
+    Integer convention: each component is rounded to micro units PER
+    VALUE (half-away-from-zero, DuckDB ``round`` semantics) and summed
+    as int64 — an order-free aggregate, immune to the float-summation
+    association-order drift that round-at-the-end measurably hits (see
+    ``ops/profile.py`` ``sum_micro``). The oracle mirrors it:
+    ``sum(CAST(round(val*1e6) AS BIGINT))``.
 
     Shape: per-batch PARTIAL sums (a pandas groupby over a numpy matrix —
     one row per (group, batch), never one per vector) → tiny final merge
     on the group key. The shuffle carries ``n_groups × n_blocks`` partial
-    rows of ``dim`` doubles; the corpus never moves. Output is long-form
+    rows of ``dim`` int64s; the corpus never moves. Output is long-form
     ``(label, dim, n, sum_micro)`` — ``n_groups × dim`` rows.
 
     Used for: class centroids (diversity sampling, dataset cartography),
@@ -165,19 +173,22 @@ def group_centroids(ds, group_col: str = "label",
         V = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         dim = V.size // max(1, batch.num_rows)
         V = V.reshape(batch.num_rows, dim)
-        df = pd.DataFrame(V)
+        # micro-round per VALUE (half-away-from-zero = DuckDB round), then
+        # sum int64: bit-exact under any association order
+        Vm = (np.sign(V) * np.floor(np.abs(V * 1e6) + 0.5)).astype(np.int64)
+        df = pd.DataFrame(Vm)
         df["_g"] = labels
         agg = df.groupby("_g", sort=False).agg(["sum", "size"])
-        sums = agg.xs("sum", axis=1, level=1).to_numpy()
+        sums = agg.xs("sum", axis=1, level=1).to_numpy().astype(np.int64)
         ns = agg.xs("size", axis=1, level=1).to_numpy()[:, 0]
         return pa.table({
             group_col: pa.array(agg.index.to_numpy(), pa.int64()),
             "n": pa.array(ns.astype(np.int64), pa.int64()),
-            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "vsum": pa.array(list(sums), pa.list_(pa.int64())),
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        M = np.stack(g["vsum"].to_numpy())
+        M = np.stack(g["vsum"].to_numpy()).astype(np.int64)
         total = M.sum(axis=0)
         n = int(g["n"].sum())
         dim = total.size
@@ -185,11 +196,7 @@ def group_centroids(ds, group_col: str = "label",
             group_col: np.full(dim, g[group_col].iloc[0], dtype=np.int64),
             "dim": np.arange(1, dim + 1, dtype=np.int64),
             "n": np.full(dim, n, dtype=np.int64),
-            # DuckDB round() is half-AWAY-from-zero; np.round is half-to-
-            # even and diverges on exact .5 boundaries (oracle contract)
-            "sum_micro": (np.sign(total)
-                          * np.floor(np.abs(total * 1e6) + 0.5)
-                          ).astype(np.int64),
+            "sum_micro": total,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

@@ -292,5 +292,6 @@ def heavy_hitters_words(ds, text_col: str = "text", k_out: int = 20,
 
     partials = ds.map_batches(recount, batch_format="pyarrow")
     totals = grouped_reduce(partials, ["word"], {"n": "sum"},
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets,
+                            out_dtypes={"word": "string", "n": "int64"})
     return totals.sort(["n", "word"], descending=[True, False]).limit(k_out)

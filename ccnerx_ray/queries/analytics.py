@@ -542,7 +542,7 @@ WITH e AS (
   FROM embeddings
 )
 SELECT CAST(label AS BIGINT) AS label, dim, count(*) AS n,
-       CAST(round(sum(val) * 1000000) AS BIGINT) AS sum_micro
+       CAST(sum(CAST(round(val * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
 FROM e GROUP BY label, dim
 """
 
