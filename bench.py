@@ -35,9 +35,9 @@ HEADLINE = [
     "minhash_pairs",     # MinHash+LSH near-dup
     "knn",               # brute-force cosine top-k
     "events_hourly",     # windowed aggregate
-    "kg_triples",        # flagship: segment → tag → link → triples
-    "kg_entities",       # + canonicalization shuffle (run last: the big
-                         # actor pools must not contend with other queries)
+    # kg_triples + kg_entities_store run via kg_pair() (triples
+    # materialized ONCE, entities derived from the store — run_kg's
+    # production shape; VERDICT r2 #3: never pay the tagger twice)
 ]
 
 # timed but outside the headline total: late-round operator families
@@ -97,6 +97,35 @@ def run_queries(sf_dir: str, names: list[str],
     return out
 
 
+def kg_pair(sf_dir: str, reps: int = 2) -> dict[str, float]:
+    """Flagship KG pair, production shape: time the triples pipeline to a
+    MATERIALIZED store, then time the entity table derived from that
+    store (`entities_from_triples`) — one tagger pass total, exactly what
+    `run_kg` does. The registry's standalone `kg_entities_store` query
+    re-runs the tagger (a registry callable must be self-contained); the
+    bench measures the composed job."""
+    from ccnerx_ray.stages.canonical import entities_from_triples
+
+    import __ray_entry__ as e
+    qs = e.queries()
+    tri_walls, ent_walls = [], []
+    tri = None
+    for _ in range(reps):
+        t0 = time.time()
+        tri = qs["kg_triples"](sf_dir).materialize()
+        tri_walls.append(round(time.time() - t0, 3))
+    for _ in range(reps):
+        t0 = time.time()
+        n = entities_from_triples(tri).count()
+        ent_walls.append(round(time.time() - t0, 3))
+    print(f"# kg_triples: {tri_walls} -> {min(tri_walls)}s "
+          f"({tri.count()} rows)", file=sys.stderr)
+    print(f"# kg_entities_store: {ent_walls} -> {min(ent_walls)}s "
+          f"({n} rows)", file=sys.stderr)
+    return {"kg_triples": min(tri_walls),
+            "kg_entities_store": min(ent_walls)}
+
+
 def main() -> None:
     import ray
     if not ray.is_initialized():
@@ -110,6 +139,7 @@ def main() -> None:
     ray.data.range(NUM_CPUS * 4).map_batches(lambda b: b).count()
 
     queries = run_queries(SF_DIR, HEADLINE)
+    queries.update(kg_pair(SF_DIR))
     total = round(sum(queries.values()), 3)
     # extras: the late-round operator families, timed but NOT part of the
     # headline metric (keeps round-over-round comparability of `value`)

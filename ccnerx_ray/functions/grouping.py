@@ -107,6 +107,43 @@ def grouped_reduce(ds, key_cols: Sequence[str],
                           out_dtypes=out_dtypes)
 
 
+def semi_join_on(ds, key_col: str, keys_ds, keys_col: str | None = None,
+                 num_buckets: int = 256,
+                 out_dtypes: dict[str, str] | None = None):
+    """Rows of ``ds`` whose ``key_col`` value appears anywhere in
+    ``keys_ds[keys_col]`` — a hash-partitioned SEMI JOIN realized as one
+    coarse co-group (tag provenance, union, per-key membership test).
+    Neither side materializes on the driver and nothing broadcasts, so it
+    holds at fact-scale on BOTH sides (contrast ``adaptive_join``'s
+    broadcast membership, which requires a small build side)."""
+    keys_col = keys_col or key_col
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+
+    def mark_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_semi", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for nm, tp in zip(names, types):
+            cols[nm] = (batch.column(keys_col).cast(tp) if nm == key_col
+                        else pa.nulls(n, tp))
+        return pa.table(cols).append_column(
+            "_semi", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = ds.map_batches(mark_rows, batch_format="pyarrow").union(
+        keys_ds.map_batches(key_rows, batch_format="pyarrow"))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g.groupby(key_col, sort=False)["_semi"].transform("max")
+        return g[(g["_semi"] == 0) & (mem == 1)].drop(columns=["_semi"])
+
+    return coarse_grouped(both, [key_col], local, num_buckets,
+                          out_dtypes=out_dtypes)
+
+
 def drop_duplicate_rows(ds, key_cols: Sequence[str], num_buckets: int = 256):
     """Distributed exact row-dedup on ``key_cols`` (keeps an arbitrary but
     deterministic-per-content first row: rows are sorted by keys locally)."""

@@ -197,6 +197,51 @@ class BloomFilter:
         return bf
 
 
+def tree_or_merge(refs, fanout: int = 8):
+    """Associative OR tree-reduce over Bloom-bitmap blocks (VERDICT r2
+    #5: the driver loop was O(blocks) serialized through one process —
+    at thousands of 128 MB filters that is hours of single-threaded OR
+    and a driver-bandwidth bottleneck).
+
+    ``refs``: ObjectRefs to either Arrow tables with a binary ``sketch``
+    column (the sketch stage's blocks) or raw ``bytes`` (inner-node
+    outputs). Each level merges ``fanout`` inputs per task, so depth is
+    ``log_fanout(blocks)`` and the work spreads across the cluster.
+    Returns the merged bitmap ``bytes`` (``None`` if no input bitmap)."""
+    import ray
+
+    @ray.remote
+    def _or(*parts):
+        acc = None
+        for p in parts:
+            payloads = (p.column("sketch").to_pylist()
+                        if isinstance(p, pa.Table) else
+                        ([] if p is None else [p]))
+            for payload in payloads:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if acc is None:
+                    acc = arr.copy()
+                else:
+                    np.bitwise_or(acc, arr, out=acc)
+        return None if acc is None else acc.tobytes()
+
+    refs = list(refs)
+    if not refs:
+        return None
+    while len(refs) > 1:
+        refs = [_or.remote(*refs[i:i + fanout])
+                for i in range(0, len(refs), fanout)]
+    out = ray.get(refs[0])
+    if isinstance(out, pa.Table):       # single-block input, never remoted
+        payloads = out.column("sketch").to_pylist()
+        acc = None
+        for payload in payloads:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return None if acc is None else acc.tobytes()
+    return out
+
+
 def ngram_contamination_bloom(docs, eval_sources: set[str], *, n: int = 13,
                               expected_grams: int = 1_000_000,
                               fpr: float = 1e-6,
@@ -208,10 +253,9 @@ def ngram_contamination_bloom(docs, eval_sources: set[str], *, n: int = 13,
     in a map-only pass. Counts can only OVERcount, by the configured
     false-positive rate. Same output schema as the exact operator.
 
-    Scale note: one bitmap per input block rides back to the driver for
-    the OR-merge (HLL shape, ``ops/sketches.py``); at 2^30-bit filters
-    and thousands of blocks, swap the driver loop for a tree reduce —
-    the OR is associative, nothing else changes."""
+    Scale note: one bitmap per input block; blocks merge via
+    :func:`tree_or_merge` (associative OR, ``log(blocks)`` depth), so
+    thousands of 2^30-bit filters never serialize through the driver."""
     import ray
 
     evset = frozenset(eval_sources)
@@ -226,10 +270,11 @@ def ngram_contamination_bloom(docs, eval_sources: set[str], *, n: int = 13,
         return pa.table({"sketch": pa.array([bf.to_bytes()],
                                             pa.large_binary())})
 
-    merged = BloomFilter(m_bits, k)
-    for row in docs.map_batches(sketch, batch_format="pyarrow").take_all():
-        merged.bits |= np.frombuffer(row["sketch"], dtype=np.uint8)
-    ref = ray.put(merged.to_bytes())
+    sketches = docs.map_batches(sketch, batch_format="pyarrow")
+    payload = tree_or_merge(sketches.to_arrow_refs())
+    if payload is None:
+        payload = BloomFilter(m_bits, k).to_bytes()
+    ref = ray.put(payload)
 
     def probe(batch: pa.Table) -> pa.Table:
         bf = BloomFilter.from_bytes(ray.get(ref), m_bits, k, writable=False)

@@ -43,6 +43,28 @@ BROADCAST_BYTES_DEFAULT = 64 << 20
 # in-memory can exceed on-disk parquet (no encodings); re-check with slack
 _ACTUAL_SLACK = 4
 
+# hash-path shuffle sizing: one partition per this many probe bytes,
+# clamped to [cpus, 4*cpus] — enough to keep every core busy, never so
+# many that per-partition overhead dominates
+_HASH_PARTITION_BYTES = 256 << 20
+
+
+def derive_hash_partitions(probe_bytes: int | None,
+                           cpus: int | None = None) -> int:
+    """Hash-join shuffle width from probe size and cluster CPUs:
+    ``clamp(probe_bytes / 256 MiB, cpus, 4*cpus)`` (VERDICT r2 #4 — a
+    constant 8 under-partitions a fact-scale probe on a real cluster).
+    Unknown probe size falls back to the CPU count (every core busy)."""
+    if cpus is None:
+        import ray
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+    cpus = max(1, cpus)
+    if probe_bytes is None:
+        return cpus
+    return int(min(max(probe_bytes / _HASH_PARTITION_BYTES, cpus),
+                   4 * cpus))
+
 
 def _materialize_build(build, broadcast_bytes: int,
                        estimate_bytes: int | None) -> pa.Table | None:
@@ -88,7 +110,8 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
                   join_type: str = "inner",
                   broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
                   build_bytes_hint: int | None = None,
-                  num_partitions: int = 8):
+                  num_partitions: int | None = None,
+                  probe_bytes_hint: int | None = None):
     """``probe ⋈ build`` with stats-based strategy selection.
 
     Parameters
@@ -101,7 +124,13 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
         pre-filter ``read_parquet(...).size_bytes()`` so derived plans
         are not executed twice. ``None`` falls back to
         ``build.size_bytes()`` (which executes derived plans).
-    num_partitions : hash-path shuffle width.
+    num_partitions : hash-path shuffle width; ``None`` (default) derives
+        it from the probe size and cluster CPUs
+        (:func:`derive_hash_partitions`).
+    probe_bytes_hint : byte estimate for the probe side, used only to
+        size the hash path. ``None`` tries the probe's metadata size
+        (cheap for reads; may execute derived plans — pass the hint on
+        derived probes that reach the hash path).
     """
     right_on = right_on or on
     if join_type not in ("inner", "left_semi", "left_anti", "left_outer"):
@@ -109,6 +138,13 @@ def adaptive_join(probe, build, *, on: str, right_on: str | None = None,
 
     tbl = _materialize_build(build, broadcast_bytes, build_bytes_hint)
     if tbl is None:
+        if num_partitions is None:
+            if probe_bytes_hint is None:
+                try:
+                    probe_bytes_hint = probe.size_bytes()
+                except Exception:  # noqa: BLE001 — sizing is best-effort
+                    probe_bytes_hint = None
+            num_partitions = derive_hash_partitions(probe_bytes_hint)
         return probe.join(build, join_type=join_type,
                           num_partitions=num_partitions,
                           on=(on,), right_on=(right_on,))

@@ -977,6 +977,38 @@ def q_kg_aliases(sf_dir: str):
 ANALYTICS_QUERIES["kg_aliases"] = q_kg_aliases
 
 
+def q_kg_entities_store(sf_dir: str):
+    """Store-derived entity table (`run_kg`'s production shape, VERDICT r2
+    #3): ONE tagger pass emits triples; entities are canonicalized from
+    the stream's ``mentioned_in`` rows — never a second pass over the
+    corpus. Support therefore counts one row per DISTINCT
+    (document, entity, surface) — the store-native ``n_mentions`` — so
+    this carries its own oracle rather than reusing ``kg_entities``'s
+    per-mention counts."""
+    from ccnerx_ray.stages.canonical import entities_from_triples
+    return entities_from_triples(q_kg_triples(sf_dir))
+
+
+ORACLE_KG_ENTITIES_STORE = f"""
+WITH {_KG_CTE},
+dm AS (SELECT DISTINCT doc_id, surface, label FROM kg_m),
+agg AS (SELECT surface AS norm_key, label, count(*) AS cnt
+        FROM dm GROUP BY 1, 2),
+tot AS (SELECT norm_key, CAST(sum(cnt) AS BIGINT) AS n_mentions
+        FROM agg GROUP BY 1),
+lab AS (SELECT norm_key, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY norm_key
+                     ORDER BY cnt DESC, label) AS rn FROM agg)
+        WHERE rn = 1)
+SELECT substr(sha256(norm_key), 1, 16) AS entity_id, norm_key, label,
+       norm_key AS repr_surface, n_mentions
+FROM tot JOIN lab USING (norm_key)
+"""
+
+ANALYTICS_QUERIES["kg_entities_store"] = q_kg_entities_store
+ANALYTICS_ORACLE["kg_entities_store"] = ORACLE_KG_ENTITIES_STORE
+
+
 def q_minhash_dedup_keepers(sf_dir: str):
     """Full near-dup dedup pipeline: MinHash-LSH pairs → connected
     components → one keeper (min doc_id) per duplicate cluster."""

@@ -388,6 +388,77 @@ RELATIONAL2_QUERIES["click_last_purchase"] = q_click_last_purchase
 RELATIONAL2_ORACLE["click_last_purchase"] = ORACLE_CLICK_LAST_PURCHASE
 
 
+def q_events_global_asof(sf_dir: str):
+    """GLOBAL (no ``by``) as-of join — the range-bucketed path of
+    ``ops/sketches.py:asof_join`` (VERDICT r2 #2: this shape used to
+    funnel into one reducer; now every bucket of the ``on`` domain joins
+    independently with driver-computed boundary carries): each event,
+    regardless of user, gets the most recent order DAY at or before its
+    timestamp plus that day's order count. The right side is aggregated
+    per day first, so its ``on`` values are unique and the pandas/DuckDB
+    tie rules cannot diverge. Oracle: native DuckDB ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+
+    from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops.sketches import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def ev_map(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    left = ev.map_batches(ev_map, batch_format="pyarrow")
+
+    od = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def od_map(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    daily = grouped_reduce(od.map_batches(od_map, batch_format="pyarrow"),
+                           ["d_us"], {"n_orders": "sum"}, num_buckets=32,
+                           out_dtypes={"d_us": "int64", "n_orders": "int64"})
+
+    def with_key(b: pa.Table) -> pa.Table:
+        return b.append_column("ts_us", b.column("d_us"))
+
+    right = daily.map_batches(with_key, batch_format="pyarrow")
+    joined = asof_join(left, right, on="ts_us", direction="backward",
+                       num_buckets=64)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # events before the first order day get the -1 sentinel (pandas
+        # NaN would float the int columns; DuckDB COALESCEs identically)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "ts_us": df["ts_us"].astype("int64"),
+            "d_us": df["d_us"].fillna(-1).astype("int64"),
+            "n_orders": df["n_orders"].fillna(-1).astype("int64"),
+        })
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+ORACLE_EVENTS_GLOBAL_ASOF = """
+WITH r AS (SELECT epoch_us(o_orderdate) AS d_us,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+     l AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+SELECT l.event_id, l.ts_us,
+       COALESCE(r.d_us, -1) AS d_us,
+       COALESCE(r.n_orders, -1) AS n_orders
+FROM l ASOF LEFT JOIN r ON l.ts_us >= r.d_us
+"""
+
+RELATIONAL2_QUERIES["events_global_asof"] = q_events_global_asof
+RELATIONAL2_ORACLE["events_global_asof"] = ORACLE_EVENTS_GLOBAL_ASOF
+
+
 # --------------------------------------------------------------- range join
 PRICE_BANDS = [(900.0, 950.0, "low"), (925.0, 975.0, "mid"),
                (950.0, 1000.0, "high")]

@@ -232,6 +232,39 @@ def test_asof_join_by_key(ray_session):
     assert out[("b", 5)] is None or np.isnan(out[("b", 5)])  # no right <= 5
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_global_bucketed(ray_session, direction):
+    """Global (no-by) as-of, range-bucketed (VERDICT r2 #2): matches that
+    sit MANY empty buckets away must arrive via the boundary carry, and
+    the result equals a single-process pandas merge_asof."""
+    import pandas as pd
+    import ray.data
+    from ccnerx_ray.ops.sketches import asof_join
+
+    rng = np.random.default_rng(7)
+    # left spread over [0, 1000); right only in two narrow clumps, so most
+    # of the 16 buckets have NO right rows and depend on the carry
+    lvals = np.sort(rng.choice(np.arange(1000), size=120, replace=False))
+    rvals = np.concatenate([np.arange(40, 52), np.arange(800, 808)])
+    left = ray.data.from_items(
+        [{"t": int(t), "lid": i} for i, t in enumerate(lvals)]).repartition(5)
+    right = ray.data.from_items(
+        [{"t": int(t), "price": int(t) * 10} for t in rvals]).repartition(3)
+
+    got = asof_join(left, right, on="t", direction=direction,
+                    num_buckets=16).to_pandas()
+    lf = pd.DataFrame({"t": lvals.astype("int64"),
+                       "lid": np.arange(120, dtype="int64")})
+    rf = pd.DataFrame({"t": rvals.astype("int64"),
+                       "price": rvals.astype("int64") * 10})
+    want = pd.merge_asof(lf.sort_values("t"), rf.sort_values("t"),
+                         on="t", direction=direction, suffixes=("", "_r"))
+    g = got.sort_values("lid").reset_index(drop=True)
+    w = want.sort_values("lid").reset_index(drop=True)
+    assert g["t"].tolist() == w["t"].tolist()
+    assert g["price"].fillna(-1).tolist() == w["price"].fillna(-1).tolist()
+
+
 def test_range_join_points_in_intervals(ray_session):
     import ray.data
     from ccnerx_ray.ops.sketches import range_join
@@ -545,6 +578,20 @@ def test_adaptive_left_outer_duplicate_build_keys(ray_session, bcast):
                          key=str)
 
 
+def test_derive_hash_partitions_scales_with_probe_size():
+    """Hash-path shuffle width grows with the probe size (VERDICT r2 #4:
+    a constant under-partitions fact-scale probes) and is clamped to
+    [cpus, 4*cpus]."""
+    from ccnerx_ray.ops.join import derive_hash_partitions as dp
+    assert dp(None, cpus=16) == 16                      # unknown → cpus
+    assert dp(1 << 20, cpus=16) == 16                   # tiny → floor
+    one_tib = 1 << 40
+    assert dp(one_tib, cpus=16) == 64                   # huge → 4*cpus cap
+    mid = 24 * (256 << 20)                              # 24 partitions' worth
+    assert dp(mid, cpus=16) == 24                       # proportional between
+    assert dp(mid, cpus=16) < dp(2 * mid, cpus=32)      # monotone in size
+
+
 def test_adaptive_join_lying_low_estimate_falls_back(ray_session):
     """A hint that claims 'tiny' while the actual table exceeds the slack
     bound must NOT broadcast — the materialized-size re-check routes the
@@ -617,8 +664,41 @@ def test_group_centroids_numpy_oracle(ray_session):
         sub = V[labels == lab].astype(np.float64)
         got = out[out["label"] == lab].sort_values("dim")
         assert (got["n"] == len(sub)).all()
-        want = np.round(sub.sum(axis=0) * 1e6).astype(np.int64)
+        # per-VALUE micro rounding (half-away-from-zero), int64 sum —
+        # order-free by construction (ADVICE r2: round-at-the-end drifts)
+        sub_m = (np.sign(sub) * np.floor(np.abs(sub * 1e6) + 0.5)
+                 ).astype(np.int64)
+        want = sub_m.sum(axis=0)
         assert got["sum_micro"].to_numpy().tolist() == want.tolist()
+
+
+def test_bloom_tree_or_merge_1000_blocks(ray_session):
+    """The associative OR tree-reduce over 1000 bitmap blocks equals the
+    sequential OR (VERDICT r2 #5 fix) — mixed Arrow-table and raw-bytes
+    inputs, multi-row blocks included."""
+    import ray
+    import pyarrow as pa_
+    from ccnerx_ray.ops.decontaminate import tree_or_merge
+
+    rng = np.random.default_rng(5)
+    bitmaps = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+               for _ in range(1000)]
+    want = np.zeros(16, dtype=np.uint8)
+    for b in bitmaps:
+        want |= np.frombuffer(b, dtype=np.uint8)
+    refs = []
+    for i in range(0, 1000, 3):   # ~334 blocks of up to 3 sketch rows each
+        chunk = bitmaps[i:i + 3]
+        refs.append(ray.put(pa_.table(
+            {"sketch": pa_.array(chunk, pa_.large_binary())})))
+    got = tree_or_merge(refs, fanout=8)
+    assert got == want.tobytes()
+    # raw-bytes inputs (inner-node shape) merge identically
+    got2 = tree_or_merge([ray.put(b) for b in bitmaps], fanout=16)
+    assert got2 == want.tobytes()
+    assert tree_or_merge([]) is None
+    # single-block input never leaves the caller process
+    assert tree_or_merge([refs[0]]) is not None
 
 
 def test_ngram_contamination_bloom_matches_exact(ray_session):
