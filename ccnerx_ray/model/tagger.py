@@ -38,6 +38,46 @@ def _token_seed(token: str, salt: int) -> int:
     return int.from_bytes(h, "little")
 
 
+def save_checkpoint(path: str, cfg: PipelineConfig = PipelineConfig()) -> str:
+    """Serialize the seeded model's weights to an ``.npz`` checkpoint —
+    the stand-in for the reference's ``torch.save`` model artifact
+    (``CC/trainer.py:366-380``). Loading it through
+    ``MentionTagger(checkpoint_path=...)`` exercises the per-actor
+    weight-loading path of ``predicter.py:52-83`` end to end. Write is
+    atomic (tmp + rename) so concurrent actors never read a torn file."""
+    import os
+    import tempfile
+
+    tags = bioes_tag_list(cfg.entity_labels)
+    T = len(tags) + 2
+    rng = np.random.default_rng(cfg.model_seed)
+    D, H = cfg.embed_dim, cfg.hidden_dim
+    payload = {
+        "W1": rng.standard_normal((D, H)) / np.sqrt(D),
+        "b1": rng.standard_normal(H) * 0.1,
+        "W2": rng.standard_normal((H, T)) * 0.4 / np.sqrt(H),
+        "b2": rng.standard_normal(T) * 0.1,
+        "transitions": _structured_transitions(tags, cfg.model_seed + 1),
+        "tags": np.array(tags),
+        "o_bias": np.float64(3.0),
+        "emb_salt": np.int64(cfg.model_seed + 2),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".tmp.npz")  # .npz: savez keeps name
+    os.close(fd)
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> dict:
+    """Read an ``.npz`` checkpoint into the ``weights=`` dict
+    :class:`TaggerModel` / ``TorchTaggerModel`` accept."""
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
 def _structured_transitions(tags: list[str], seed: int) -> np.ndarray:
     """BIOES-grammar transition matrix in the reference layout
     ``transitions[to, from]`` (crf.py:31-34), with small (0.15σ) seeded noise on the
@@ -74,10 +114,15 @@ def _structured_transitions(tags: list[str], seed: int) -> np.ndarray:
 
 
 class TaggerModel:
-    """Seeded deterministic tagger: tokens → BIOES tag strings."""
+    """Deterministic tagger: tokens → BIOES tag strings. Weights come
+    from the config seed, or — the production regime the reference's
+    ``predicter.py:52-83`` embodies (load a trained ``.pth`` once per
+    predictor) — from an on-disk checkpoint via ``weights=``
+    (:func:`load_checkpoint`), loaded once per actor/worker process."""
 
     def __init__(self, catalog: EntityCatalog, cfg: PipelineConfig = PipelineConfig(),
-                 extra_lexicon: list[tuple[str, ...]] | None = None):
+                 extra_lexicon: list[tuple[str, ...]] | None = None,
+                 weights: dict | None = None):
         self.cfg = cfg
         self.catalog = catalog
         self.tags = bioes_tag_list(cfg.entity_labels)
@@ -92,17 +137,34 @@ class TaggerModel:
         self.trie = Trie.from_words(sorted(set(words)), use_single=cfg.use_single,
                                     max_scan_num=cfg.max_scan_num)
 
-        rng = np.random.default_rng(cfg.model_seed)
-        D, H = cfg.embed_dim, cfg.hidden_dim
-        self.W1 = rng.standard_normal((D, H)) / np.sqrt(D)
-        self.b1 = rng.standard_normal(H) * 0.1
-        self.W2 = rng.standard_normal((H, T)) * 0.4 / np.sqrt(H)
-        self.b2 = rng.standard_normal(T) * 0.1
-        self.o_bias = 3.0  # favor O absent lexicon evidence
-        self.crf = CRFParams(_structured_transitions(self.tags, cfg.model_seed + 1),
-                             T - 2, T - 1)
+        if weights is not None:
+            saved_tags = [str(t) for t in weights["tags"]]
+            if saved_tags != self.tags:
+                raise ValueError(
+                    "checkpoint tag vocabulary does not match the config's "
+                    f"entity labels: {saved_tags[:4]}... vs {self.tags[:4]}...")
+            self.W1 = np.asarray(weights["W1"], dtype=np.float64)
+            self.b1 = np.asarray(weights["b1"], dtype=np.float64)
+            self.W2 = np.asarray(weights["W2"], dtype=np.float64)
+            self.b2 = np.asarray(weights["b2"], dtype=np.float64)
+            self.o_bias = float(weights["o_bias"])
+            self.crf = CRFParams(
+                np.asarray(weights["transitions"], dtype=np.float64),
+                T - 2, T - 1)
+            self._emb_salt = int(weights["emb_salt"])
+        else:
+            rng = np.random.default_rng(cfg.model_seed)
+            D, H = cfg.embed_dim, cfg.hidden_dim
+            self.W1 = rng.standard_normal((D, H)) / np.sqrt(D)
+            self.b1 = rng.standard_normal(H) * 0.1
+            self.W2 = rng.standard_normal((H, T)) * 0.4 / np.sqrt(H)
+            self.b2 = rng.standard_normal(T) * 0.1
+            self.o_bias = 3.0  # favor O absent lexicon evidence
+            self.crf = CRFParams(
+                _structured_transitions(self.tags, cfg.model_seed + 1),
+                T - 2, T - 1)
+            self._emb_salt = cfg.model_seed + 2
         self._emb_cache: dict[str, np.ndarray] = {}
-        self._emb_salt = cfg.model_seed + 2
         # per-token BASE emission row cache (emission = f(token) + boosts;
         # the MLP runs once per distinct token, ever, per process)
         self._row_cache: dict[str, np.ndarray] = {}

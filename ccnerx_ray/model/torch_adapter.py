@@ -51,7 +51,8 @@ class TorchTaggerModel:
 
     def __init__(self, catalog: EntityCatalog,
                  cfg: PipelineConfig = PipelineConfig(),
-                 module=None, device: str = "cpu"):
+                 module=None, device: str = "cpu",
+                 weights: dict | None = None):
         import torch  # gate: raises ImportError when torch is absent
 
         self.torch = torch
@@ -65,14 +66,38 @@ class TorchTaggerModel:
                                     use_single=cfg.use_single,
                                     max_scan_num=cfg.max_scan_num)
         self.device = torch.device(device)
+        if weights is not None and module is None:
+            # load the npz checkpoint into a real torch module — the same
+            # artifact the numpy backend reads, so the two backends hold
+            # IDENTICAL parameters (forward precision aside)
+            saved_tags = [str(t) for t in weights["tags"]]
+            if saved_tags != self.tags:
+                raise ValueError("checkpoint tag vocabulary mismatch")
+            module = torch.nn.Sequential(
+                torch.nn.Linear(cfg.embed_dim, cfg.hidden_dim),
+                torch.nn.Tanh(),
+                torch.nn.Linear(cfg.hidden_dim, T),
+            )
+            with torch.no_grad():
+                module[0].weight.copy_(torch.as_tensor(weights["W1"].T))
+                module[0].bias.copy_(torch.as_tensor(weights["b1"]))
+                module[2].weight.copy_(torch.as_tensor(weights["W2"].T))
+                module[2].bias.copy_(torch.as_tensor(weights["b2"]))
         self.module = (module or toy_module(cfg.embed_dim, cfg.hidden_dim,
                                             T, cfg.model_seed)).to(
             self.device).eval()
-        self.crf = CRFParams(
-            _structured_transitions(self.tags, cfg.model_seed + 1),
-            T - 2, T - 1)
-        self._emb_salt = cfg.model_seed + 2
-        self.o_bias = 3.0
+        if weights is not None:
+            self.crf = CRFParams(
+                np.asarray(weights["transitions"], dtype=np.float64),
+                T - 2, T - 1)
+            self._emb_salt = int(weights["emb_salt"])
+            self.o_bias = float(weights["o_bias"])
+        else:
+            self.crf = CRFParams(
+                _structured_transitions(self.tags, cfg.model_seed + 1),
+                T - 2, T - 1)
+            self._emb_salt = cfg.model_seed + 2
+            self.o_bias = 3.0
 
     def _embed(self, token: str) -> np.ndarray:
         r = np.random.default_rng(_token_seed(token, self._emb_salt))

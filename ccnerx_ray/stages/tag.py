@@ -94,23 +94,32 @@ class MentionTagger:
     def __init__(self, catalog_pairs: list[tuple[tuple[str, ...], str]] | None = None,
                  cfg: PipelineConfig | None = None, catalog_ref=None,
                  emit: str = "segments", backend: str = "numpy",
-                 device: str = "cpu"):
+                 device: str = "cpu", checkpoint_path: str | None = None):
         """``catalog_pairs`` inline for tests; ``catalog_ref`` a ``ray.put``
         handle for production (broadcast once, read per actor).
         ``backend="torch"`` swaps in the torch emission model
         (:mod:`ccnerx_ray.model.torch_adapter`) — pair it with
         ``map_batches(…, num_gpus=1)`` and ``device="cuda"`` for the GPU
-        pool; decode semantics are backend-independent."""
+        pool; decode semantics are backend-independent.
+        ``checkpoint_path`` loads on-disk weights ONCE per actor (the
+        reference's predictor regime, ``predicter.py:52-83`` — every
+        actor of the pool reads the artifact in ``__init__``, never per
+        batch); ``None`` uses the config-seeded weights."""
         self.cfg = cfg or PipelineConfig()
         if catalog_ref is not None:
             import ray
             catalog_pairs = ray.get(catalog_ref)
         catalog = EntityCatalog.from_pairs(catalog_pairs or [])
+        weights = None
+        if checkpoint_path is not None:
+            from ccnerx_ray.model.tagger import load_checkpoint
+            weights = load_checkpoint(checkpoint_path)
         if backend == "torch":
             from ccnerx_ray.model.torch_adapter import TorchTaggerModel
-            self.model = TorchTaggerModel(catalog, self.cfg, device=device)
+            self.model = TorchTaggerModel(catalog, self.cfg, device=device,
+                                          weights=weights)
         elif backend == "numpy":
-            self.model = TaggerModel(catalog, self.cfg)
+            self.model = TaggerModel(catalog, self.cfg, weights=weights)
         else:
             # a typo ('Torch', 'cuda') silently running the numpy model on
             # an idle GPU pool would be invisible — fail loudly instead

@@ -857,6 +857,21 @@ def test_jaccard_pairs_exact_values(ray_session):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_semi_join_on_membership(ray_session):
+    """Distributed semi join: keeps exactly the rows whose key appears in
+    the (Dataset-valued) key set; nothing touches the driver."""
+    import ray.data
+    from ccnerx_ray.functions.grouping import semi_join_on
+    rows = ray.data.from_items(
+        [{"k": i % 10, "v": i} for i in range(100)]).repartition(5)
+    keys = ray.data.from_items(
+        [{"cid": 2}, {"cid": 7}, {"cid": 2}, {"cid": 99}]).repartition(2)
+    out = semi_join_on(rows, "k", keys, keys_col="cid",
+                       num_buckets=8).take_all()
+    assert sorted((r["k"], r["v"]) for r in out) == sorted(
+        (i % 10, i) for i in range(100) if i % 10 in (2, 7))
+
+
 def test_jaccard_prefix_equals_exact(ray_session):
     """AllPairs prefix filtering is a pure optimization: identical output
     to the exhaustive inverted-index join, across thresholds."""

@@ -50,3 +50,23 @@ def test_tagger_torch_actor_pool(ray_session):
         batch_format="pyarrow", concurrency=(1, 2))
     rows = tagged.take_all()
     assert rows and "parse_foo" in rows[0]["surfaces"]
+
+
+def test_torch_backend_from_checkpoint_matches_numpy(tmp_path):
+    """Torch module initialized FROM the npz checkpoint holds the same
+    parameters as the numpy backend; on catalog-driven corpora (lexicon
+    boost dominates the float32-vs-float64 forward noise) the decoded
+    tags must agree exactly."""
+    from ccnerx_ray.model.tagger import save_checkpoint
+
+    ckpt = str(tmp_path / "tagger.npz")
+    save_checkpoint(ckpt, CFG)
+    seg = make_segmenter(CFG)(_corpus_batch())
+    out_np = MentionTagger(catalog_pairs=CATALOG, cfg=CFG,
+                           checkpoint_path=ckpt)(seg)
+    out_th = MentionTagger(catalog_pairs=CATALOG, cfg=CFG,
+                           backend="torch", checkpoint_path=ckpt)(seg)
+    a, b = out_np.to_pylist()[0], out_th.to_pylist()[0]
+    assert a["surfaces"] == b["surfaces"]
+    assert a["labels"] == b["labels"]
+    assert a["starts"] == b["starts"]
