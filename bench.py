@@ -199,6 +199,84 @@ def scaling_worker(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def lexicon_stress() -> None:
+    """Reference-scale lexicon regime (A1, VERDICT r2 #4 directive): the
+    reference runs a 1-1.5M-word trie (``Readme.md:59``,
+    ``le_loader.py:25``); this measures that regime end to end — trie
+    build time, trie heap, broadcast payload size, and featurize+tag
+    throughput over $GRAFT_SF_DIR with the big lexicon loaded in every
+    pool actor. Prints one JSON line; numbers recorded in BASELINE.md."""
+    import tracemalloc
+
+    import ray
+    from ray import cloudpickle
+
+    n_words = int(os.environ.get("GRAFT_LEXICON_WORDS", "1500000"))
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from ccnerx_ray.corpus import synthetic_lexicon
+    from ccnerx_ray.queries.analytics import (TESTDATA_CATALOG,
+                                              corpus_from_documents, kg_cfg)
+    from ccnerx_ray.stages.tag import MentionTagger
+    from ccnerx_ray.state.trie import Trie
+    from ccnerx_ray.pipelines.kg import _broadcast_catalog, segments_dataset
+
+    t0 = time.time()
+    words = synthetic_lexicon(n_words)
+    gen_s = time.time() - t0
+
+    tracemalloc.start()
+    t0 = time.time()
+    trie = Trie.from_words(words)
+    build_s = time.time() - t0
+    cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert trie.max_depth >= 2
+    blob_bytes = len(cloudpickle.dumps(words))
+
+    lex_ref = ray.put(words)
+    cat_ref = _broadcast_catalog(TESTDATA_CATALOG)
+    cfg = kg_cfg()
+    n_docs = 0
+    walls = []
+    for _ in range(2):
+        corpus = corpus_from_documents(SF_DIR)
+        n_docs = corpus.count()
+        segs = segments_dataset(corpus, cfg)
+        t0 = time.time()
+        tagged = segs.map_batches(
+            MentionTagger,
+            fn_constructor_kwargs={"catalog_ref": cat_ref, "cfg": cfg,
+                                   "emit": "mentions",
+                                   "extra_lexicon_ref": lex_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.featurize_batch_size,
+            concurrency=(1, cfg.tagger_concurrency))
+        rows = tagged.count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    print(json.dumps({
+        "metric": "lexicon_stress_1p5m",
+        "n_lexicon_words": n_words,
+        "gen_s": round(gen_s, 2),
+        "trie_build_s": round(build_s, 2),
+        "trie_heap_mib": round(cur / 2**20, 1),
+        "trie_heap_peak_mib": round(peak / 2**20, 1),
+        "trie_bytes_per_word": round(cur / n_words, 1),
+        "broadcast_payload_mib": round(blob_bytes / 2**20, 1),
+        "tag_walls_s": [round(w, 2) for w in walls],
+        "docs": n_docs,
+        "docs_per_s": round(n_docs / wall, 1),
+        "mention_rows": rows,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }))
+    ray.shutdown()
+
+
 def _burn(dur: float) -> float:
     t0 = time.time()
     n = 0
@@ -323,5 +401,7 @@ if __name__ == "__main__":
         scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--lexicon" in sys.argv:
+        lexicon_stress()
     else:
         main()

@@ -156,3 +156,25 @@ def write_corpus(path_dir: str, n_rows: int, seed: int = 42,
         shard = table.slice(k * per, per)
         pq.write_table(shard, os.path.join(path_dir, f"part-{k:05d}.parquet"))
     return path_dir
+
+
+def synthetic_lexicon(n: int = 1_500_000, seed: int = 2021,
+                      bigram_every: int = 10) -> list[tuple[str, ...]]:
+    """Deterministic synthetic lexicon at the reference's ``max_scan_num``
+    scale (1-1.5M entries — ``Readme.md:59``, ``le_loader.py:25``): mostly
+    unigram identifiers plus a bigram every ``bigram_every`` entries (the
+    trie's depth-2 regime). Names share syllable prefixes the way real
+    identifier vocabularies do, so trie fan-out is realistic rather than
+    degenerate. Pure arithmetic per entry — generating 1.5M words takes
+    ~1s and never holds more than the output list."""
+    syl = ["qa", "ver", "lox", "tem", "rud", "pin", "sol", "gram",
+           "dex", "mur", "tal", "riv", "onk", "bel", "zar", "hul"]
+    out: list[tuple[str, ...]] = []
+    for i in range(n):
+        a = syl[(i * 7) % 16] + syl[(i * 13 + 3) % 16] + format(i, "x")
+        if i % bigram_every == 0:
+            b = syl[(i * 11 + 5) % 16] + format(i % 719, "x")
+            out.append((a, b))
+        else:
+            out.append((a,))
+    return out

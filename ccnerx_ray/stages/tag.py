@@ -94,7 +94,8 @@ class MentionTagger:
     def __init__(self, catalog_pairs: list[tuple[tuple[str, ...], str]] | None = None,
                  cfg: PipelineConfig | None = None, catalog_ref=None,
                  emit: str = "segments", backend: str = "numpy",
-                 device: str = "cpu", checkpoint_path: str | None = None):
+                 device: str = "cpu", checkpoint_path: str | None = None,
+                 extra_lexicon_ref=None):
         """``catalog_pairs`` inline for tests; ``catalog_ref`` a ``ray.put``
         handle for production (broadcast once, read per actor).
         ``backend="torch"`` swaps in the torch emission model
@@ -104,7 +105,11 @@ class MentionTagger:
         ``checkpoint_path`` loads on-disk weights ONCE per actor (the
         reference's predictor regime, ``predicter.py:52-83`` — every
         actor of the pool reads the artifact in ``__init__``, never per
-        batch); ``None`` uses the config-seeded weights."""
+        batch); ``None`` uses the config-seeded weights.
+        ``extra_lexicon_ref``: ``ray.put`` handle of additional trie
+        words (token tuples) beyond the catalog — the reference's
+        1-1.5M-entry ``max_scan_num`` lexicon regime (``Readme.md:59``,
+        ``le_loader.py:25``); broadcast once, trie built per actor."""
         self.cfg = cfg or PipelineConfig()
         if catalog_ref is not None:
             import ray
@@ -114,12 +119,19 @@ class MentionTagger:
         if checkpoint_path is not None:
             from ccnerx_ray.model.tagger import load_checkpoint
             weights = load_checkpoint(checkpoint_path)
+        extra_lexicon = None
+        if extra_lexicon_ref is not None:
+            import ray
+            extra_lexicon = ray.get(extra_lexicon_ref)
         if backend == "torch":
+            if extra_lexicon is not None:
+                raise ValueError("extra_lexicon is numpy-backend-only")
             from ccnerx_ray.model.torch_adapter import TorchTaggerModel
             self.model = TorchTaggerModel(catalog, self.cfg, device=device,
                                           weights=weights)
         elif backend == "numpy":
-            self.model = TaggerModel(catalog, self.cfg, weights=weights)
+            self.model = TaggerModel(catalog, self.cfg, weights=weights,
+                                     extra_lexicon=extra_lexicon)
         else:
             # a typo ('Torch', 'cuda') silently running the numpy model on
             # an idle GPU pool would be invisible — fail loudly instead

@@ -271,3 +271,44 @@ def test_compacted_store_lookup_inherits_partitions(ray_session, tmp_path):
     assert summary["num_partitions"] == 16
     assert lookup_subject(dest, "s1")[0]["obj"] == "o1"
     assert lookup_subject(dest, "s2")[0]["obj"] == "o2"
+
+
+def test_alias_pairs_semantic_catches_synonyms(ray_session):
+    """The pluggable embedding-cosine scorer (A4 gap, VERDICT r2 #9)
+    finds SYNONYM aliases the char-3-gram path cannot: 'begin'/'start'
+    share no 3-grams (Jaccard = 0) but near-identical embedding vectors;
+    unrelated same-label entities stay unpaired."""
+    import numpy as np
+    import ray.data
+    from ccnerx_ray.stages.canonical import alias_pairs
+    from ccnerx_ray.state.embedding import WordEmbedding
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    w = rng.standard_normal(16)           # far from v (random direction)
+    emb = WordEmbedding({
+        "begin": v,
+        "start": v + 0.01 * rng.standard_normal(16),   # synonym: ~v
+        "halt": w,
+    }, 16)
+    rows = [
+        {"entity_id": "e1", "norm_key": "begin", "label": "FUNC",
+         "repr_surface": "begin", "n_mentions": 5},
+        {"entity_id": "e2", "norm_key": "start", "label": "FUNC",
+         "repr_surface": "start", "n_mentions": 3},
+        {"entity_id": "e3", "norm_key": "halt", "label": "FUNC",
+         "repr_surface": "halt", "n_mentions": 1},
+        {"entity_id": "e4", "norm_key": "start", "label": "CLASS",
+         "repr_surface": "Start", "n_mentions": 1},
+    ]
+    ents = ray.data.from_items(rows)
+    # n-gram scorer misses the synonym pair entirely
+    ngram = alias_pairs(ents, threshold=0.3).take_all()
+    assert not any({p["canonical_id"], p["alias_id"]} == {"e1", "e2"}
+                   for p in ngram)
+    # semantic scorer finds it — and nothing else (cross-label excluded
+    # by bucketing, 'halt' excluded by cosine)
+    sem = alias_pairs(ents, threshold=0.9, scorer="semantic",
+                      embedding=emb).take_all()
+    assert {(p["canonical_id"], p["alias_id"]) for p in sem} == {("e1", "e2")}
+    assert all(p["cos_pm"] >= 900_000 for p in sem)

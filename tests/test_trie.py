@@ -53,3 +53,27 @@ def test_spans():
     starts0 = [w for (a, b, w) in s if a == 0]
     assert ("foo", ".", "bar") in starts0
     assert (3, 4, ("foo",)) in s
+
+
+def test_lexicon_scale_memory_bound():
+    """A1 reference-scale regime (1-1.5M words, ``le_loader.py:25``),
+    asserted at 100k for test runtime: trie heap stays under 400 B/word
+    (measured ~176 B/word at 1.5M — an actor holding the full reference
+    lexicon costs ~250 MiB, well inside a worker heap; `bench.py
+    --lexicon` records the full-scale numbers)."""
+    import tracemalloc
+
+    from ccnerx_ray.corpus import synthetic_lexicon
+    from ccnerx_ray.state.trie import Trie
+
+    words = synthetic_lexicon(100_000)
+    assert len(set(words)) == len(words)
+    tracemalloc.start()
+    trie = Trie.from_words(words)
+    cur, _peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert trie.max_depth == 2
+    per_word = cur / len(words)
+    assert per_word < 400, f"{per_word:.0f} B/word exceeds the 400 B bound"
+    # the trie actually matches its entries
+    assert trie.search(words[0]) and trie.search(words[1])
