@@ -559,13 +559,49 @@ def _media_n(sf_dir: str) -> int:
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing over a deterministic synthetic media table
-    (size scaled with the corpus)."""
+    """REAL pixel/sample decode + featurize over the synthetic media
+    table: PNG scanlines (zlib inflate + filter reconstruction), GIF LZW
+    decompression and WAV PCM samples are fully decoded by pure-stdlib
+    kernels and summarized in exact integer micro units; MP4 rows carry
+    their real container duration with ``feat_ok=False`` (pixel decode
+    needs a codec — the one honest remaining gap). Oracle-checked by a
+    literal-VALUES SQL derived from the generator's PRE-ENCODE arrays,
+    so the comparison proves the decode roundtrip value-for-value."""
     import ray.data
-    from ccnerx_ray.ops.multimodal import (extract_media_features,
+    from ccnerx_ray.ops.multimodal import (media_feature_summary,
                                            synthetic_media_table)
     ds = ray.data.from_arrow(synthetic_media_table(_media_n(sf_dir)))
-    return extract_media_features(ds, dim=32, concurrency=2)
+    return media_feature_summary(ds)
+
+
+def _media_features_oracle_sql() -> str:
+    """Literal-VALUES oracle for ``media_features`` (same two-leg shape
+    as the ``media_headers`` oracle: the static SQL switches legs on the
+    ``documents`` row count, the only sf signal it can read)."""
+    from ccnerx_ray.ops.multimodal import expected_media_feature_summary
+
+    def values(n: int) -> str:
+        return ",\n".join(
+            "({media_id}, '{kind}', '{mime}', {n_units}, {mean_micro}, "
+            "{std_micro}, {extra_micro}, {ok})".format(
+                **r, ok="TRUE" if r["feat_ok"] else "FALSE")
+            for r in expected_media_feature_summary(n).to_pylist())
+
+    cols = ("media_id, kind, mime, n_units, mean_micro, std_micro, "
+            "extra_micro, feat_ok")
+    casts = ", ".join(
+        c if c in ("kind", "mime", "feat_ok")
+        else f"CAST({c} AS BIGINT) AS {c}"
+        for c in cols.split(", "))
+    legs = []
+    for n, guard in ((60, "<"), (120, ">=")):
+        legs.append(
+            f"SELECT {casts} FROM (VALUES\n{values(n)}\n) AS t({cols})\n"
+            f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+    return "\nUNION ALL\n".join(legs)
+
+
+ORACLE_MEDIA_FEATURES = _media_features_oracle_sql()
 
 
 def q_media_headers(sf_dir: str):
@@ -963,8 +999,9 @@ ANALYTICS_ORACLE = {
     "kg_triples": ORACLE_KG_TRIPLES,
     "kg_aliases": ORACLE_KG_ALIASES,
     "media_headers": ORACLE_MEDIA_HEADERS,
-    # ivf_knn (approximate; its machinery is oracle-checked via
-    # ivf_knn_full) and media_features (stubbed learned kernel): rows-only
+    "media_features": ORACLE_MEDIA_FEATURES,
+    # ivf_knn (approximate by construction; its machinery is
+    # oracle-checked via ivf_knn_full) is the one rows-only query
 }
 
 

@@ -412,7 +412,8 @@ def test_png_wav_header_parse_real_bytes():
 
 def test_media_headers_stage(ray_session):
     """The streaming header stage recovers the fixture's true metadata
-    from payload bytes alone (image/audio parse; video honestly fails)."""
+    from payload bytes alone — PNG/GIF/WAV and now the real MP4 box tree
+    (mvhd duration, tkhd 16.16 dimensions)."""
     import ray.data
     from ccnerx_ray.ops.multimodal import (extract_media_headers,
                                            synthetic_media_table)
@@ -423,14 +424,35 @@ def test_media_headers_stage(ray_session):
     assert len(rows) == 30
     for r in rows:
         want = truth[r["media_id"]]
+        assert r["header_ok"]
         if r["kind"] == "image":
-            assert r["header_ok"] and (r["width"], r["height"]) == \
+            assert (r["width"], r["height"]) == \
                 (want["width"], want["height"])
         elif r["kind"] == "audio":
-            assert r["header_ok"] and r["duration_ms"] == want["duration_ms"]
+            assert r["duration_ms"] == want["duration_ms"]
             assert r["sample_rate"] in (8000, 16000, 44100)
         else:
-            assert not r["header_ok"] and r["width"] == -1
+            assert (r["width"], r["height"], r["duration_ms"]) == \
+                (want["width"], want["height"], want["duration_ms"])
+
+
+def test_media_feature_summary_roundtrip(ray_session):
+    """Decode-stage summaries over encoded bytes equal the generator's
+    pre-encode ground truth — PNG inflate+unfilter, GIF LZW and WAV PCM
+    recover content exactly; MP4 carries real duration, feat_ok=False."""
+    import ray.data
+    from ccnerx_ray.ops.multimodal import (expected_media_feature_summary,
+                                           media_feature_summary,
+                                           synthetic_media_table)
+
+    t = synthetic_media_table(30)
+    got = {r["media_id"]: r for r in media_feature_summary(
+        ray.data.from_arrow(t)).take_all()}
+    for want in expected_media_feature_summary(30).to_pylist():
+        assert got[want["media_id"]] == want
+    vids = [g for g in got.values() if g["kind"] == "video"]
+    assert vids and all(not g["feat_ok"] and g["n_units"] > 0
+                        for g in vids)
 
 
 def test_dup_components_million_nodes_distributed(ray_session):
