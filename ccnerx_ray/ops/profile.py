@@ -275,8 +275,12 @@ def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
         for r in ds.map_batches(_hist, batch_format="pyarrow").take_all():
             hist += np.frombuffer(r["h"], dtype=np.int64)
         csum = np.cumsum(hist)
-        # solve every pending rank whose bucket is small enough to pull
+        # classify every pending rank: small-enough buckets collect in ONE
+        # batched pass for the whole round (a per-rank collect pass costs
+        # a full scan each — at 6 quantile fronts that tripled total scan
+        # count); oversized buckets refine next round
         next_range = None
+        solve: dict[int, list[int]] = {}       # bucket -> ranks in it
         for q in sorted(pending, key=pending.get):
             local = pending[q] - cum_before
             if local < 1 or local > int(csum[-1]):
@@ -286,22 +290,7 @@ def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
                 continue
             b = int(np.searchsorted(csum, local))
             if hist[b] <= max_collect:
-                e0, e1 = edges[b], edges[b + 1]
-                last = b == num_bins - 1
-
-                def _collect(batch: pa.Table, _e0=e0, _e1=e1, _last=last
-                             ) -> pa.Table:
-                    v = _vals(batch)
-                    m = (v >= _e0) & ((v <= _e1) if _last else (v < _e1))
-                    return pa.table({"v": pa.array(v[m], pa.float64())})
-
-                got = np.sort(np.array(
-                    [r["v"] for r in ds.map_batches(
-                        _collect, batch_format="pyarrow").take_all()],
-                    dtype=np.float64))
-                before = int(csum[b - 1]) if b > 0 else 0
-                out[q] = float(got[local - before - 1])
-                del pending[q]
+                solve.setdefault(b, []).append(q)
             elif next_range is None:
                 # refine into the FIRST oversized bucket; ranks landing in
                 # other oversized buckets fall through to the safety
@@ -310,6 +299,39 @@ def exact_ranks(ds, col: str, rank_list: list[int], lo: float, hi: float,
                 before = int(csum[b - 1]) if b > 0 else 0
                 next_range = (float(edges[b]), float(edges[b + 1]),
                               cum_before + before, int(hist[b]))
+        if solve:
+            # one scan collects EVERY solvable bucket of this round,
+            # tagged by bucket index (driver holds ≤ len(solve)·max_collect
+            # floats — the same per-bucket bound as before)
+            wins = [(b, float(edges[b]), float(edges[b + 1]),
+                     b == num_bins - 1) for b in sorted(solve)]
+
+            def _collect(batch: pa.Table, _wins=wins) -> pa.Table:
+                v = _vals(batch)
+                ws, vs = [], []
+                for b, e0, e1, last in _wins:
+                    m = (v >= e0) & ((v <= e1) if last else (v < e1))
+                    picked = v[m]
+                    ws.append(np.full(picked.size, b, dtype=np.int64))
+                    vs.append(picked)
+                return pa.table({
+                    "w": pa.array(np.concatenate(ws) if ws else
+                                  np.zeros(0, np.int64)),
+                    "v": pa.array(np.concatenate(vs) if vs else
+                                  np.zeros(0, np.float64)),
+                })
+
+            by_bucket: dict[int, list[float]] = {b: [] for b in solve}
+            for r in ds.map_batches(_collect,
+                                    batch_format="pyarrow").take_all():
+                by_bucket[r["w"]].append(r["v"])
+            for b, qs_in_b in solve.items():
+                got = np.sort(np.array(by_bucket[b], dtype=np.float64))
+                before = int(csum[b - 1]) if b > 0 else 0
+                for q in qs_in_b:
+                    local = pending[q] - cum_before
+                    out[q] = float(got[local - before - 1])
+                    del pending[q]
         if next_range is None:
             break
         blo, bhi, cum_before, range_count = next_range
