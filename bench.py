@@ -58,6 +58,9 @@ EXTRAS = [
     "ship_vs_order_months",   # full outer join of per-month digests
     "pii_redact",        # regex PII scrubbing (vectorized RE2)
     "doc_packs",         # token-budget sequence packing
+    "events_global_asof",  # range-bucketed GLOBAL as-of join (r3)
+    "media_features",    # real PNG/GIF/WAV decode + integer summaries (r3)
+    "kg_triples_ckpt",   # actor-pool tagger with on-disk weights (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -66,6 +66,31 @@ def typed_empty(dtypes: dict[str, str]) -> pa.Table:
                      for c, t in dtypes.items()})
 
 
+def _normalize_blocks(out_dtypes: dict[str, str]):
+    """map_batches fn factory: coerce every block to ONE Arrow schema.
+
+    ``map_groups(batch_format="pandas")`` leaves two hazards in its output
+    Dataset: (a) blocks are PANDAS while ``Dataset.schema()`` can still
+    report Arrow, so ``to_arrow_refs()`` takes the zero-copy path and hands
+    consumers raw DataFrames; (b) EMPTY shuffle partitions bypass the UDF
+    entirely and surface as zero-column blocks ("new schema: ." RefBundle
+    warnings). Running every block through an Arrow-format identity-with-
+    cast pass removes both: pandas→Arrow conversion happens here, and
+    zero-column / mistyped empties are rebuilt from ``out_dtypes``."""
+    target = pa.schema([(c, _ARROW_TYPES[t]) for c, t in out_dtypes.items()])
+    cols = list(out_dtypes)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or (batch.num_rows == 0
+                                      and set(batch.column_names) != set(cols)):
+            return typed_empty(out_dtypes)
+        if set(batch.column_names) == set(cols):
+            return batch.select(cols).cast(target)
+        return batch  # caller emitted extra columns — leave untouched
+
+    return fn
+
+
 def coarse_grouped(ds, key_cols: Sequence[str],
                    local_fn: Callable[[pd.DataFrame], pd.DataFrame],
                    num_buckets: int = 1024,
@@ -91,17 +116,47 @@ def coarse_grouped(ds, key_cols: Sequence[str],
             return typed_empty(out_dtypes)
         return out
 
-    return keyed.groupby(COARSE_COL).map_groups(run, batch_format="pandas")
+    out = keyed.groupby(COARSE_COL).map_groups(run, batch_format="pandas")
+    if out_dtypes is not None:
+        out = out.map_batches(_normalize_blocks(out_dtypes),
+                              batch_format="pyarrow")
+        # map_batches never sees 0-row blocks (the batch iterator yields no
+        # batches for them), so an ALL-empty result would surface only
+        # schema-less empty blocks and Dataset.schema() would be None.
+        # Union one zero-row typed block so the declared schema is always
+        # present; adds no rows and no shuffle.
+        import ray.data
+        out = out.union(ray.data.from_arrow(typed_empty(out_dtypes)))
+    return out
+
+
+_ASSOCIATIVE = ("sum", "min", "max")
 
 
 def grouped_reduce(ds, key_cols: Sequence[str],
                    agg: dict[str, str | Callable],
                    num_buckets: int = 1024,
-                   out_dtypes: dict[str, str] | None = None):
-    """Convenience: coarse-grouped ``groupby(key_cols).agg(agg)``."""
+                   out_dtypes: dict[str, str] | None = None,
+                   pre_combine: bool = False):
+    """Convenience: coarse-grouped ``groupby(key_cols).agg(agg)``.
+
+    ``pre_combine=True`` runs the same groupby INSIDE each input batch
+    before the coarse shuffle (classic combiner). Only valid when every
+    aggregate is associative (sum/min/max — combining partials equals
+    aggregating raw rows); cuts shuffle volume from input-scale rows to
+    ~distinct-keys-per-batch, which is the difference between shipping an
+    edge-scale table and a node-scale table on iterative graph workloads."""
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(list(key_cols), sort=False).agg(agg).reset_index()
+
+    if pre_combine:
+        bad = {c: a for c, a in agg.items()
+               if not (isinstance(a, str) and a in _ASSOCIATIVE)}
+        if bad:
+            raise ValueError(f"pre_combine requires associative string "
+                             f"aggs {_ASSOCIATIVE}, got {bad}")
+        ds = ds.map_batches(local, batch_format="pandas")
 
     return coarse_grouped(ds, key_cols, local, num_buckets,
                           out_dtypes=out_dtypes)

@@ -76,7 +76,8 @@ def degree_counts(edges, src_col: str = "u", num_buckets: int = 256,
     return grouped_reduce(edges.map_batches(ones, batch_format="pyarrow"),
                           ["node"], {"degree": "sum"},
                           num_buckets=num_buckets,
-                          out_dtypes={"node": node_dtype, "degree": "int64"})
+                          out_dtypes={"node": node_dtype, "degree": "int64"},
+                          pre_combine=True)
 
 
 def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
@@ -122,10 +123,14 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
                 "s": pa.array(pr // d, pa.int64()),
             })
 
+        # pre_combine: integer sums are associative, so combining per-batch
+        # partials is exact — the shuffle carries ~distinct-nodes-per-batch
+        # rows instead of one row PER EDGE per iteration.
         sums = grouped_reduce(
             joined.map_batches(contrib, batch_format="pyarrow"),
             ["node"], {"s": "sum"}, num_buckets=num_buckets,
-            out_dtypes={"node": node_dtype, "s": "int64"}).materialize()
+            out_dtypes={"node": node_dtype, "s": "int64"},
+            pre_combine=True).materialize()
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("s").to_numpy()

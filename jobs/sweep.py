@@ -33,9 +33,13 @@ def _to_pandas(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    # ray Dataset
+    # ray Dataset — tolerate pandas blocks slipping through the
+    # to_arrow_refs zero-copy path (mixed-format block hazard)
     import ray
-    tbls = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows > 0]
+    blocks = ray.get(res.to_arrow_refs())
+    blocks = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b for b in blocks]
+    tbls = [t for t in blocks if t.num_rows > 0]
     if not tbls:
         sch = res.schema()
         return pd.DataFrame({n: pd.Series(dtype="object")

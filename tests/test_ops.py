@@ -966,3 +966,29 @@ def test_pagerank_int_exact_on_known_graph(ray_session):
         pr = {n: 150_000 + (17 * s[n]) // 20 for n in deg}
     assert got == {n: (deg[n], pr[n]) for n in deg}
     assert got["b"][1] > got["a"][1] == got["c"][1]
+
+
+def test_grouped_reduce_pre_combine_exact(ray_session):
+    """Combiner path (per-batch partial agg before the coarse shuffle)
+    is exact for associative aggs and rejects non-associative ones."""
+    import pandas as pd
+    import pytest
+    import ray.data
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    rows = [{"k": f"g{i % 7}", "v": i * 3 % 11, "w": i} for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(8)
+    agg = {"v": "sum", "w": "max"}
+    dt = {"k": "string", "v": "int64", "w": "int64"}
+    plain = grouped_reduce(ds, ["k"], agg, num_buckets=4, out_dtypes=dt)
+    combined = grouped_reduce(ds, ["k"], agg, num_buckets=4, out_dtypes=dt,
+                              pre_combine=True)
+    a = plain.to_pandas().sort_values("k").reset_index(drop=True)
+    b = combined.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    exp = (pd.DataFrame(rows).groupby("k").agg(agg).reset_index()
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, exp[a.columns])
+
+    with pytest.raises(ValueError, match="associative"):
+        grouped_reduce(ds, ["k"], {"v": "mean"}, pre_combine=True)
