@@ -61,6 +61,7 @@ EXTRAS = [
     "events_global_asof",  # range-bucketed GLOBAL as-of join (r3)
     "media_features",    # real PNG/GIF/WAV decode + integer summaries (r3)
     "kg_triples_ckpt",   # actor-pool tagger with on-disk weights (r3)
+    "kmeans_clusters",   # distributed exact-int Lloyd k-means (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -526,6 +526,22 @@ def q_ivf_knn_full(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed exact-integer Lloyd k-means over the embeddings table
+    (k=8, 3 iterations): long-form final centroids + membership sizes.
+    Corpus is micro-ized once and scanned once per iteration; only the
+    k×dim centroid table ever reaches the driver."""
+    from ccnerx_ray.ops.cluster import kmeans_lloyd_int
+    return kmeans_lloyd_int(
+        _emb(sf_dir).select_columns(["vec_id", "embedding"]),
+        k=8, n_iter=3)
+
+
+def _oracle_kmeans():
+    from ccnerx_ray.ops.cluster import kmeans_oracle_sql
+    return kmeans_oracle_sql(k=8, n_iter=3, dim=64)
+
+
 def q_centroids(sf_dir: str):
     """Per-label embedding centroid components (mergeable vector
     aggregate: per-batch partial sums → tiny merge; long-form integer
@@ -970,6 +986,7 @@ ANALYTICS_QUERIES = {
     "ivf_knn": q_ivf_knn,
     "ivf_knn_full": q_ivf_knn_full,
     "centroids": q_centroids,
+    "kmeans_clusters": q_kmeans_clusters,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "kg_triples": q_kg_triples,
@@ -993,6 +1010,7 @@ ANALYTICS_ORACLE = {
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "centroids": ORACLE_CENTROIDS,
+    "kmeans_clusters": _oracle_kmeans(),
     "kg_mentions": ORACLE_KG_MENTIONS,
     "kg_label_dist": ORACLE_KG_LABEL_DIST,
     "kg_entities": ORACLE_KG_ENTITIES,

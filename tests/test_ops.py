@@ -992,3 +992,49 @@ def test_grouped_reduce_pre_combine_exact(ray_session):
 
     with pytest.raises(ValueError, match="associative"):
         grouped_reduce(ds, ["k"], {"v": "mean"}, pre_combine=True)
+
+
+def test_kmeans_int_empty_cluster_and_trunc_div(ray_session):
+    """Empty clusters keep their previous centroid with n_points=0;
+    integer division truncates toward zero (DuckDB ``//`` on negatives)."""
+    import numpy as np
+    import ray.data
+    from ccnerx_ray.ops.cluster import _trunc_div, kmeans_lloyd_int
+
+    assert _trunc_div(np.int64(-29), np.int64(2)) == -14   # floor gives -15
+    assert _trunc_div(np.int64(29), np.int64(2)) == 14
+
+    # ids 0 and 1 carry IDENTICAL vectors: every point ties between
+    # clusters 0 and 1 and the tie-break (lowest index) starves cluster 1.
+    rows = [
+        {"vec_id": 0, "embedding": [0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.0, 0.0]},
+        {"vec_id": 2, "embedding": [10.0, 10.0]},
+        {"vec_id": 3, "embedding": [10.0, 10.2]},
+        {"vec_id": 4, "embedding": [0.0, 0.2]},
+        {"vec_id": 5, "embedding": [-0.3, 0.1]},
+    ]
+    out = kmeans_lloyd_int(ray.data.from_items(rows), k=3, n_iter=1,
+                           num_buckets=4).to_pandas()
+    by = {(r.cluster, r.dim): r for r in out.itertuples()}
+    assert by[(1, 1)].n_points == 0
+    assert by[(1, 1)].c_micro == 0 and by[(1, 2)].c_micro == 0  # kept init
+    assert by[(0, 1)].n_points == 4          # 0,1,4,5 -> cluster 0
+    assert by[(0, 1)].c_micro == -300_000 // 4
+    assert by[(0, 2)].c_micro == 300_000 // 4
+    assert by[(2, 1)].n_points == 2          # the two far points
+    # cluster 2 centroid: mean of (10e6,10e6) and (10e6,10.2e6), trunc
+    assert by[(2, 1)].c_micro == 10_000_000
+    assert by[(2, 2)].c_micro == (10_000_000 + 10_200_000) // 2
+
+    # iteration 2: cluster 0's centroid moved off the origin, so the two
+    # origin points migrate to the (previously starved) identical-init
+    # cluster 1 — empty clusters can repopulate in later rounds.
+    out2 = kmeans_lloyd_int(ray.data.from_items(rows), k=3, n_iter=2,
+                            num_buckets=4).to_pandas()
+    by2 = {(r.cluster, r.dim): r for r in out2.itertuples()}
+    assert by2[(1, 1)].n_points == 2
+    assert by2[(1, 1)].c_micro == 0 and by2[(1, 2)].c_micro == 0
+    assert by2[(0, 1)].n_points == 2         # points 4, 5
+    assert by2[(0, 1)].c_micro == -300_000 // 2
+    assert by2[(0, 2)].c_micro == 300_000 // 2
