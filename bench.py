@@ -62,6 +62,7 @@ EXTRAS = [
     "media_features",    # real PNG/GIF/WAV decode + integer summaries (r3)
     "kg_triples_ckpt",   # actor-pool tagger with on-disk weights (r3)
     "kmeans_clusters",   # distributed exact-int Lloyd k-means (r3)
+    "bm25_topk",         # exact-integer BM25 ranked retrieval (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

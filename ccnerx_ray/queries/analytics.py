@@ -526,6 +526,20 @@ def q_ivf_knn_full(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_bm25_topk(sf_dir: str):
+    """Exact-integer BM25 ranked retrieval (fixed 4-query set, top-10
+    docs per query). Two corpus scans, zero corpus-scale shuffles: batch
+    stats partials -> Dataset.sum, then complete per-doc scores inside
+    each batch with per-batch partial top-k."""
+    from ccnerx_ray.ops.retrieval import bm25_topk
+    return bm25_topk(_docs_wide(sf_dir, ["doc_id", "text"]))
+
+
+def _oracle_bm25():
+    from ccnerx_ray.ops.retrieval import bm25_oracle_sql
+    return bm25_oracle_sql()
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed exact-integer Lloyd k-means over the embeddings table
     (k=8, 3 iterations): long-form final centroids + membership sizes.
@@ -987,6 +1001,7 @@ ANALYTICS_QUERIES = {
     "ivf_knn_full": q_ivf_knn_full,
     "centroids": q_centroids,
     "kmeans_clusters": q_kmeans_clusters,
+    "bm25_topk": q_bm25_topk,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "kg_triples": q_kg_triples,
@@ -1011,6 +1026,7 @@ ANALYTICS_ORACLE = {
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "centroids": ORACLE_CENTROIDS,
     "kmeans_clusters": _oracle_kmeans(),
+    "bm25_topk": _oracle_bm25(),
     "kg_mentions": ORACLE_KG_MENTIONS,
     "kg_label_dist": ORACLE_KG_LABEL_DIST,
     "kg_entities": ORACLE_KG_ENTITIES,

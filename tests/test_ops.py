@@ -1038,3 +1038,28 @@ def test_kmeans_int_empty_cluster_and_trunc_div(ray_session):
     assert by2[(0, 1)].n_points == 2         # points 4, 5
     assert by2[(0, 1)].c_micro == -300_000 // 2
     assert by2[(0, 2)].c_micro == 300_000 // 2
+
+
+def test_bm25_topk_planted_ranking(ray_session):
+    """More query-term mass ranks higher; ties break doc_id ASC; terms
+    absent from the corpus (df=0) are skipped; result is invariant to
+    block boundaries (per-doc scores never cross batches)."""
+    import ray.data
+    from ccnerx_ray.ops.retrieval import bm25_topk
+
+    rows = [
+        {"doc_id": 1, "text": "join join join filler filler"},
+        {"doc_id": 2, "text": "join filler filler filler filler"},
+        {"doc_id": 3, "text": "filler filler filler filler filler"},
+        {"doc_id": 4, "text": "join filler filler filler filler"},  # tie w/ 2
+    ]
+    qs = [(7, ["join", "nosuchterm"])]
+    for parts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = bm25_topk(ds, queries=qs, top_k=3).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        assert out["query_id"].tolist() == [7, 7, 7]
+        assert out["doc_id"].tolist() == [1, 2, 4]   # tie 2 vs 4 -> id asc
+        assert out["rank"].tolist() == [1, 2, 3]
+        assert out["score_micro"].iloc[0] > out["score_micro"].iloc[1]
+        assert out["score_micro"].iloc[1] == out["score_micro"].iloc[2]
