@@ -119,7 +119,8 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
     combined = totals.union(matches)
     return grouped_reduce(combined, ["doc_id"],
                           {"n_grams": "sum", "n_contaminated": "sum"},
-                          num_buckets=64, out_dtypes=_OUT_DTYPES)
+                          num_buckets=64, out_dtypes=_OUT_DTYPES,
+                          pre_combine=True)
 
 
 class BloomFilter:

@@ -145,11 +145,15 @@ def _asof_join_global(left, right, on: str, direction: str,
     # (stats + join), the same scans-not-shuffles trade the quantile ops
     # make.
     right = right.materialize()
-    nl, lo_l, hi_l = count_min_max(left, on)
+    # Bucket ranges come from the RIGHT side only — left rows outside
+    # [lo, hi] clip to the edge buckets, where the backward/forward carry
+    # (or the absence of one) yields the correct match/NaN, so a left
+    # stats scan buys nothing but a full extra pass over the probe side.
+    # (Balance caveat: a left domain far wider than the right's piles
+    # its out-of-range rows into two edge buckets.)
     nr, lo_r, hi_r = count_min_max(right, on)
-    lo = min(lo_l, lo_r)
-    hi = max(hi_l, hi_r)
-    if nl == 0 or not np.isfinite(lo):
+    lo, hi = lo_r, hi_r
+    if nr == 0 or not np.isfinite(lo):
         lo, hi = 0.0, 1.0
     width = (hi - lo) / num_buckets if hi > lo else 1.0
 
@@ -204,7 +208,8 @@ def _asof_join_global(left, right, on: str, direction: str,
                          carry_next if want_next else {}))
 
     def add_bucket(batch: _pa.Table) -> _pa.Table:
-        vals = np.asarray(batch.column(on).to_pylist(), dtype=np.float64)
+        vals = batch.column(on).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
         return batch.append_column(
             "_gb", _pa.array(bucket_of(vals), _pa.int64()))
 

@@ -281,6 +281,7 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
     chunk_sums = grouped_reduce(
         t1.select_columns([key_col, "chunk", "n_tokens"]),
         [key_col, "chunk"], {"n_tokens": "sum"}, num_buckets=64,
+        pre_combine=True,
         out_dtypes={key_col: "string", "chunk": "int64",
                     "n_tokens": "int64"})
 
@@ -322,7 +323,7 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
                                          "pack_tokens": "int64"})
     return grouped_reduce(per_doc, [key_col, "pack_id"],
                           {"n_docs": "sum", "pack_tokens": "sum"},
-                          num_buckets=64,
+                          num_buckets=64, pre_combine=True,
                           out_dtypes={key_col: "string", "pack_id": "int64",
                                       "n_docs": "int64",
                                       "pack_tokens": "int64"})
@@ -371,7 +372,7 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                 "df", pa.array(np.ones(b.num_rows, dtype=np.int64))),
             batch_format="pyarrow"),
         ["term"], {"df": "sum"}, num_buckets=num_buckets,
-        out_dtypes={"term": "string", "df": "int64"})
+        out_dtypes={"term": "string", "df": "int64"}, pre_combine=True)
     joined = adaptive_join(tf_rows, df_rows, on="term")
 
     def top(g: pd.DataFrame) -> pd.DataFrame:

@@ -202,7 +202,8 @@ def q_top_words(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     partials = ds.map_batches(explode, batch_format="pyarrow")
-    totals = grouped_reduce(partials, ["word"], {"n": "sum"}, num_buckets=64)
+    totals = grouped_reduce(partials, ["word"], {"n": "sum"}, num_buckets=64,
+                            pre_combine=True)
     return totals.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
@@ -422,7 +423,8 @@ def q_events_global_asof(sf_dir: str):
 
     daily = grouped_reduce(od.map_batches(od_map, batch_format="pyarrow"),
                            ["d_us"], {"n_orders": "sum"}, num_buckets=32,
-                           out_dtypes={"d_us": "int64", "n_orders": "int64"})
+                           out_dtypes={"d_us": "int64", "n_orders": "int64"},
+                           pre_combine=True)
 
     def with_key(b: pa.Table) -> pa.Table:
         return b.append_column("ts_us", b.column("d_us"))
@@ -528,7 +530,7 @@ def q_events_sliding(sf_dir: str, window_min: int = 30, step_min: int = 10):
     ds = _read(sf_dir, "events", ["ts", "event_type"])
     out = grouped_reduce(ds.map_batches(explode, batch_format="pyarrow"),
                          ["window_start_ms", "event_type"], {"one": "sum"},
-                         num_buckets=64)
+                         num_buckets=64, pre_combine=True)
     return out.map_batches(
         lambda b: b.rename_columns(
             ["n_events" if c == "one" else c for c in b.column_names]),
@@ -625,7 +627,7 @@ def q_events_daily_delta(sf_dir: str):
 
     daily = grouped_reduce(ds.map_batches(to_day, batch_format="pyarrow"),
                            ["event_type", "day_ms"], {"one": "sum"},
-                           num_buckets=32)
+                           num_buckets=32, pre_combine=True)
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["event_type", "day_ms"])
@@ -697,7 +699,7 @@ def q_revenue_rollup(sf_dir: str):
     finest = grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
                             ["priority", "o_year"],
                             {"n_orders": "sum", "revenue_cents": "sum"},
-                            num_buckets=16)
+                            num_buckets=16, pre_combine=True)
     f = pd.DataFrame(finest.take_all())  # bounded: |priority| x |years|
     by_p = (f.groupby("priority", as_index=False)
               [["n_orders", "revenue_cents"]].sum())
@@ -860,7 +862,7 @@ def q_suppliers_per_flag(sf_dir: str):
 
     return grouped_reduce(pairs.map_batches(ones, batch_format="pyarrow"),
                           ["l_returnflag"], {"n_suppliers": "sum"},
-                          num_buckets=8,
+                          num_buckets=8, pre_combine=True,
                           out_dtypes={"l_returnflag": "string",
                                       "n_suppliers": "int64"})
 
@@ -901,7 +903,7 @@ def q_revenue_cube(sf_dir: str):
     fine = grouped_reduce(ds.map_batches(prep, batch_format="pyarrow"),
                           ["priority", "o_year"],
                           {"n_orders": "sum", "revenue_cents": "sum"},
-                          num_buckets=16)
+                          num_buckets=16, pre_combine=True)
     f = pd.DataFrame(fine.take_all())   # bounded: |priority| x |years|
     by_p = (f.groupby("priority", as_index=False)
               [["n_orders", "revenue_cents"]].sum())
@@ -999,7 +1001,7 @@ def q_customer_order_counts(sf_dir: str):
 
     counts = grouped_reduce(ds_o.map_batches(ones, batch_format="pyarrow"),
                             ["o_custkey"], {"n_orders": "sum"},
-                            num_buckets=32,
+                            num_buckets=32, pre_combine=True,
                             out_dtypes={"o_custkey": "int64",
                                         "n_orders": "int64"})
     # the counts digest is bounded above by the pruned o_custkey column
@@ -1058,13 +1060,13 @@ def q_ship_vs_order_months(sf_dir: str):
     o = grouped_reduce(ds_o.map_batches(to_ym("o_orderdate", "ym_o", "n_orders"),
                                         batch_format="pyarrow"),
                        ["ym_o"], {"n_orders": "sum"}, num_buckets=16,
-                       out_dtypes={"ym_o": "int64", "n_orders": "int64"}
-                       ).materialize()
+                       out_dtypes={"ym_o": "int64", "n_orders": "int64"},
+                       pre_combine=True).materialize()
     s = grouped_reduce(ds_l.map_batches(to_ym("l_shipdate", "ym_s", "n_ships"),
                                         batch_format="pyarrow"),
                        ["ym_s"], {"n_ships": "sum"}, num_buckets=16,
-                       out_dtypes={"ym_s": "int64", "n_ships": "int64"}
-                       ).materialize()
+                       out_dtypes={"ym_s": "int64", "n_ships": "int64"},
+                       pre_combine=True).materialize()
     both = adaptive_join(o, s, on="ym_o", right_on="ym_s",
                          join_type="left_outer",
                          build_bytes_hint=s.size_bytes())
