@@ -1155,3 +1155,183 @@ FROM orders
 
 RELATIONAL2_QUERIES["noorder_ship_months"] = q_noorder_ship_months
 RELATIONAL2_ORACLE["noorder_ship_months"] = ORACLE_NOORDER_SHIP_MONTHS
+
+
+# ------------------------------------------------------ multi-way join (Q5)
+def q_regional_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape: a FIVE-table join chain (region → nation →
+    customer → orders → lineitem → supplier) with the classic
+    local-supplier condition ``s_nationkey = c_nationkey``. Demonstrates
+    join *chaining* through :func:`adaptive_join` — each hop re-decides
+    broadcast vs hash-shuffle from the build side's measured bytes, so at
+    bench scale the whole chain is shuffle-free (customer/supplier
+    projections are ~100 KB) while at 100 TB the two fact-fact hops
+    (orders ⋈ customer, lineitem ⋈ orders) flip to hash joins sized by
+    :func:`derive_hash_partitions`.
+
+    Exactness: per-row revenue is computed in integer TEN-THOUSANDTHS
+    (``round(price·100) · (100 − round(disc·100))``) so the grouped sum
+    is association-order-free and hash-identical to the oracle (the
+    float expression ``sum(price·(1−disc))`` would drift by ulps).
+    Overflow bound: ≤1e9 per row → int64 safe to ~9e9 rows per nation;
+    the oracle casts its HUGEINT sum back to BIGINT identically.
+
+    Reference analogue: the J2/J3 catalog-lookup family chained with the
+    G3 grouped count (SURVEY §2.5/§2.6) — this is the relational stress
+    shape those lookups take at warehouse scale."""
+    import ray
+
+    from ccnerx_ray.ops.join import adaptive_join
+
+    # dims (region=5 rows, nation=25) — driver-side read is the correct
+    # plan at ANY scale; the nation map rides to workers via closure
+    # capture of a 25-entry dict (object-store broadcast).
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    region = {r["r_regionkey"] for r in _read(
+        sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        if r["r_name"] == "ASIA"}
+    nkey2name = {r["n_nationkey"]: r["n_name"] for r in nation
+                 if r["n_regionkey"] in region}
+    nkeys = np.array(sorted(nkey2name), dtype=np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def in_region(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("c_nationkey"),
+                        value_set=pa.array(nkeys))
+        return batch.filter(mask)
+
+    cust = cust.map_batches(in_region, batch_format="pyarrow")
+
+    import datetime
+
+    import pyarrow.compute as _pc
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((_pc.field("o_orderdate")
+                 >= datetime.date(1996, 1, 1)) &
+                (_pc.field("o_orderdate")
+                 < datetime.date(1997, 1, 1))))
+
+    oc = adaptive_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       join_type="inner")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def to_rev(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "rev_tt": rev})
+
+    li = li.map_batches(to_rev, batch_format="pyarrow")
+    lo = adaptive_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                       join_type="inner")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    los = adaptive_join(lo, supp, on="l_suppkey", right_on="s_suppkey",
+                        join_type="inner")
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("s_nationkey"),
+                                      batch.column("c_nationkey")))
+        name = pa.array([nkey2name[k] for k in
+                         batch.column("c_nationkey").to_pylist()],
+                        pa.string())
+        return pa.table({"n_name": name, "rev_tt": batch.column("rev_tt")})
+
+    per_nation = los.map_batches(local_only, batch_format="pyarrow")
+    return grouped_reduce(per_nation, ["n_name"], {"rev_tt": "sum"},
+                          num_buckets=16, pre_combine=True,
+                          out_dtypes={"n_name": "string",
+                                      "rev_tt": "int64"}) \
+        .map_batches(lambda b: b.rename_columns(["n_name", "revenue_tt"]),
+                     batch_format="pyarrow")
+
+
+ORACLE_REGIONAL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_tt
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+RELATIONAL2_QUERIES["regional_nation_revenue"] = q_regional_nation_revenue
+RELATIONAL2_ORACLE["regional_nation_revenue"] = ORACLE_REGIONAL_NATION_REVENUE
+
+
+# ------------------------------------------------ correlated subquery (Q17)
+def q_parts_above_brand_avg(sf_dir: str):
+    """Correlated-subquery shape (TPC-H Q17 family): parts priced above
+    their own brand's average retail price. Distributed plan: scan 1
+    builds per-brand ``(count, sum_cents)`` partials inside each batch
+    (pre-combined — the shuffle carries ~|brands| rows per batch, never
+    part-scale); the tiny brand table broadcasts back as a dict and scan
+    2 filters vectorized. The fact table is never shuffled and the
+    comparison ``price_cents · n > sum_cents`` stays in integers, so no
+    division/ulp hazard exists on either engine.
+
+    The brand table is asserted small (low-cardinality group key); at
+    100 TB the same plan holds because brand cardinality is fixed by the
+    schema, not the data volume."""
+    brands = grouped_reduce(
+        _read(sf_dir, "part", ["p_brand", "p_retailprice"]).map_batches(
+            lambda b: pa.table({
+                "p_brand": b.column("p_brand"),
+                "price_cents": pc.cast(pc.round(pc.multiply(
+                    b.column("p_retailprice"), 100.0)), pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["p_brand"], {"price_cents": "sum", "n": "sum"}, num_buckets=8,
+        pre_combine=True,
+        out_dtypes={"p_brand": "string", "price_cents": "int64",
+                    "n": "int64"}).take_all()
+    assert len(brands) < 100_000, "brand cardinality exploded"
+    b_n = {r["p_brand"]: r["n"] for r in brands}
+    b_sum = {r["p_brand"]: r["price_cents"] for r in brands}
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("p_retailprice"), 100.0)), pa.int64()).to_numpy()
+        br = batch.column("p_brand").to_pylist()
+        n = np.array([b_n[x] for x in br], dtype=np.int64)
+        s = np.array([b_sum[x] for x in br], dtype=np.int64)
+        mask = cents * n > s
+        return pa.table({"p_partkey": batch.column("p_partkey")
+                         .to_numpy()[mask],
+                         "p_brand": pa.array([x for x, m in zip(br, mask)
+                                              if m], pa.string()),
+                         "price_cents": cents[mask]})
+
+    return _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_retailprice"]).map_batches(
+        above_avg, batch_format="pyarrow")
+
+
+ORACLE_PARTS_ABOVE_BRAND_AVG = """
+WITH b AS (SELECT p_brand, count(*) AS n,
+                  SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS s
+           FROM part GROUP BY p_brand)
+SELECT p_partkey, p.p_brand,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part p JOIN b ON p.p_brand = b.p_brand
+WHERE CAST(round(p_retailprice * 100) AS BIGINT) * b.n > b.s
+"""
+
+RELATIONAL2_QUERIES["parts_above_brand_avg"] = q_parts_above_brand_avg
+RELATIONAL2_ORACLE["parts_above_brand_avg"] = ORACLE_PARTS_ABOVE_BRAND_AVG
