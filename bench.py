@@ -63,6 +63,8 @@ EXTRAS = [
     "kg_triples_ckpt",   # actor-pool tagger with on-disk weights (r3)
     "kmeans_clusters",   # distributed exact-int Lloyd k-means (r3)
     "bm25_topk",         # exact-integer BM25 ranked retrieval (r3)
+    "regional_nation_revenue",  # five-table adaptive-join chain (r3)
+    "parts_above_brand_avg",    # correlated subquery, zero fact shuffle (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
