@@ -65,6 +65,10 @@ EXTRAS = [
     "bm25_topk",         # exact-integer BM25 ranked retrieval (r3)
     "regional_nation_revenue",  # five-table adaptive-join chain (r3)
     "parts_above_brand_avg",    # correlated subquery, zero fact shuffle (r3)
+    "orders_rank_in_month",  # tie-aware RANK() window, threshold top-k (r3)
+    "similar_part_names",    # Levenshtein fuzzy self-join (r3)
+    "embedding_dim_stats",   # UNNEST/flatten per-ordinal stats (r3)
+    "hll_custkey",           # HyperLogLog register sketch (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

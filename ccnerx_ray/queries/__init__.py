@@ -5,6 +5,7 @@ semantics are SQL-expressible. Assembled by ``__ray_entry__``."""
 
 from ccnerx_ray.queries.relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES
 from ccnerx_ray.queries.relational2 import RELATIONAL2_ORACLE, RELATIONAL2_QUERIES
+from ccnerx_ray.queries.relational3 import RELATIONAL3_ORACLE, RELATIONAL3_QUERIES
 from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
 
 
@@ -12,6 +13,7 @@ def all_queries() -> dict:
     q = {}
     q.update(RELATIONAL_QUERIES)
     q.update(RELATIONAL2_QUERIES)
+    q.update(RELATIONAL3_QUERIES)
     q.update(ANALYTICS_QUERIES)
     return q
 
@@ -20,5 +22,6 @@ def all_oracles() -> dict:
     o = {}
     o.update(RELATIONAL_ORACLE)
     o.update(RELATIONAL2_ORACLE)
+    o.update(RELATIONAL3_ORACLE)
     o.update(ANALYTICS_ORACLE)
     return o
