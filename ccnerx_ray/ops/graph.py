@@ -153,6 +153,147 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
     return nodes.map_batches(rename, batch_format="pyarrow")
 
 
+def connected_components(edges, src_col: str = "u", dst_col: str = "v",
+                         num_buckets: int = 256, max_rounds: int = 50):
+    """Exact connected components: ``(node, component)`` where component
+    is the MINIMUM node id (codepoint order for string ids — identical in
+    numpy object-min and DuckDB binary collation) reachable from the node.
+
+    Min-label propagation with POINTER JUMPING: each round every node's
+    label becomes ``min(lbl(node), min_nb lbl(nb), lbl(lbl(node)))``. The
+    pointer term is the path-doubling step — without it the round count
+    is the graph diameter (adversarial at 100-TB scale: a path graph of
+    n nodes needs n rounds); with it, label chains halve every round, so
+    convergence is O(log n) rounds on any topology. Each round is one
+    edge⋈node adaptive join, one node-scale self-join, one mergeable
+    grouped min, and an exact node-scale convergence check — nothing
+    graph-scale touches the driver, and iteration stops at the TRUE
+    fixpoint (required for oracle hash-exactness), not a fixed count.
+
+    Per-round fixed cost (each join/reduce is a full streaming-executor
+    run) dominates at small scale, so: the init reduce already PERFORMS
+    round 1 (label = min(node, neighbors)); the shuffle width derives
+    from the edge bytes instead of a constant; and the exact convergence
+    check runs every second round — min-propagation is idempotent at the
+    fixpoint, so a possible extra round changes nothing but wall time.
+
+    The label table's block count is PINNED by a coalescing repartition
+    each round: ``map_groups`` emits roughly one block per input block,
+    and the round's union feeds ~2× the label blocks back in, so without
+    the pin blocks double every round (measured: 17→51→119→255→527→1071
+    at sf0.001) and per-block task overhead swamps the executor."""
+    import pyarrow.compute as pc
+
+    sym = symmetrize(edges, src_col, dst_col).materialize()
+    sch = sym.schema()
+    t = dict(zip(sch.names, sch.types)).get(src_col)
+    node_dtype = ("int64" if t is not None and pa.types.is_integer(t)
+                  else "string")
+    dt = {"node": node_dtype, "lbl": node_dtype}
+    sym_bytes = sym.size_bytes() or 0
+    buckets = int(min(max(sym_bytes // (64 << 20), 8), num_buckets))
+
+    # init ≡ round 1: label(v) = min(v, min neighbor) in ONE reduce —
+    # grouping the symmetrized edges by src with a min over dst visits
+    # every (node, neighbor) pair, and the elementwise min folds the
+    # node's own id in afterwards (cheaper than unioning self-rows)
+    def edge_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column(src_col),
+                         "lbl": batch.column(dst_col)})
+
+    def fold_self(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "lbl": pc.min_element_wise(batch.column("node"),
+                                       batch.column("lbl")),
+        })
+
+    labels = (grouped_reduce(
+        sym.map_batches(edge_pairs, batch_format="pyarrow"),
+        ["node"], {"lbl": "min"}, num_buckets=buckets,
+        out_dtypes=dt, pre_combine=True)
+        .map_batches(fold_self, batch_format="pyarrow")
+        .repartition(buckets).materialize())
+
+    for rnd in range(max_rounds):
+        nbytes = labels.size_bytes()
+
+        # neighbor mins: every edge forwards its endpoint's current label
+        joined = adaptive_join(sym, labels, on=src_col, right_on="node",
+                               build_bytes_hint=nbytes)
+
+        def nb_lbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column(dst_col),
+                             "lbl": batch.column("lbl")})
+
+        nb = joined.map_batches(nb_lbl, batch_format="pyarrow")
+
+        # pointer jump: lbl(lbl(node)) — labels self-joined on lbl → node
+        def as_target(batch: pa.Table) -> pa.Table:
+            return pa.table({"tgt": batch.column("node"),
+                             "tgt_lbl": batch.column("lbl")})
+
+        tgt = labels.map_batches(as_target, batch_format="pyarrow")
+        ptr_join = adaptive_join(labels, tgt, on="lbl", right_on="tgt",
+                                 build_bytes_hint=nbytes)
+
+        def ptr_lbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("node"),
+                             "lbl": batch.column("tgt_lbl")})
+
+        ptr = ptr_join.map_batches(ptr_lbl, batch_format="pyarrow")
+
+        new = grouped_reduce(labels.union(nb).union(ptr), ["node"],
+                             {"lbl": "min"}, num_buckets=buckets,
+                             out_dtypes=dt, pre_combine=True
+                             ).repartition(buckets).materialize()
+
+        old, labels = labels, new
+        if rnd % 2 == 0:
+            continue  # exact check every 2nd round (fixpoint-idempotent)
+
+        # exact convergence check (node-scale join; no hash shortcut —
+        # a wrong early stop would break oracle parity)
+        def as_old(batch: pa.Table) -> pa.Table:
+            return pa.table({"old_node": batch.column("node"),
+                             "old_lbl": batch.column("lbl")})
+
+        changed = adaptive_join(
+            new, old.map_batches(as_old, batch_format="pyarrow"),
+            on="node", right_on="old_node", build_bytes_hint=nbytes,
+        ).map_batches(
+            lambda b: pa.table({"c": pc.cast(
+                pc.invert(pc.equal(b.column("lbl"), b.column("old_lbl"))),
+                pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        if not changed:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["component" if c == "lbl" else c for c in batch.column_names])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def components_oracle_sql(edge_sql: str) -> str:
+    """DuckDB oracle for :func:`connected_components`: recursive min-label
+    reachability. ``edge_sql`` must yield duplicate-free directed columns
+    ``u, v``; symmetrization and the (node, min reachable id) reduction
+    happen here. Small-scale only — the recursive term enumerates every
+    (node, reachable-ancestor) pair before the GROUP BY."""
+    return f"""
+WITH RECURSIVE base AS ({edge_sql}),
+edges AS (SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base),
+reach(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def pagerank_oracle_sql(edge_sql: str, iterations: int = 3) -> str:
     """DuckDB oracle for :func:`pagerank_int`: ``edge_sql`` must yield
     duplicate-free directed columns ``u, v``; iterations unroll into

@@ -271,12 +271,51 @@ GROUP BY idx
 """
 
 
+# --------------------------------------------- connected components
+def q_graph_components(sf_dir: str):
+    """Exact connected components over a sparse part–supplier co-purchase
+    graph (low-quantity lineitems only, so the graph fractures into many
+    components instead of one giant one). The missing piece of the dedup
+    family: near-dup PAIRS (minhash/jaccard/simhash) become dup GROUPS by
+    running exactly this operator over the pair list."""
+    import ray.data
+
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops.graph import connected_components
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("l_quantity"), 3)
+        batch = batch.filter(mask)
+        p = ["p%d" % x for x in batch.column("l_partkey").to_pylist()]
+        s = ["s%d" % x for x in batch.column("l_suppkey").to_pylist()]
+        return pa.table({"u": pa.array(p, pa.string()),
+                         "v": pa.array(s, pa.string())})
+
+    edges = drop_duplicate_rows(
+        ds.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"],
+        num_buckets=64)
+    return connected_components(edges)
+
+
+def _components_oracle() -> str:
+    from ccnerx_ray.ops.graph import components_oracle_sql
+    return components_oracle_sql(
+        "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem "
+        "WHERE l_quantity < 3")
+
+
 RELATIONAL3_QUERIES = {
     "orders_rank_in_month": q_orders_rank_in_month,
     "nations_concat": q_nations_concat,
     "embedding_dim_stats": q_embedding_dim_stats,
     "similar_part_names": q_similar_part_names,
     "hll_custkey": q_hll_custkey,
+    "graph_components": q_graph_components,
 }
 
 RELATIONAL3_ORACLE = {
@@ -285,4 +324,5 @@ RELATIONAL3_ORACLE = {
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     "similar_part_names": ORACLE_SIMILAR_PART_NAMES,
     "hll_custkey": ORACLE_HLL_CUSTKEY,
+    "graph_components": _components_oracle(),
 }

@@ -100,3 +100,36 @@ def test_rank_query_has_ties(ray_session):
     df = q_orders_rank_in_month("/root/testdata/sf0.01").to_pandas()
     dup = df.groupby(["ym", "rank"]).size()
     assert (dup > 1).any()
+
+
+def test_connected_components_path_graph(ray_session):
+    """A 33-node path is the pointer-jumping stress case: plain min-label
+    propagation needs ~32 rounds (graph diameter); path doubling must
+    finish well inside the operator's max_rounds and still hit the exact
+    fixpoint — every node labels to the path's minimum id."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import connected_components
+
+    n = 33
+    edges = ray.data.from_items(
+        [{"u": f"x{i:03d}", "v": f"x{i + 1:03d}"} for i in range(n - 1)])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).take_all()}
+    assert got == {f"x{i:03d}": "x000" for i in range(n)}
+
+
+def test_connected_components_int_keys_multi(ray_session):
+    """Integer node ids (dtype derived from the edge column — an empty
+    shuffle bucket must emit int64-typed empties) across two components
+    plus an isolated self-loop node."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import connected_components
+
+    edges = ray.data.from_items(
+        [{"u": 5, "v": 2}, {"u": 2, "v": 9}, {"u": 7, "v": 11},
+         {"u": 40, "v": 40}])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).take_all()}
+    assert got == {2: 2, 5: 2, 9: 2, 7: 7, 11: 7, 40: 40}
