@@ -651,15 +651,16 @@ def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
       compression — an order of magnitude faster than iterated shuffles
       for the typical case where dup participants are a sliver of the
       corpus.
-    * **large**: fully distributed min-label propagation. The symmetrized
-      edge Dataset stays hash-partitioned; each round co-groups
-      ``(labels ∪ edges)`` on the node key (shuffle #1: propagate each
-      node's label to its neighbors) then min-reduces per node (shuffle
-      #2), carrying only ``(node:int64, label:int64)`` rows. Convergence
-      is a distributed ``sum(changed)`` — no ``take_all`` anywhere, no
-      edge broadcast. Converges in O(component diameter) rounds (dup
-      clusters are near-cliques → a handful)."""
+    * **large**: delegates to :func:`ccnerx_ray.ops.graph.\
+connected_components` — pointer-jumping min-label propagation, so
+      convergence is O(log n) rounds on ANY topology (the earlier
+      in-place loop here was O(component diameter), adversarial on chain
+      graphs, and its per-round label blocks grew with every union).
+      Edges stay a Dataset throughout; nothing pair-scale reaches the
+      driver."""
     import ray.data
+
+    from ccnerx_ray.ops.graph import connected_components
 
     if not hasattr(pairs, "select_columns"):
         edges = [(int(a), int(b)) for a, b in pairs]
@@ -670,72 +671,16 @@ def dup_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         edges = [(int(r[id_a]), int(r[id_b])) for r in pair_ds.take_all()]
         return _uf_components(edges)
 
-    # ---- distributed path: rows (node, val, kind) with kind 'E' (val =
-    # neighbor) or 'L' (val = current label) so edges/labels union cleanly.
-    def sym(batch: pa.Table) -> pa.Table:
-        a = batch.column(id_a).cast(pa.int64()).to_pylist()
-        b = batch.column(id_b).cast(pa.int64()).to_pylist()
-        return pa.table({"node": pa.array(a + b, pa.int64()),
-                         "val": pa.array(b + a, pa.int64()),
-                         "kind": pa.array(["E"] * (2 * len(a)), pa.string())})
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column(id_a).cast(pa.int64()),
+                         "v": batch.column(id_b).cast(pa.int64())})
 
-    edges_t = pair_ds.map_batches(sym, batch_format="pyarrow").materialize()
-
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = g["node"].unique()
-        return pd.DataFrame({"node": nodes, "label": nodes})
-
-    labels = coarse_grouped(edges_t, ["node"], init_labels,
-                            num_buckets=64).materialize()
-
-    def as_label_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch.column("node"),
-                         "val": batch.column("label"),
-                         "kind": pa.array(["L"] * batch.num_rows,
-                                          pa.string())})
-
-    def propagate_local(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g.loc[g["kind"] == "L"].set_index("node")["val"]
-        e = g.loc[g["kind"] == "E"]
-        out_node = np.concatenate([e["val"].to_numpy(np.int64),
-                                   lab.index.to_numpy(np.int64)])
-        out_label = np.concatenate([lab.reindex(e["node"]).to_numpy(np.int64),
-                                    lab.to_numpy(np.int64)])
-        is_self = np.concatenate([np.zeros(len(e), np.int64),
-                                  np.ones(len(lab), np.int64)])
-        return pd.DataFrame({"node": out_node, "label": out_label,
-                             "is_self": is_self})
-
-    def reduce_local(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("node", sort=False)["label"].min()
-        old = g.loc[g["is_self"] == 1].set_index("node")["label"]
-        old = old.reindex(agg.index)
-        return pd.DataFrame({"node": agg.index.to_numpy(np.int64),
-                             "label": agg.to_numpy(np.int64),
-                             "changed": (agg.to_numpy() < old.to_numpy())
-                             .astype(np.int64)})
-
-    changed = 0
-    for _ in range(max_rounds):
-        both = edges_t.union(
-            labels.map_batches(as_label_rows, batch_format="pyarrow"))
-        prop = coarse_grouped(both, ["node"], propagate_local,
-                              num_buckets=64)
-        new_labels = coarse_grouped(prop, ["node"], reduce_local,
-                                    num_buckets=64).materialize()
-        changed = new_labels.sum("changed") or 0
-        labels = new_labels.select_columns(["node", "label"]).materialize()
-        if not changed:
-            break
-    if changed:
-        # a component with diameter > max_rounds did not converge; count
-        # it rather than silently emitting partial components (dup
-        # clusters are near-cliques, so this fires only on pathological
-        # chain graphs — raise max_rounds there)
-        from ccnerx_ray.state import metrics
-        metrics.incr("components_unconverged_labels", int(changed))
-    return labels.map_batches(
-        lambda b: b.rename_columns(["doc_id", "component"]),
+    comp = connected_components(
+        pair_ds.map_batches(as_edges, batch_format="pyarrow"),
+        max_rounds=max_rounds)
+    return comp.map_batches(
+        lambda b: b.rename_columns(
+            ["doc_id" if c == "node" else c for c in b.column_names]),
         batch_format="pyarrow")
 
 

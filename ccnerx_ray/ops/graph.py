@@ -268,6 +268,13 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
             batch_format="pyarrow").sum("c")
         if not changed:
             break
+    else:
+        # max_rounds exhausted without reaching the fixpoint — count it
+        # rather than silently emitting partial components (pointer
+        # jumping converges in O(log n) rounds, so this fires only with
+        # a deliberately tiny max_rounds)
+        from ccnerx_ray.state import metrics
+        metrics.incr("components_unconverged_labels", int(changed or 0))
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
