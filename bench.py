@@ -46,14 +46,13 @@ EXTRAS = [
     "heavy_hitters",     # 2-pass Misra-Gries exact top-k
     "repetition",        # Gopher dup-ngram signals
     "profile",           # mergeable column stats
-    "quantiles",         # histogram-refinement exact quantiles
+    "quantile_summary",  # disc+cont exact quantiles, one shared front
     "centroids",         # per-group embedding centroids
     "jaccard_pairs",     # exact n-gram Jaccard similarity join
     "orders_running_total",  # window function (running total)
     "tfidf_top_terms",   # corpus-weighted term ranking (df join + top-n)
     "graph_pagerank",    # iterative joins (integer PageRank)
     "grouped_quantiles",  # per-group exact p25/p50/p75
-    "quantiles_cont",    # interpolated quantiles (shared rank core)
     "customer_order_counts",  # left outer join + coalesce
     "ship_vs_order_months",   # full outer join of per-month digests
     "pii_redact",        # regex PII scrubbing (vectorized RE2)

@@ -245,6 +245,46 @@ ORACLE_QUANTILES_CONT = "\nUNION ALL\n".join(
     for pm, q in _QUANTILE_CONT_QS)
 
 
+def q_quantile_summary(sf_dir: str):
+    """Discrete AND continuous quantiles of order totals off ONE shared
+    front (ops/profile.py:quantile_summary): one count/min/max pass plus
+    one histogram-refinement solve covers the union of both rank sets —
+    the separate `quantiles` / `quantiles_cont` queries each paid their
+    own full scans over the same column (VERDICT r2 pipeline audit).
+    Values in quarter-cents (x400, exact integers for quartile fractions
+    on cent-valued prices) for both families."""
+    import math
+
+    import pyarrow as pa
+
+    from ccnerx_ray.ops.profile import quantile_summary
+    ds = _read_rel(sf_dir, "orders", ["o_totalprice"])
+    disc, cont = quantile_summary(ds, "o_totalprice",
+                                  [q for _, q in _QUANTILE_QS],
+                                  [q for _, q in _QUANTILE_CONT_QS])
+
+    def x400(v: float) -> int:
+        # half-away-from-zero (DuckDB round), not Python's half-to-even
+        return int(math.copysign(math.floor(abs(v * 400) + 0.5), v))
+
+    rows = ([("disc", pm, x400(disc[q])) for pm, q in _QUANTILE_QS]
+            + [("cont", pm, x400(cont[q])) for pm, q in _QUANTILE_CONT_QS])
+    return pa.table({
+        "kind": pa.array([r[0] for r in rows], pa.string()),
+        "q_permille": pa.array([r[1] for r in rows], pa.int64()),
+        "value_x400": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+ORACLE_QUANTILE_SUMMARY = "\nUNION ALL\n".join(
+    [f"SELECT 'disc' AS kind, CAST({pm} AS BIGINT) AS q_permille, "
+     f"CAST(round(quantile_disc(o_totalprice, {q}) * 400) AS BIGINT) "
+     f"AS value_x400 FROM orders" for pm, q in _QUANTILE_QS]
+    + [f"SELECT 'cont' AS kind, CAST({pm} AS BIGINT) AS q_permille, "
+       f"CAST(round(quantile_cont(o_totalprice, {q}) * 400) AS BIGINT) "
+       f"AS value_x400 FROM orders" for pm, q in _QUANTILE_CONT_QS])
+
+
 # ------------------------------------------------------------- quality
 def q_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -987,6 +1027,7 @@ ANALYTICS_QUERIES = {
     "profile": q_profile,
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
+    "quantile_summary": q_quantile_summary,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
@@ -1017,6 +1058,7 @@ ANALYTICS_ORACLE = {
     "profile": ORACLE_PROFILE,
     "quantiles": ORACLE_QUANTILES,
     "quantiles_cont": ORACLE_QUANTILES_CONT,
+    "quantile_summary": ORACLE_QUANTILE_SUMMARY,
     "quality": ORACLE_QUALITY,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,
