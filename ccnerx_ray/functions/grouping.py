@@ -208,3 +208,31 @@ def drop_duplicate_rows(ds, key_cols: Sequence[str], num_buckets: int = 256):
                  .drop_duplicates(subset=list(key_cols)))
 
     return coarse_grouped(ds, key_cols, local, num_buckets)
+
+
+def grouped_argextreme(ds, key_cols: Sequence[str],
+                       order_cols: Sequence[str],
+                       ascending: Sequence[bool],
+                       num_buckets: int = 256,
+                       out_dtypes: dict[str, str] | None = None):
+    """Per-group extreme ROW (``SELECT DISTINCT ON`` / argmax / argmin):
+    the first row of each key group under ``order_cols``/``ascending``.
+
+    The order columns must induce a deterministic total order within a
+    key (include a unique tiebreak column), or the winner is partition-
+    dependent and oracle parity breaks.
+
+    Argextreme with a total order is ASSOCIATIVE: the winner of winners
+    is the winner. So each input batch is reduced to its per-key winners
+    BEFORE the shuffle (classic combiner) — the exchange carries at most
+    distinct-keys-per-batch rows, never input-scale rows, which is what
+    makes a per-entity "best mention" pick viable on a 100 TB corpus."""
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(list(order_cols), ascending=list(ascending),
+                              kind="mergesort")
+                 .drop_duplicates(subset=list(key_cols)))
+
+    pre = ds.map_batches(local, batch_format="pandas")
+    return coarse_grouped(pre, key_cols, local, num_buckets,
+                          out_dtypes=out_dtypes)

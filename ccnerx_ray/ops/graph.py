@@ -321,3 +321,106 @@ p{k} AS (SELECT d.node, d.degree,
     parts.append(f"""
 SELECT node, degree, pr AS pr_micro FROM p{iterations}""")
     return "".join(parts)
+
+
+def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
+                   num_buckets: int = 64) -> int:
+    """EXACT triangle count of an undirected graph given as duplicate-free
+    canonical edges (each unordered pair once; no self-loops).
+
+    Degree-ordered node-iterator (the MapReduce-classic from Suri &
+    Vassilvitskii's "Counting Triangles and the Curse of the Last
+    Reducer"): orient every edge from its lower-(degree, id) endpoint to
+    the higher, emit each node's out-neighbor PAIRS (wedges), and count
+    wedges whose closing edge exists. Each triangle is counted exactly
+    once — at its lowest-ranked vertex. The orientation bounds out-degree
+    by O(sqrt(m)) — total wedges O(m^1.5) worst case — which is the
+    difference between this and the naive adjacency blow-up on hub nodes
+    (a giant monorepo supplier would otherwise emit deg² wedges).
+
+    Distributed shape: one node-scale degree reduce, two edge⋈degree
+    adaptive joins, one grouped wedge emit, one wedge⋈edge hash semi-join
+    (`semi_join_on`, fact-scale safe on both sides), one count. The
+    count is a scalar summary — the only thing that reaches the driver."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import semi_join_on
+
+    sym = symmetrize(edges, src_col, dst_col)
+    deg = degree_counts(sym, src_col, num_buckets=num_buckets).materialize()
+    dbytes = deg.size_bytes()
+
+    # rank = (degree, id): attach both endpoint degrees, orient low → high
+    e1 = adaptive_join(edges, deg, on=src_col, right_on="node",
+                       build_bytes_hint=dbytes)
+
+    def tag_u(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column(src_col),
+                         "b": batch.column(dst_col),
+                         "deg_a": batch.column("degree")})
+
+    e2 = adaptive_join(e1.map_batches(tag_u, batch_format="pyarrow"),
+                       deg, on="b", right_on="node",
+                       build_bytes_hint=dbytes)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        da = batch.column("deg_a").to_numpy()
+        db = batch.column("degree").to_numpy()
+        src, dst = [], []
+        for x, y, dx, dy in zip(a, b, da, db):
+            if (dx, x) <= (dy, y):
+                src.append(x); dst.append(y)
+            else:
+                src.append(y); dst.append(x)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = [], []
+        for _, grp in g.groupby("src", sort=False):
+            ns = sorted(grp["dst"].tolist())   # id order = canonical key
+            k = len(ns)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            arr = np.asarray(ns, dtype=object)
+            xs.append(arr[iu[0]]); ys.append(arr[iu[1]])
+        if not xs:
+            return pd.DataFrame({"pk": pd.Series(dtype="string")})
+        x = np.concatenate(xs); y = np.concatenate(ys)
+        return pd.DataFrame(
+            {"pk": [f"{p}|{q}" for p, q in zip(x, y)]}).astype("string")
+
+    from ccnerx_ray.functions.grouping import coarse_grouped
+    wedge_ds = coarse_grouped(oriented, ["src"], wedges,
+                              num_buckets=num_buckets,
+                              out_dtypes={"pk": "string"})
+
+    def edge_pk(batch: pa.Table) -> pa.Table:
+        u = batch.column(src_col).to_pylist()
+        v = batch.column(dst_col).to_pylist()
+        return pa.table({"pk": pa.array(
+            [f"{min(x, y)}|{max(x, y)}" for x, y in zip(u, v)],
+            pa.string())})
+
+    closed = semi_join_on(wedge_ds, "pk",
+                          edges.map_batches(edge_pk, batch_format="pyarrow"),
+                          num_buckets=num_buckets,
+                          out_dtypes={"pk": "string"})
+    return int(closed.count())
+
+
+def triangle_oracle_sql(edge_sql: str) -> str:
+    """DuckDB oracle for :func:`triangle_count`: ``edge_sql`` must yield
+    duplicate-free id-canonical (u < v) undirected edges; each triangle
+    u < v < w is counted once via the three-way self-join."""
+    return f"""
+WITH e AS ({edge_sql})
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""

@@ -6,6 +6,7 @@ semantics are SQL-expressible. Assembled by ``__ray_entry__``."""
 from ccnerx_ray.queries.relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES
 from ccnerx_ray.queries.relational2 import RELATIONAL2_ORACLE, RELATIONAL2_QUERIES
 from ccnerx_ray.queries.relational3 import RELATIONAL3_ORACLE, RELATIONAL3_QUERIES
+from ccnerx_ray.queries.relational4 import RELATIONAL4_ORACLE, RELATIONAL4_QUERIES
 from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
 
 
@@ -14,6 +15,7 @@ def all_queries() -> dict:
     q.update(RELATIONAL_QUERIES)
     q.update(RELATIONAL2_QUERIES)
     q.update(RELATIONAL3_QUERIES)
+    q.update(RELATIONAL4_QUERIES)
     q.update(ANALYTICS_QUERIES)
     return q
 
@@ -23,5 +25,6 @@ def all_oracles() -> dict:
     o.update(RELATIONAL_ORACLE)
     o.update(RELATIONAL2_ORACLE)
     o.update(RELATIONAL3_ORACLE)
+    o.update(RELATIONAL4_ORACLE)
     o.update(ANALYTICS_ORACLE)
     return o

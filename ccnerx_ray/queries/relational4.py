@@ -1,0 +1,262 @@
+"""Fourth wave of oracle-checked queries — operator families the first
+three waves don't cover:
+
+* per-group extreme ROW (argmax / ``SELECT DISTINCT ON``) via the
+  associative combiner in ``functions/grouping.py:grouped_argextreme``
+  — the "best mention per entity" shape of a KG pipeline;
+* per-group MODE (most frequent value, deterministic tie-break) —
+  count-then-argextreme, a two-level grouped reduce;
+* calendar-week truncation (``date_trunc('week')``, Monday-start) —
+  the only calendar grain the earlier waves' month/day queries miss;
+* RANGE-frame moving window (7-day moving sum over an aggregated daily
+  series — RANGE, not ROWS: missing days shrink the window);
+* exact triangle counting over the supplier co-supply graph
+  (``ops/graph.py:triangle_count``, degree-ordered wedge join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ccnerx_ray.functions.grouping import (coarse_grouped, drop_duplicate_rows,
+                                           grouped_argextreme, grouped_reduce)
+from ccnerx_ray.queries.relational import _read
+
+
+# ------------------------------------------------- argmax per group
+def q_top_order_per_customer(sf_dir: str):
+    """The single most expensive order per customer (ties broken to the
+    lowest orderkey): the ``SELECT DISTINCT ON`` / argmax-row shape. The
+    per-batch combiner reduces each batch to its per-customer winners
+    before the shuffle, so the exchange carries ~distinct-customers-per-
+    batch rows — never the fact table."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy()
+        cents = (np.sign(p) * np.floor(np.abs(p) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "o_orderkey": batch.column("o_orderkey"),
+                         "price_cents": pa.array(cents, pa.int64())})
+
+    return grouped_argextreme(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"], ["price_cents", "o_orderkey"], [False, True],
+        num_buckets=64,
+        out_dtypes={"o_custkey": "int64", "o_orderkey": "int64",
+                    "price_cents": "int64"})
+
+
+ORACLE_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+) = 1
+"""
+
+
+# ---------------------------------------------------- mode per group
+def q_brand_mode_type(sf_dir: str):
+    """Most frequent part TYPE per brand (ties → lexicographically
+    smallest type): MODE as count-then-argextreme. Both levels are
+    associative — per-batch counts pre-combine, then winners of winners."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    counts = grouped_reduce(
+        ds.map_batches(ones, batch_format="pyarrow"),
+        ["p_brand", "p_type"], {"n": "sum"}, num_buckets=32,
+        out_dtypes={"p_brand": "string", "p_type": "string",
+                    "n": "int64"},
+        pre_combine=True)
+    return grouped_argextreme(
+        counts, ["p_brand"], ["n", "p_type"], [False, True],
+        num_buckets=16,
+        out_dtypes={"p_brand": "string", "p_type": "string",
+                    "n": "int64"})
+
+
+ORACLE_BRAND_MODE_TYPE = """
+WITH c AS (
+  SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT p_brand, p_type, n FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY p_brand ORDER BY n DESC, p_type
+) = 1
+"""
+
+
+# ------------------------------------------------ calendar week grain
+def q_weekly_revenue(sf_dir: str):
+    """Order revenue by ISO week (``date_trunc('week')``: Monday-start).
+    Weeks reported as epoch DAYS of the Monday (integer — exact compare);
+    revenue in cents (per-value rounding, order-free int sum)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
+        d = us // 86_400_000_000
+        # epoch day 0 = Thursday; Monday ⇔ (d + 3) % 7 == 0
+        week = d - ((d + 3) % 7)
+        p = batch.column("o_totalprice").to_numpy()
+        cents = (np.sign(p) * np.floor(np.abs(p) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"week_day": pa.array(week, pa.int64()),
+                         "revenue_cents": pa.array(cents, pa.int64())})
+
+    return grouped_reduce(
+        ds.map_batches(to_week, batch_format="pyarrow"),
+        ["week_day"], {"revenue_cents": "sum"}, num_buckets=32,
+        out_dtypes={"week_day": "int64", "revenue_cents": "int64"},
+        pre_combine=True)
+
+
+ORACLE_WEEKLY_REVENUE = """
+SELECT CAST(CAST(date_trunc('week', o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+         AS week_day,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+# ------------------------------------- RANGE-frame moving window
+def q_events_moving_week(sf_dir: str):
+    """Per event type, the 7-day MOVING SUM of daily event counts —
+    a RANGE frame (days within [day-6, day]), not ROWS: missing days
+    shrink the window. Ray shape: distributed count to the (type, day)
+    grain, then a coarse-grouped per-type prefix-sum difference
+    (``cumsum[i] - cumsum[first day ≥ day-6]`` via searchsorted) — the
+    raw events never sort, only the aggregated series does."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        day = (us // 1000) // 86_400_000 * 86_400_000
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day_ms": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(day), dtype=np.int64), pa.int64()),
+        })
+
+    daily = grouped_reduce(ds.map_batches(to_day, batch_format="pyarrow"),
+                           ["event_type", "day_ms"], {"one": "sum"},
+                           num_buckets=32, pre_combine=True)
+    win_ms = 6 * 86_400_000
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("day_ms")
+            days = grp["day_ms"].to_numpy()
+            n = grp["one"].to_numpy()
+            cs = np.concatenate([[0], np.cumsum(n)])
+            lo = np.searchsorted(days, days - win_ms, side="left")
+            out.append(pd.DataFrame({
+                "event_type": et, "day_ms": days, "n_events": n,
+                "week_sum": cs[1 + np.arange(len(days))] - cs[lo]}))
+        if not out:
+            return pd.DataFrame()
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_grouped(daily, ["event_type"], local, num_buckets=8,
+                          out_dtypes={"event_type": "string",
+                                      "day_ms": "int64",
+                                      "n_events": "int64",
+                                      "week_sum": "int64"})
+
+
+ORACLE_EVENTS_MOVING_WEEK = """
+WITH d AS (
+  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_ms, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day_ms
+                                RANGE BETWEEN 518400000 PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS week_sum
+FROM d
+"""
+
+
+# --------------------------------------------------- triangle count
+def q_supplier_triangles(sf_dir: str):
+    """Exact triangle count of the supplier co-supply graph (suppliers
+    linked when they both ship a low-quantity lineitem in the same
+    order). Per-order pair emission is bounded (≤7 lineitems/order);
+    the count itself is ops/graph.py:triangle_count — degree-ordered
+    wedge join, O(m^1.5) wedge bound, scalar-only driver traffic."""
+    from ccnerx_ray.ops.graph import triangle_count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_quantity"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("l_quantity"), 5))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey")})
+
+    pairs_src = drop_duplicate_rows(
+        ds.map_batches(filt, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], num_buckets=32)
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        us, vs = [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            s = np.sort(grp["l_suppkey"].to_numpy(np.int64))
+            if len(s) < 2:
+                continue
+            iu = np.triu_indices(len(s), 1)
+            us.append(s[iu[0]])
+            vs.append(s[iu[1]])
+        if not us:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(us),
+                             "v": np.concatenate(vs)})
+
+    edges = drop_duplicate_rows(
+        coarse_grouped(pairs_src, ["l_orderkey"], order_pairs,
+                       num_buckets=32,
+                       out_dtypes={"u": "int64", "v": "int64"}),
+        ["u", "v"], num_buckets=32)
+    n = triangle_count(edges)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _triangle_oracle() -> str:
+    from ccnerx_ray.ops.graph import triangle_oracle_sql
+    return triangle_oracle_sql(
+        "WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "
+        "WHERE l_quantity < 5) "
+        "SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+        "FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_suppkey < b.l_suppkey")
+
+
+RELATIONAL4_QUERIES = {
+    "top_order_per_customer": q_top_order_per_customer,
+    "brand_mode_type": q_brand_mode_type,
+    "weekly_revenue": q_weekly_revenue,
+    "events_moving_week": q_events_moving_week,
+    "supplier_triangles": q_supplier_triangles,
+}
+
+RELATIONAL4_ORACLE = {
+    "top_order_per_customer": ORACLE_TOP_ORDER_PER_CUSTOMER,
+    "brand_mode_type": ORACLE_BRAND_MODE_TYPE,
+    "weekly_revenue": ORACLE_WEEKLY_REVENUE,
+    "events_moving_week": ORACLE_EVENTS_MOVING_WEEK,
+    "supplier_triangles": _triangle_oracle(),
+}

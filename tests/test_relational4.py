@@ -1,0 +1,48 @@
+"""Unit tests for the fourth-wave operator families (argmax row, mode,
+triangle count); oracle parity is covered by jobs/sweep.py."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_grouped_argextreme_combiner_lossless(ray_session):
+    """Per-batch pre-reduction must not change winners: force tiny blocks
+    so every key spans many batches, and check against a driver argmax."""
+    import pandas as pd
+    import ray.data
+
+    from ccnerx_ray.functions.grouping import grouped_argextreme
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "val": rng.integers(0, 50, n),       # many ties per key
+        "tie": np.arange(n, dtype=np.int64),  # unique tiebreak
+    })
+    ds = ray.data.from_pandas(df).repartition(23)
+    got = grouped_argextreme(
+        ds, ["k"], ["val", "tie"], [False, True], num_buckets=8,
+        out_dtypes={"k": "int64", "val": "int64", "tie": "int64"}
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (df.sort_values(["val", "tie"], ascending=[False, True])
+              .drop_duplicates(subset=["k"])
+              .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "val", "tie"]],
+                                  want[["k", "val", "tie"]])
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 has 4 triangles; adding a pendant edge adds none; a 4-cycle has
+    none. Exercises degree-ordered orientation incl. ties."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import triangle_count
+
+    k4 = [{"u": a, "v": b} for a, b in
+          [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]]
+    assert triangle_count(ray.data.from_items(k4)) == 4
+    assert triangle_count(
+        ray.data.from_items(k4 + [{"u": 4, "v": 9}])) == 4
+    cyc = [{"u": a, "v": b} for a, b in [(1, 2), (2, 3), (3, 4), (1, 4)]]
+    assert triangle_count(ray.data.from_items(cyc)) == 0
