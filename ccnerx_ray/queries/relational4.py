@@ -260,3 +260,47 @@ RELATIONAL4_ORACLE = {
     "events_moving_week": ORACLE_EVENTS_MOVING_WEEK,
     "supplier_triangles": _triangle_oracle(),
 }
+
+
+# ----------------------------- filter vs a global aggregate (Q15 shape)
+def q_top_revenue_suppliers(sf_dir: str):
+    """Suppliers whose total lineitem revenue equals the GLOBAL maximum
+    (TPC-H Q15: a HAVING against a scalar aggregate of the same grouped
+    view, ties kept). Revenue in cents with per-value rounding, so the
+    distributed sum is order-free; the global max is a scalar reduce of
+    the (small) per-supplier table and broadcasts for free in the driver
+    plan — no second corpus scan, no self-join."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        v = p * (1.0 - d)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "revenue_cents": pa.array(cents, pa.int64())})
+
+    per_supp = grouped_reduce(
+        ds.map_batches(rev, batch_format="pyarrow"),
+        ["l_suppkey"], {"revenue_cents": "sum"}, num_buckets=32,
+        out_dtypes={"l_suppkey": "int64", "revenue_cents": "int64"},
+        pre_combine=True).materialize()
+    best = per_supp.max("revenue_cents")
+    return per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("revenue_cents"), best)),
+        batch_format="pyarrow")
+
+
+ORACLE_TOP_REVENUE_SUPPLIERS = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT * FROM r WHERE revenue_cents = (SELECT max(revenue_cents) FROM r)
+"""
+
+RELATIONAL4_QUERIES["top_revenue_suppliers"] = q_top_revenue_suppliers
+RELATIONAL4_ORACLE["top_revenue_suppliers"] = ORACLE_TOP_REVENUE_SUPPLIERS
