@@ -364,52 +364,59 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
                        build_bytes_hint=dbytes)
 
     def orient(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        da = batch.column("deg_a").to_numpy()
-        db = batch.column("degree").to_numpy()
-        src, dst = [], []
-        for x, y, dx, dy in zip(a, b, da, db):
-            if (dx, x) <= (dy, y):
-                src.append(x); dst.append(y)
-            else:
-                src.append(y); dst.append(x)
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        import pyarrow.compute as pc
+        a, b = batch.column("a"), batch.column("b")
+        da, db = batch.column("deg_a"), batch.column("degree")
+        # swap ⇔ rank(b) < rank(a) under the (degree, id) total order
+        swap = pc.or_(pc.less(db, da),
+                      pc.and_(pc.equal(db, da), pc.less(b, a)))
+        return pa.table({"src": pc.if_else(swap, b, a),
+                         "dst": pc.if_else(swap, a, b)})
 
     oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def _pk(x, y) -> pa.Array:
+        # canonical "lo|hi" pair key, vectorized (arrow kernels). The
+        # string-order min/max is applied identically on the wedge and
+        # edge sides, so the key is a consistent unordered-pair identity
+        # even where string order differs from id order. String node ids
+        # must not contain '|'.
+        import pyarrow.compute as pc
+        xs = pc.cast(pa.array(x) if not isinstance(x, (pa.Array,
+                     pa.ChunkedArray)) else x, pa.string())
+        ys = pc.cast(pa.array(y) if not isinstance(y, (pa.Array,
+                     pa.ChunkedArray)) else y, pa.string())
+        lo = pc.min_element_wise(xs, ys)
+        hi = pc.max_element_wise(xs, ys)
+        return pc.binary_join_element_wise(lo, hi, "|")
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         xs, ys = [], []
         for _, grp in g.groupby("src", sort=False):
-            ns = sorted(grp["dst"].tolist())   # id order = canonical key
+            ns = np.sort(grp["dst"].to_numpy())
             k = len(ns)
             if k < 2:
                 continue
             iu = np.triu_indices(k, 1)
-            arr = np.asarray(ns, dtype=object)
-            xs.append(arr[iu[0]]); ys.append(arr[iu[1]])
+            xs.append(ns[iu[0]]); ys.append(ns[iu[1]])
         if not xs:
             return pd.DataFrame({"pk": pd.Series(dtype="string")})
-        x = np.concatenate(xs); y = np.concatenate(ys)
-        return pd.DataFrame(
-            {"pk": [f"{p}|{q}" for p, q in zip(x, y)]}).astype("string")
+        return pd.DataFrame({"pk": _pk(np.concatenate(xs),
+                                       np.concatenate(ys)).to_pandas()})
+
+    def edge_pk(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": _pk(batch.column(src_col),
+                                   batch.column(dst_col))})
 
     from ccnerx_ray.functions.grouping import coarse_grouped
     wedge_ds = coarse_grouped(oriented, ["src"], wedges,
                               num_buckets=num_buckets,
                               out_dtypes={"pk": "string"})
 
-    def edge_pk(batch: pa.Table) -> pa.Table:
-        u = batch.column(src_col).to_pylist()
-        v = batch.column(dst_col).to_pylist()
-        return pa.table({"pk": pa.array(
-            [f"{min(x, y)}|{max(x, y)}" for x, y in zip(u, v)],
-            pa.string())})
-
-    closed = semi_join_on(wedge_ds, "pk",
-                          edges.map_batches(edge_pk, batch_format="pyarrow"),
-                          num_buckets=num_buckets,
-                          out_dtypes={"pk": "string"})
+    closed = semi_join_on(
+        wedge_ds, "pk",
+        edges.map_batches(edge_pk, batch_format="pyarrow"),
+        num_buckets=num_buckets, out_dtypes={"pk": "string"})
     return int(closed.count())
 
 
