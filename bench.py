@@ -68,6 +68,10 @@ EXTRAS = [
     "similar_part_names",    # Levenshtein fuzzy self-join (r3)
     "embedding_dim_stats",   # UNNEST/flatten per-ordinal stats (r3)
     "hll_custkey",           # HyperLogLog register sketch (r3)
+    "graph_components",      # pointer-jumping connected components (r3)
+    "top_order_per_customer",  # per-group argmax row / DISTINCT ON (r3)
+    "events_moving_week",    # RANGE-frame moving window (r3)
+    "supplier_triangles",    # degree-ordered exact triangle count (r3)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
