@@ -164,9 +164,12 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
     pointer term is the path-doubling step — without it the round count
     is the graph diameter (adversarial at 100-TB scale: a path graph of
     n nodes needs n rounds); with it, label chains halve every round, so
-    convergence is O(log n) rounds on any topology. Each round is one
-    edge⋈node adaptive join, one node-scale self-join, one mergeable
-    grouped min, and an exact node-scale convergence check — nothing
+    convergence is O(log n) rounds on any topology. Each round is ONE
+    (real ∪ pointer)-edge ⋈ labels adaptive join and one mergeable
+    grouped min — the pointer term rides the same join as the real edges
+    because lbl(lbl(node)) is just propagation over the pointer edge
+    (lbl(node) → node), a free map of the label table. An exact
+    node-scale convergence check runs every second round — nothing
     graph-scale touches the driver, and iteration stops at the TRUE
     fixpoint (required for oracle hash-exactness), not a fixed count.
 
@@ -215,12 +218,22 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
         .map_batches(fold_self, batch_format="pyarrow")
         .repartition(buckets).materialize())
 
+    def ptr_edges(batch: pa.Table) -> pa.Table:
+        # lbl(lbl(node)) as GRAPH PROPAGATION: the pointer edge
+        # (lbl(node) → node) forwards lbl(lbl(node)) to node through the
+        # same neighbor-min join as the real edges — so the path-doubling
+        # term costs ZERO extra joins or executor runs per round
+        return pa.table({src_col: batch.column("lbl"),
+                         dst_col: batch.column("node")})
+
     for rnd in range(max_rounds):
         nbytes = labels.size_bytes()
 
-        # neighbor mins: every edge forwards its endpoint's current label
-        joined = adaptive_join(sym, labels, on=src_col, right_on="node",
-                               build_bytes_hint=nbytes)
+        # neighbor mins: every (real ∪ pointer) edge forwards its source
+        # endpoint's current label to its destination
+        joined = adaptive_join(
+            sym.union(labels.map_batches(ptr_edges, batch_format="pyarrow")),
+            labels, on=src_col, right_on="node", build_bytes_hint=nbytes)
 
         def nb_lbl(batch: pa.Table) -> pa.Table:
             return pa.table({"node": batch.column(dst_col),
@@ -228,22 +241,7 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
 
         nb = joined.map_batches(nb_lbl, batch_format="pyarrow")
 
-        # pointer jump: lbl(lbl(node)) — labels self-joined on lbl → node
-        def as_target(batch: pa.Table) -> pa.Table:
-            return pa.table({"tgt": batch.column("node"),
-                             "tgt_lbl": batch.column("lbl")})
-
-        tgt = labels.map_batches(as_target, batch_format="pyarrow")
-        ptr_join = adaptive_join(labels, tgt, on="lbl", right_on="tgt",
-                                 build_bytes_hint=nbytes)
-
-        def ptr_lbl(batch: pa.Table) -> pa.Table:
-            return pa.table({"node": batch.column("node"),
-                             "lbl": batch.column("tgt_lbl")})
-
-        ptr = ptr_join.map_batches(ptr_lbl, batch_format="pyarrow")
-
-        new = grouped_reduce(labels.union(nb).union(ptr), ["node"],
+        new = grouped_reduce(labels.union(nb), ["node"],
                              {"lbl": "min"}, num_buckets=buckets,
                              out_dtypes=dt, pre_combine=True
                              ).repartition(buckets).materialize()
@@ -283,22 +281,37 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def components_oracle_sql(edge_sql: str) -> str:
-    """DuckDB oracle for :func:`connected_components`: recursive min-label
-    reachability. ``edge_sql`` must yield duplicate-free directed columns
-    ``u, v``; symmetrization and the (node, min reachable id) reduction
-    happen here. Small-scale only — the recursive term enumerates every
-    (node, reachable-ancestor) pair before the GROUP BY."""
-    return f"""
-WITH RECURSIVE base AS ({edge_sql}),
-edges AS (SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base),
-reach(node, lbl) AS (
-  SELECT u AS node, u AS lbl FROM edges
-  UNION
-  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
-)
-SELECT node, min(lbl) AS component FROM reach GROUP BY node
-"""
+def components_oracle_sql(edge_sql: str, rounds: int = 14) -> str:
+    """DuckDB oracle for :func:`connected_components`: the SAME
+    pointer-jumping min-label rounds, UNROLLED as CTEs (a recursive-CTE
+    reachability closure enumerates every (node, reachable-id) pair —
+    quadratic in component size, unusable once a giant component forms;
+    this stays linear per round). ``edge_sql`` must yield duplicate-free
+    directed columns ``u, v``. ``rounds`` bounds the solvable component
+    diameter at ~2**rounds — both engines reach the same true fixpoint
+    provided they converge, and a too-small ``rounds`` FAILS LOUDLY as a
+    value mismatch, never silently passes."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # CTE three times, and DuckDB inlines plain CTEs — the plan tree would
+    # grow 3**rounds without it (measured: fd exhaustion at rounds=14)
+    parts = [f"base AS MATERIALIZED ({edge_sql})",
+             "edges AS MATERIALIZED (SELECT u, v FROM base "
+             "UNION SELECT v AS u, u AS v FROM base)",
+             "l0 AS MATERIALIZED (SELECT u AS node, min(least(u, v)) AS lbl "
+             "FROM edges GROUP BY u)"]
+    for k in range(rounds):
+        parts.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl FROM l{k}
+    UNION ALL
+    SELECT e.v AS node, l.lbl FROM l{k} l JOIN edges e ON e.u = l.node
+    UNION ALL
+    SELECT l.node, t.lbl FROM l{k} l JOIN l{k} t ON t.node = l.lbl
+  ) GROUP BY node
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, lbl AS component FROM l{rounds}")
 
 
 def pagerank_oracle_sql(edge_sql: str, iterations: int = 3) -> str:

@@ -274,10 +274,13 @@ GROUP BY idx
 # --------------------------------------------- connected components
 def q_graph_components(sf_dir: str):
     """Exact connected components over a sparse part–supplier co-purchase
-    graph (low-quantity lineitems only, so the graph fractures into many
-    components instead of one giant one). The missing piece of the dedup
-    family: near-dup PAIRS (minhash/jaccard/simhash) become dup GROUPS by
-    running exactly this operator over the pair list."""
+    graph. The filter (quantity-1 lineitems, every 4th part) is chosen so
+    the graph FRACTURES — 18 components at sf0.01, 303 at sf0.1 —
+    while keeping one giant deep component (~30% of nodes), so the query
+    exercises both many-component output and multi-round convergence.
+    The missing piece of the dedup family: near-dup PAIRS
+    (minhash/jaccard/simhash) become dup GROUPS by running exactly this
+    operator over the pair list."""
     import ray.data
 
     from ccnerx_ray.functions.grouping import drop_duplicate_rows
@@ -288,7 +291,9 @@ def q_graph_components(sf_dir: str):
         columns=["l_partkey", "l_suppkey", "l_quantity"])
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch.column("l_quantity"), 3)
+        mask = pc.and_(pc.less(batch.column("l_quantity"), 2),
+                       pc.equal(pc.bit_wise_and(
+                           batch.column("l_partkey"), 3), 0))
         batch = batch.filter(mask)
         p = ["p%d" % x for x in batch.column("l_partkey").to_pylist()]
         s = ["s%d" % x for x in batch.column("l_suppkey").to_pylist()]
@@ -306,7 +311,7 @@ def _components_oracle() -> str:
     return components_oracle_sql(
         "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u, "
         "'s' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem "
-        "WHERE l_quantity < 3")
+        "WHERE l_quantity < 2 AND l_partkey % 4 = 0")
 
 
 RELATIONAL3_QUERIES = {
