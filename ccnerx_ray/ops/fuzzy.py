@@ -70,9 +70,13 @@ def fuzzy_name_pairs(ds, block_col: str, key_col: str, name_col: str,
     ``levenshtein(name_a, name_b) <= max_dist``.
 
     One shuffle on the blocking key; inside each coarse group, candidate
-    pairs are pruned by the length band |len(a)-len(b)| <= max_dist (a
-    lossless filter: edit distance >= length difference) before the
-    vectorized DP. Output: (block, key_a, key_b, dist).
+    pairs are pruned by TWO lossless filters before the vectorized DP:
+    the length band |len(a)-len(b)| <= max_dist (edit distance >= length
+    difference) and the bag-of-characters bound (a substitution moves the
+    character multiset by 2 L1 units, an insert/delete by 1, so edit
+    distance >= L1(bag_a, bag_b)/2). The bag bound kills the bulk of the
+    band survivors — the DP runs only on near-anagram candidates.
+    Output: (block, key_a, key_b, dist).
     """
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
@@ -80,11 +84,26 @@ def fuzzy_name_pairs(ds, block_col: str, key_col: str, name_col: str,
         for block, grp in g.groupby(block_col, sort=False):
             names = grp[name_col].to_numpy()
             keys = grp[key_col].to_numpy()
-            lens = np.fromiter((len(s) for s in names), dtype=np.int64,
-                               count=len(names))
+            codes = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                     for s in names]
+            lens = np.fromiter((len(c) for c in codes), dtype=np.int64,
+                               count=len(codes))
             ii, jj = np.triu_indices(len(names), k=1)
             band = np.abs(lens[ii] - lens[jj]) <= max_dist
             ii, jj = ii[band], jj[band]
+            if len(ii) == 0:
+                continue
+            # bag-of-chars counts over the group's observed alphabet
+            vocab = np.unique(np.concatenate(codes)) if codes else \
+                np.zeros(0, np.uint32)
+            counts = np.zeros((len(names), len(vocab)), dtype=np.int16)
+            for r, c in enumerate(codes):
+                pos = np.searchsorted(vocab, c)
+                np.add.at(counts[r], pos, 1)
+            l1 = np.abs(counts[ii].astype(np.int32)
+                        - counts[jj]).sum(axis=1)
+            bag = l1 <= 2 * max_dist
+            ii, jj = ii[bag], jj[bag]
             if len(ii) == 0:
                 continue
             dist = batched_levenshtein(list(names[ii]), list(names[jj]))

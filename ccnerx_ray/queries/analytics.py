@@ -1154,7 +1154,10 @@ def q_kg_triples_ckpt(sf_dir: str):
                                "checkpoint_path": ckpt},
         batch_format="pyarrow",
         batch_size=cfg.featurize_batch_size,
-        concurrency=(1, cfg.tagger_concurrency),
+        # fixed pool (production shape): all actors start and load the
+        # checkpoint immediately; the autoscaling (1, N) ramp serialized
+        # the per-actor npz loads behind demand and cost ~2x wall time
+        concurrency=cfg.tagger_concurrency,
     )
 
 
