@@ -295,10 +295,11 @@ def q_graph_components(sf_dir: str):
                        pc.equal(pc.bit_wise_and(
                            batch.column("l_partkey"), 3), 0))
         batch = batch.filter(mask)
-        p = ["p%d" % x for x in batch.column("l_partkey").to_pylist()]
-        s = ["s%d" % x for x in batch.column("l_suppkey").to_pylist()]
-        return pa.table({"u": pa.array(p, pa.string()),
-                         "v": pa.array(s, pa.string())})
+        p = pc.binary_join_element_wise(
+            "p", pc.cast(batch.column("l_partkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(batch.column("l_suppkey"), pa.string()), "")
+        return pa.table({"u": p, "v": s})
 
     edges = drop_duplicate_rows(
         ds.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"],

@@ -304,3 +304,171 @@ SELECT * FROM r WHERE revenue_cents = (SELECT max(revenue_cents) FROM r)
 
 RELATIONAL4_QUERIES["top_revenue_suppliers"] = q_top_revenue_suppliers
 RELATIONAL4_ORACLE["top_revenue_suppliers"] = ORACLE_TOP_REVENUE_SUPPLIERS
+
+
+# ------------------------------------------------ JSON extraction
+def q_event_props_stats(sf_dir: str):
+    """Per-type stats of a JSON payload field: ``props`` is a JSON string
+    column; ``$.k`` is pulled with ONE vectorized arrow regex kernel
+    (``pc.extract_regex`` — no per-row json.loads), then a mergeable
+    grouped reduce. The semi-structured-column shape every event log
+    needs at 100 TB: extraction cost is a single C pass per batch."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k_sum": k, "k_min": k, "k_max": k,
+                         "n": pa.array(np.ones(batch.num_rows,
+                                               dtype=np.int64))})
+
+    return grouped_reduce(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {"k_sum": "sum", "k_min": "min", "k_max": "max", "n": "sum"},
+        num_buckets=8,
+        out_dtypes={"event_type": "string", "k_sum": "int64",
+                    "k_min": "int64", "k_max": "int64", "n": "int64"},
+        pre_combine=True)
+
+
+ORACLE_EVENT_PROPS_STATS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_min,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------- temporal funnel
+def q_click_purchase_funnel(sf_dir: str):
+    """Per-user conversion funnel: how many of a user's clicks are
+    followed by one of their purchases within one hour. The two event
+    streams co-group on user (ONE shuffle of the two filtered types);
+    inside each user the match is a vectorized searchsorted against the
+    sorted purchase times — no per-event join, no window self-join."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    hour_us = 3_600_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            clicks = np.sort(
+                grp.loc[grp["event_type"] == "click", "ts_us"].to_numpy())
+            if len(clicks) == 0:
+                continue
+            purch = np.sort(
+                grp.loc[grp["event_type"] == "purchase", "ts_us"]
+                   .to_numpy())
+            if len(purch):
+                pos = np.searchsorted(purch, clicks, side="right")
+                conv = (pos < len(purch)) & \
+                       (purch[np.minimum(pos, len(purch) - 1)]
+                        <= clicks + hour_us)
+                n_conv = int(conv.sum())
+            else:
+                n_conv = 0
+            out.append((uid, len(clicks), n_conv))
+        if not out:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_clicks": pd.Series(dtype="int64"),
+                                 "n_converted": pd.Series(dtype="int64")})
+        a = np.asarray(out, dtype=np.int64)
+        return pd.DataFrame({"user_id": a[:, 0], "n_clicks": a[:, 1],
+                             "n_converted": a[:, 2]})
+
+    return coarse_grouped(
+        ds.map_batches(keep, batch_format="pyarrow"), ["user_id"], local,
+        num_buckets=64,
+        out_dtypes={"user_id": "int64", "n_clicks": "int64",
+                    "n_converted": "int64"})
+
+
+ORACLE_CLICK_PURCHASE_FUNNEL = """
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM events c WHERE c.event_type = 'click'
+GROUP BY 1
+"""
+
+
+# ------------------------------------------- percent of total
+def q_nation_revenue_share(sf_dir: str):
+    """Revenue share per nation in exact per-mille (integer floor
+    division against the global total): the percent-of-total window
+    shape without a window — one broadcast customer→nation join, one
+    mergeable grouped sum, one scalar total, one vectorized division."""
+    from ccnerx_ray.ops.join import adaptive_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy()
+        c = (np.sign(p) * np.floor(np.abs(p) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "rev": pa.array(c, pa.int64())})
+
+    joined = adaptive_join(orders.map_batches(cents, batch_format="pyarrow"),
+                           cust, on="o_custkey", right_on="c_custkey")
+    per_nation = grouped_reduce(
+        joined.map_batches(
+            lambda b: pa.table({"c_nationkey": b.column("c_nationkey"),
+                                "rev": b.column("rev")}),
+            batch_format="pyarrow"),
+        ["c_nationkey"], {"rev": "sum"}, num_buckets=8,
+        out_dtypes={"c_nationkey": "int64", "rev": "int64"},
+        pre_combine=True).materialize()
+    total = per_nation.sum("rev")
+
+    def share(batch: pa.Table) -> pa.Table:
+        r = batch.column("rev").to_numpy()
+        return pa.table({
+            "c_nationkey": batch.column("c_nationkey"),
+            "revenue_cents": batch.column("rev"),
+            "share_pm": pa.array(r * 1000 // total, pa.int64()),
+        })
+
+    return per_nation.map_batches(share, batch_format="pyarrow")
+
+
+ORACLE_NATION_REVENUE_SHARE = """
+WITH n AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT c_nationkey, revenue_cents,
+       CAST(revenue_cents * 1000 //
+            (SELECT SUM(revenue_cents) FROM n) AS BIGINT) AS share_pm
+FROM n
+"""
+
+RELATIONAL4_QUERIES["event_props_stats"] = q_event_props_stats
+RELATIONAL4_ORACLE["event_props_stats"] = ORACLE_EVENT_PROPS_STATS
+RELATIONAL4_QUERIES["click_purchase_funnel"] = q_click_purchase_funnel
+RELATIONAL4_ORACLE["click_purchase_funnel"] = ORACLE_CLICK_PURCHASE_FUNNEL
+RELATIONAL4_QUERIES["nation_revenue_share"] = q_nation_revenue_share
+RELATIONAL4_ORACLE["nation_revenue_share"] = ORACLE_NATION_REVENUE_SHARE
