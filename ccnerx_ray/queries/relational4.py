@@ -11,7 +11,13 @@ three waves don't cover:
 * RANGE-frame moving window (7-day moving sum over an aggregated daily
   series — RANGE, not ROWS: missing days shrink the window);
 * exact triangle counting over the supplier co-supply graph
-  (``ops/graph.py:triangle_count``, degree-ordered wedge join).
+  (``ops/graph.py:triangle_count``, degree-ordered wedge join);
+* filter against a global aggregate with ties kept (TPC-H Q15);
+* JSON field extraction (one vectorized arrow regex kernel, no per-row
+  json.loads) with grouped stats;
+* per-user temporal conversion funnel (click→purchase within 1 h;
+  co-grouped streams + searchsorted — no window self-join);
+* exact integer percent-of-total (per-mille revenue share).
 """
 
 from __future__ import annotations
