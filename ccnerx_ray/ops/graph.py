@@ -195,6 +195,11 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
     dt = {"node": node_dtype, "lbl": node_dtype}
     sym_bytes = sym.size_bytes() or 0
     buckets = int(min(max(sym_bytes // (64 << 20), 8), num_buckets))
+    if sym.num_blocks() > 4 * buckets:
+        # the edge table is scanned EVERY round as the probe side; an
+        # upstream dedup/read can leave it in dozens of tiny blocks and
+        # every round pays a task launch per block — coalesce once
+        sym = sym.repartition(buckets).materialize()
 
     # init ≡ round 1: label(v) = min(v, min neighbor) in ONE reduce —
     # grouping the symmetrized edges by src with a min over dst visits
@@ -226,6 +231,28 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
         return pa.table({src_col: batch.column("lbl"),
                          dst_col: batch.column("node")})
 
+    # The convergence check rides THROUGH the reduce: each node's self
+    # row carries its previous label in an extra min-aggregated column
+    # ``old``, and neighbor rows carry the destination's node id as the
+    # ``old`` sentinel — valid because labels only ever DECREASE from the
+    # node id, so min(old sentinel rows ∪ self row) is exactly the
+    # previous label. Changed-count is then one cheap scan of the
+    # materialized node table (no join, no second build materialization),
+    # so the exact check runs EVERY round and stops at the earliest
+    # fixpoint — still no hash shortcut.
+    dt3 = dict(dt, old=node_dtype)
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "lbl": batch.column("lbl"),
+                         "old": batch.column("lbl")})
+
+    def changed_flags(batch: pa.Table) -> pa.Table:
+        return pa.table({"c": pc.cast(
+            pc.invert(pc.equal(batch.column("lbl"), batch.column("old"))),
+            pa.int64())})
+
+    changed = 0
     for rnd in range(max_rounds):
         nbytes = labels.size_bytes()
 
@@ -237,33 +264,20 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
 
         def nb_lbl(batch: pa.Table) -> pa.Table:
             return pa.table({"node": batch.column(dst_col),
-                             "lbl": batch.column("lbl")})
+                             "lbl": batch.column("lbl"),
+                             "old": batch.column(dst_col)})
 
         nb = joined.map_batches(nb_lbl, batch_format="pyarrow")
 
-        new = grouped_reduce(labels.union(nb), ["node"],
-                             {"lbl": "min"}, num_buckets=buckets,
-                             out_dtypes=dt, pre_combine=True
-                             ).repartition(buckets).materialize()
+        new = grouped_reduce(
+            labels.map_batches(self_rows, batch_format="pyarrow").union(nb),
+            ["node"], {"lbl": "min", "old": "min"}, num_buckets=buckets,
+            out_dtypes=dt3, pre_combine=True
+        ).repartition(buckets).materialize()
 
-        old, labels = labels, new
-        if rnd % 2 == 0:
-            continue  # exact check every 2nd round (fixpoint-idempotent)
-
-        # exact convergence check (node-scale join; no hash shortcut —
-        # a wrong early stop would break oracle parity)
-        def as_old(batch: pa.Table) -> pa.Table:
-            return pa.table({"old_node": batch.column("node"),
-                             "old_lbl": batch.column("lbl")})
-
-        changed = adaptive_join(
-            new, old.map_batches(as_old, batch_format="pyarrow"),
-            on="node", right_on="old_node", build_bytes_hint=nbytes,
-        ).map_batches(
-            lambda b: pa.table({"c": pc.cast(
-                pc.invert(pc.equal(b.column("lbl"), b.column("old_lbl"))),
-                pa.int64())}),
-            batch_format="pyarrow").sum("c")
+        changed = new.map_batches(changed_flags,
+                                  batch_format="pyarrow").sum("c")
+        labels = new
         if not changed:
             break
     else:
@@ -274,11 +288,11 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
         from ccnerx_ray.state import metrics
         metrics.incr("components_unconverged_labels", int(changed or 0))
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["component" if c == "lbl" else c for c in batch.column_names])
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "component": batch.column("lbl")})
 
-    return labels.map_batches(rename, batch_format="pyarrow")
+    return labels.map_batches(finalize, batch_format="pyarrow")
 
 
 def components_oracle_sql(edge_sql: str, rounds: int = 14) -> str:
