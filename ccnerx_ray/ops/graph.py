@@ -373,6 +373,14 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
 
     from ccnerx_ray.functions.grouping import semi_join_on
 
+    # the edge table is consumed three times (degree count, orientation
+    # join probe, closing-edge key scan); coalesce upstream tiny blocks
+    # once and size the shuffles from the data, as connected_components does
+    edges = edges.materialize()
+    ebytes = edges.size_bytes() or 0
+    num_buckets = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+    if edges.num_blocks() > 4 * num_buckets:
+        edges = edges.repartition(num_buckets).materialize()
     sym = symmetrize(edges, src_col, dst_col)
     deg = degree_counts(sym, src_col, num_buckets=num_buckets).materialize()
     dbytes = deg.size_bytes()
