@@ -169,16 +169,16 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
     grouped min — the pointer term rides the same join as the real edges
     because lbl(lbl(node)) is just propagation over the pointer edge
     (lbl(node) → node), a free map of the label table. An exact
-    node-scale convergence check runs every second round — nothing
-    graph-scale touches the driver, and iteration stops at the TRUE
-    fixpoint (required for oracle hash-exactness), not a fixed count.
+    node-scale convergence check runs EVERY round (it rides the reduce
+    via a min-aggregated ``old`` sentinel, so it costs one scan of the
+    already-materialized node table) — nothing graph-scale touches the
+    driver, and iteration stops at the TRUE fixpoint (required for
+    oracle hash-exactness), not a fixed count.
 
     Per-round fixed cost (each join/reduce is a full streaming-executor
     run) dominates at small scale, so: the init reduce already PERFORMS
-    round 1 (label = min(node, neighbors)); the shuffle width derives
-    from the edge bytes instead of a constant; and the exact convergence
-    check runs every second round — min-propagation is idempotent at the
-    fixpoint, so a possible extra round changes nothing but wall time.
+    round 1 (label = min(node, neighbors)); and the shuffle width
+    derives from the edge bytes instead of a constant.
 
     The label table's block count is PINNED by a coalescing repartition
     each round: ``map_groups`` emits roughly one block per input block,

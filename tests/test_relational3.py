@@ -74,18 +74,26 @@ def test_rank_partial_is_lossless(ray_session):
     from ccnerx_ray.queries.relational3 import q_orders_rank_in_month
 
     full = q_orders_rank_in_month("/root/testdata/sf0.001").to_pandas()
-    # re-run with the read fragmented into many small blocks
-    import ccnerx_ray.queries.relational as rel
-    orig = rel._read
+    # Re-run with the read fragmented into many small blocks.  The query
+    # binds `_read` at import via `from ...relational import _read`, so we
+    # must patch the *relational3* module binding — patching the relational
+    # module's attribute leaves the query calling the original.
+    import ccnerx_ray.queries.relational3 as rel3
+    orig = rel3._read
+    seen_blocks = []
 
     def fragmented(sf_dir, table, columns=None):
-        return orig(sf_dir, table, columns).repartition(37)
+        ds = orig(sf_dir, table, columns).repartition(37).materialize()
+        seen_blocks.append(ds.num_blocks())
+        return ds
 
-    rel._read = fragmented
+    rel3._read = fragmented
     try:
         frag = q_orders_rank_in_month("/root/testdata/sf0.001").to_pandas()
     finally:
-        rel._read = orig
+        rel3._read = orig
+    # guard against the patch silently not being exercised again
+    assert seen_blocks and all(b == 37 for b in seen_blocks)
 
     key = ["ym", "o_orderkey"]
     a = full.sort_values(key).reset_index(drop=True)
