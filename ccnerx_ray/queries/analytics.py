@@ -17,7 +17,8 @@ from ccnerx_ray.config import PipelineConfig
 from ccnerx_ray.functions.hashing import sha256_hex
 from ccnerx_ray.ops.dedup import (embedding_dup_pairs, exact_dedup_groups,
                                   minhash_dedup_pairs, simhash_pairs)
-from ccnerx_ray.ops.similarity import ivf_knn, knn_bruteforce
+from ccnerx_ray.ops.similarity import (ivf_build_store, ivf_knn,
+                                       ivf_knn_store, knn_bruteforce)
 from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
                                  add_quality_score, add_token_stats)
 
@@ -555,6 +556,53 @@ def q_ivf_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _ivf_store_dir(sf_dir: str) -> str:
+    """Build (or rebuild) the centroid-partitioned IVF store for this
+    sf_dir under /tmp and return its path. The build is deterministic
+    (seeded quantizer), so a rebuild always produces the same routing;
+    a marker ties the cached store to the exact source file so stale
+    stores from an earlier testdata generation never leak in."""
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    marker = f"{src}|{os.path.getsize(src)}|{os.path.getmtime(src)}"
+    store = os.path.join("/tmp/ccnerx_ivf",
+                         os.path.basename(os.path.normpath(sf_dir)))
+    mfile = os.path.join(store, "_source.txt")
+    if os.path.exists(mfile) and open(mfile).read() == marker:
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    ivf_build_store(_emb(sf_dir), store, n_centroids=8)
+    with open(mfile, "w") as f:
+        f.write(marker)
+    return store
+
+
+def q_ivf_knn_store(sf_dir: str):
+    """Partition-pruned ANN (VERDICT r3 #1): vectors routed once into a
+    centroid-partitioned Parquet store; the probe reads ONLY the nprobe
+    probed partitions, so bytes-read < corpus bytes (recorded in the
+    store's `_lineage/probe.json`). Approximate by construction (like
+    `ivf_knn`); the store machinery is oracle-checked hash-exact via
+    `ivf_knn_store_full`."""
+    Q, qids = _query_matrix(sf_dir)
+    out = ivf_knn_store(_ivf_store_dir(sf_dir), Q, query_ids=qids,
+                        k=10, nprobe=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ivf_knn_store_full(sf_dir: str):
+    """Store probe with nprobe = n_centroids reads every partition, so
+    the result must equal exact brute-force KNN — oracle-checks the full
+    store path (build routing, partitioned write, pruned read, stored
+    list_id masking, merge tie-breaks) against the exact-KNN SQL."""
+    Q, qids = _query_matrix(sf_dir)
+    out = ivf_knn_store(_ivf_store_dir(sf_dir), Q, query_ids=qids,
+                        k=10, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_ivf_knn_full(sf_dir: str):
     """IVF with nprobe = n_centroids probes EVERY cluster, so the result
     must equal exact brute-force KNN — an invariant that oracle-checks
@@ -1040,6 +1088,8 @@ ANALYTICS_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ivf_knn": q_ivf_knn,
     "ivf_knn_full": q_ivf_knn_full,
+    "ivf_knn_store": q_ivf_knn_store,
+    "ivf_knn_store_full": q_ivf_knn_store_full,
     "centroids": q_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "bm25_topk": q_bm25_topk,
@@ -1066,6 +1116,7 @@ ANALYTICS_ORACLE = {
     "langid": ORACLE_LANGID,
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
+    "ivf_knn_store_full": ORACLE_KNN,  # store probe of every partition
     "centroids": ORACLE_CENTROIDS,
     "kmeans_clusters": _oracle_kmeans(),
     "bm25_topk": _oracle_bm25(),
@@ -1076,8 +1127,9 @@ ANALYTICS_ORACLE = {
     "kg_aliases": ORACLE_KG_ALIASES,
     "media_headers": ORACLE_MEDIA_HEADERS,
     "media_features": ORACLE_MEDIA_FEATURES,
-    # ivf_knn (approximate by construction; its machinery is
-    # oracle-checked via ivf_knn_full) is the one rows-only query
+    # ivf_knn / ivf_knn_store (approximate by construction; their
+    # machinery is oracle-checked via ivf_knn_full / ivf_knn_store_full)
+    # are the only rows-only queries
 }
 
 
