@@ -81,6 +81,122 @@ def sha256_int64(s: str | bytes) -> int:
     return int(hashlib.sha256(s).hexdigest()[:16], 16)
 
 
+# --------------------------------------------------------------------------
+# Vectorized shingle hashing (VERDICT r3 #2)
+#
+# The r3 shingle hash was sha256 over the JOINED shingle text — one Python
+# hashlib call (plus a string join) per shingle, the dominant CPU of the
+# whole dedup family at corpus scale. The r4 contract splits it:
+#
+#   token hash   h(t)  = int(sha256(t)[:15 hex], 16)        (60-bit)
+#   shingle hash s     = fold(h_1..h_k) >> 4                (60-bit)
+#   fold(a, x)         = (a * FNV64_PRIME + x)  mod 2^64
+#
+# Python computes h ONCE PER UNIQUE TOKEN (hashlib is C-speed and tokens
+# are Zipf — uniques are a small fraction of occurrences, plus a
+# process-level cache across batches), and the fold is pure numpy uint64
+# wraparound over sliding windows — zero per-shingle Python. DuckDB
+# mirrors the fold in HUGEINT with an explicit % 2^64, exactly like the
+# MinHash permutation arithmetic below; FNV64_PRIME is ~2^40, so the
+# HUGEINT product stays under 2^104 (DuckDB HUGEINT overflows at 2^127).
+# The >> 4 keeps the result in the 60-bit domain the MinHash oracle's
+# HUGEINT permutation arithmetic requires.
+# --------------------------------------------------------------------------
+
+FNV64_PRIME = 1099511628211          # 2^40-ish odd multiplier (FNV-64)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+
+
+def token_hashes60(tokens) -> np.ndarray:
+    """60-bit sha256 token hashes (``sha256_int60`` of each token) as a
+    uint64 array, one hashlib call per CACHE-MISSING token only."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            v = int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16)
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[t] = v
+        out[i] = v
+    return out
+
+
+def fold_shingles60(h: np.ndarray, k: int) -> np.ndarray:
+    """All k-windows of the token-hash array folded to 60-bit shingle
+    hashes, vectorized (the sliding windows are k strided slices; uint64
+    multiply-add wraps mod 2^64 natively). Fewer than k tokens fold to
+    ONE shingle over all of them (the r3 "short doc = single shingle"
+    semantics); empty input → empty output."""
+    h = np.asarray(h, dtype=np.uint64)
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    M = np.uint64(FNV64_PRIME)
+    if n < k:
+        s = h[0]
+        for j in range(1, n):
+            s = s * M + h[j]
+        return np.array([int(s) >> 4], dtype=np.int64)
+    s = h[:n - k + 1].copy()
+    for j in range(1, k):
+        s = s * M + h[j:n - k + 1 + j]
+    return (s >> np.uint64(4)).astype(np.int64)
+
+
+def batch_token_hash_lists(texts, tokenizer,
+                           hasher=None) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize every text and hash each token ONCE per unique token in
+    the batch: returns (flat uint64 token hashes, int64 doc offsets) with
+    ``offsets[i]:offsets[i+1]`` slicing doc i's hashes. ``pd.factorize``
+    does the unique-ing at C speed. ``hasher`` maps a list of unique
+    tokens to a uint64 array (default :func:`token_hashes60`)."""
+    import pandas as pd
+
+    if hasher is None:
+        hasher = token_hashes60
+    tok_lists = [tokenizer(t or "") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    flat = [t for toks in tok_lists for t in toks]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), offsets
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    return hasher(list(uniques))[codes], offsets
+
+
+_TOKEN_HASH64_CACHE: dict[str, int] = {}
+
+
+def token_hashes64(tokens) -> np.ndarray:
+    """64-bit sha256 token hashes (``sha256_int64`` of each token — the
+    SimHash domain; oracle mirror ``('0x'||substr(sha256(w),1,16))::
+    UBIGINT``) as uint64, one hashlib call per cache-missing token."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH64_CACHE
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            v = int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:16], 16)
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[t] = v
+        out[i] = v
+    return out
+
+
+def splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 in, uint64 out) — the
+    bucket-key mixer for LSH bands (bucket equality must track band
+    equality modulo a ~2^-64 collision; any good 64-bit mix qualifies,
+    this one is already the repo's Bloom-probe standard)."""
+    z = np.asarray(z, dtype=np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 _MINHASH_PRIME = (1 << 61) - 1
 
 

@@ -18,10 +18,11 @@ Scale shape:
 * the final per-doc combine is a streaming ``grouped_reduce`` —
   nothing materializes on the driver.
 
-Digest note: grams are compared by ``stable_hash64`` digest, not text;
-two different grams colliding in 63 bits (~n²/2⁶⁴) could overcount by
-one. The SQL oracle compares gram strings — agreement of the two is
-itself evidence no collision occurred at test scale.
+Digest note: grams are compared by 60-bit vectorized-fold digest
+(``fold_shingles60``), not text; two different grams colliding
+(~n²/2⁶⁰) could overcount by one. The SQL oracle compares gram
+strings — agreement of the two is itself evidence no collision
+occurred at test scale.
 
 No reference counterpart (the reference never handles corpus hygiene);
 included as a first-class LLM-data-pipeline operator.
@@ -34,20 +35,30 @@ import pandas as pd
 import pyarrow as pa
 
 from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
-from ccnerx_ray.functions.hashing import stable_hash64
 from ccnerx_ray.functions.tokenize import ws_tokens
 
 _OUT_DTYPES = {"doc_id": "int64", "n_grams": "int64",
                "n_contaminated": "int64"}
 
 
-def _doc_gram_strings(text: str, n: int) -> set[str]:
+def _doc_grams_arr(text: str, n: int) -> np.ndarray:
+    """Distinct n-gram digests of one doc in the vectorized fold domain
+    (``functions/hashing.py:fold_shingles60`` — sha256 once per unique
+    token via the process cache, numpy multiply-add fold per window; the
+    r3 version built one joined STRING + one Python blake2b call per
+    gram). Docs shorter than n tokens have NO grams — the fold's
+    short-doc single-shingle fallback does not apply here, matching the
+    oracle's windowed semantics."""
+    from ccnerx_ray.functions.hashing import fold_shingles60, token_hashes60
+
     toks = ws_tokens(text)
-    return {"\x1f".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    if len(toks) < n:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(fold_shingles60(token_hashes60(toks), n))
 
 
 def _doc_grams(text: str, n: int) -> set[int]:
-    return {stable_hash64(g) for g in _doc_gram_strings(text, n)}
+    return set(_doc_grams_arr(text, n).tolist())
 
 
 def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
@@ -72,7 +83,7 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
                                  batch.column(text_col).to_pylist()):
             if src in evset:
                 ids.append(did)
-                out.append(len(_doc_gram_strings(txt, n)))
+                out.append(len(_doc_grams_arr(txt, n)))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_grams": pa.array(out, pa.int64()),
                          "n_contaminated": pa.array([0] * len(ids),

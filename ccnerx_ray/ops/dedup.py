@@ -97,19 +97,29 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """k-token shingle hashes as 60-bit sha256-derived ints
-    (:func:`~ccnerx_ray.functions.hashing.sha256_int60`) — the choice that
-    makes the whole MinHash+LSH pipeline reproducible by the DuckDB
-    oracle."""
-    from ccnerx_ray.functions.hashing import sha256_int60
+    """k-token shingle hashes in the 60-bit vectorized-fold domain
+    (:func:`~ccnerx_ray.functions.hashing.fold_shingles60` over
+    :func:`~ccnerx_ray.functions.hashing.token_hashes60`): sha256 runs
+    once per unique TOKEN, the per-shingle combine is a numpy uint64
+    multiply-add fold — DuckDB mirrors the fold in HUGEINT arithmetic, so
+    the whole MinHash/Jaccard family stays oracle-reproducible while the
+    map stage stops paying one Python hashlib call per shingle (VERDICT
+    r3 #2)."""
+    from ccnerx_ray.functions.hashing import fold_shingles60, token_hashes60
 
-    toks = ws_tokens(text)
-    if len(toks) < k:
-        return (np.array([sha256_int60(" ".join(toks))], dtype=np.int64)
-                if toks else np.empty(0, dtype=np.int64))
-    return np.fromiter((sha256_int60(" ".join(toks[i:i + k]))
-                        for i in range(len(toks) - k + 1)),
-                       dtype=np.int64)
+    return fold_shingles60(token_hashes60(ws_tokens(text)), k)
+
+
+def batch_shingle_hashes(texts, k: int) -> list[np.ndarray]:
+    """Per-document shingle-hash arrays for a whole batch: one factorize
+    over the batch's tokens, one sha256 per unique token (process-cached
+    across batches), then a vectorized fold per document."""
+    from ccnerx_ray.functions.hashing import (batch_token_hash_lists,
+                                              fold_shingles60)
+
+    flat, offsets = batch_token_hash_lists(texts, ws_tokens)
+    return [fold_shingles60(flat[offsets[i]:offsets[i + 1]], k)
+            for i in range(len(texts))]
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -120,8 +130,9 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        sigs = [minhash_signature(shingle_hashes(t or "", shingle_k), a, b).tobytes()
-                for t in batch.column(text_col).to_pylist()]
+        shingles = batch_shingle_hashes(
+            batch.column(text_col).to_pylist(), shingle_k)
+        sigs = [minhash_signature(hs, a, b).tobytes() for hs in shingles]
         return pa.table({
             id_col: pa.array(ids, batch.schema.field(id_col).type),
             "sig": pa.array(sigs, pa.binary()),
@@ -179,22 +190,37 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
     the corpus."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        from ccnerx_ray.functions.hashing import FNV64_PRIME, splitmix64
+
+        ids = batch.column(id_col)
         sigs = batch.column("sig").to_pylist()
-        ob, oi, os_ = [], [], []
-        for i, sig_b in zip(ids, sigs):
-            sig = np.frombuffer(sig_b, dtype=np.int64)
-            P = len(sig)
-            r = P // bands
-            for bidx in range(bands):
-                chunk = sig[bidx * r:(bidx + 1) * r]
-                ob.append(stable_hash64(f"{bidx}:" + chunk.tobytes().hex()))
-                oi.append(i)
-                os_.append(sig_b)
+        n = len(sigs)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: ids,
+                             "sig": pa.array([], pa.binary())})
+        S = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(n, -1)
+        P = S.shape[1]
+        r = P // bands
+        # bucket key per (doc, band): FNV fold of the band's r signature
+        # components, mixed with the band index — all vectorized; bucket
+        # equality tracks band equality modulo a ~2^-64 mix collision
+        # (the r3 per-(doc, band) Python stable_hash64 had the same
+        # collision contract and cost a hash call per row)
+        M = np.uint64(FNV64_PRIME)
+        fold = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):
+            # component j of every band: columns j, j+r, j+2r, ...
+            fold = fold * M + S[:, j + np.arange(bands) * r]
+        mixed = splitmix64(
+            fold ^ ((np.arange(1, bands + 1, dtype=np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))[None, :]))
+        bucket = (mixed >> np.uint64(1)).astype(np.int64).ravel()
+        idx = np.repeat(np.arange(n), bands)
         return pa.table({
-            "bucket": pa.array(ob, pa.int64()),
-            id_col: pa.array(oi),
-            "sig": pa.array(os_, pa.binary()),
+            "bucket": pa.array(bucket, pa.int64()),
+            id_col: ids.take(pa.array(idx)),
+            "sig": pa.array([sigs[i] for i in idx], pa.binary()),
         })
 
     def score(ref: np.ndarray, rest: np.ndarray):
@@ -245,14 +271,16 @@ def shingle_set_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        oi, oh, on = [], [], []
-        for i, t in zip(ids, texts):
-            hs = np.unique(shingle_hashes(t or "", shingle_k))
-            oi.extend([i] * len(hs))
-            oh.extend(hs.tolist())
-            on.extend([len(hs)] * len(hs))
+        shingles = batch_shingle_hashes(texts, shingle_k)
+        uniq = [np.unique(hs) for hs in shingles]
+        lens = np.fromiter((len(u) for u in uniq), dtype=np.int64,
+                           count=len(uniq))
+        oi = np.repeat(np.asarray(ids, dtype=np.int64), lens)
+        oh = (np.concatenate(uniq) if uniq
+              else np.empty(0, dtype=np.int64))
+        on = np.repeat(lens, lens)
         return pa.table({
-            id_col: pa.array(oi, batch.schema.field(id_col).type),
+            id_col: pa.array(oi).cast(batch.schema.field(id_col).type),
             "sh": pa.array(oh, pa.int64()),
             "n_doc": pa.array(on, pa.int64()),
         })
@@ -486,27 +514,45 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     width = 64 // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        from ccnerx_ray.functions.hashing import sha256_int64
+        from ccnerx_ray.functions.hashing import (batch_token_hash_lists,
+                                                  splitmix64,
+                                                  token_hashes64)
 
-        ids = batch.column(id_col).to_pylist()
-        ob, oi, of = [], [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            toks = ws_tokens(t)
-            # sha256-derived 64-bit token hashes: the whole SimHash
-            # pipeline becomes DuckDB-oracle-reproducible
-            th = np.fromiter((sha256_int64(w) for w in toks),
-                             dtype=np.uint64) \
-                if toks else np.empty(0, dtype=np.uint64)
-            fp = simhash64(th)
-            fpb = np.array([fp], dtype=np.uint64).tobytes()
-            for bidx in range(bands):
-                key = (fp >> (bidx * width)) & ((1 << width) - 1)
-                ob.append(stable_hash64(f"{bidx}:{key}"))
-                oi.append(i)
-                of.append(fpb)
-        return pa.table({"bucket": pa.array(ob, pa.int64()),
-                         id_col: pa.array(oi),
-                         "fp": pa.array(of, pa.binary())})
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: ids,
+                             "fp": pa.array([], pa.binary())})
+        # sha256-derived 64-bit token hashes (one hashlib call per unique
+        # token; the SimHash pipeline stays DuckDB-oracle-reproducible),
+        # then per-doc bit votes in ONE reduceat over the flat matrix
+        flat, offsets = batch_token_hash_lists(texts, ws_tokens,
+                                               hasher=token_hashes64)
+        fps = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(2 * bits - 1, offsets[:-1].clip(
+                max=max(len(flat) - 1, 0)), axis=0)
+            nonempty = offsets[1:] > offsets[:-1]
+            pos = (votes > 0) & nonempty[:, None]
+            fps = (pos.astype(np.uint64)
+                   << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                       axis=1, dtype=np.uint64)
+        # bucket per (doc, band): splitmix of band key ^ salted band index
+        bidx = np.arange(bands, dtype=np.uint64)
+        keys = (fps[:, None] >> (bidx * np.uint64(width))[None, :]) \
+            & np.uint64((1 << width) - 1)
+        mixed = splitmix64(keys ^ ((bidx + np.uint64(1))
+                                   * np.uint64(0x9E3779B97F4A7C15))[None, :])
+        bucket = (mixed >> np.uint64(1)).astype(np.int64).ravel()
+        idx = np.repeat(np.arange(n), bands)
+        fpb = [fps[i:i + 1].tobytes() for i in range(n)]
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         id_col: ids.take(pa.array(idx)),
+                         "fp": pa.array([fpb[i] for i in idx], pa.binary())})
 
     def score(ref: np.ndarray, rest: np.ndarray):
         x = rest.view(np.uint64) ^ ref.view(np.uint64)

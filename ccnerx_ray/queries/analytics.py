@@ -508,31 +508,65 @@ def q_jaccard_pairs(sf_dir: str):
                          shingle_k=3, threshold=0.5)
 
 
-def _jaccard_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
-    """Exact set-similarity join in SQL, mirroring
-    ``ops/dedup.py:jaccard_pairs`` bit for bit: the same 60-bit sha256
-    shingle hashes (so even hash-collision semantics agree), distinct per
-    doc, self-join on the hash, per-pair shared count, and
-    ``n_shared/(n_a+n_b-n_shared)`` — an IEEE-exact double division of
-    exact int64s on both sides."""
+def _shingle_cte_sql(k: int, table: str = "documents") -> str:
+    """WITH-prefix CTEs ``t → hsx → sh`` yielding ``(doc_id, hashes
+    UBIGINT[])`` in the vectorized-fold shingle domain
+    (``functions/hashing.py``: token hash = 60-bit sha256 prefix, shingle
+    = FNV64-prime multiply-add fold of the window's k token hashes mod
+    2^64, then ``// 16`` = the >> 4 60-bit truncation). The fold is
+    mirrored in HUGEINT with an explicit ``% 2^64``, replicating numpy's
+    uint64 wraparound exactly — the same double-mod idiom the MinHash
+    permutation arithmetic below already uses; FNV64_PRIME ≈ 2^40 keeps
+    every intermediate product under 2^105, inside HUGEINT. Fewer than k
+    tokens fold ALL of them into one shingle (CASE arm per n < k);
+    tokenless docs get an empty list."""
+    from ccnerx_ray.functions.hashing import FNV64_PRIME
+    mod = 1 << 64
+
+    def fold(terms: list[str]) -> str:
+        e = terms[0]
+        for nxt in terms[1:]:
+            e = f"(CAST({e} AS HUGEINT) * {FNV64_PRIME} + {nxt}) % {mod}"
+        return f"CAST(({e}) // 16 AS UBIGINT)"
+
+    win = fold([f"hs[i+{j}]" if j else "hs[i]" for j in range(k)])
+    arms = "\n           ".join(
+        f"WHEN {n} THEN {fold([f'hs[{j + 1}]' for j in range(n)])}"
+        for n in range(1, k))
     return rf"""
 WITH t AS (
   SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
                              w -> w <> '')) = 0 THEN NULL
          ELSE list_filter(string_split_regex(text, '\s+'),
                           w -> w <> '') END AS toks
-  FROM documents
+  FROM {table}
+), hsx AS (
+  SELECT doc_id, toks,
+         list_transform(toks, w ->
+             ('0x' || substr(sha256(w), 1, 15))::UBIGINT) AS hs
+  FROM t
 ), sh AS (
   SELECT doc_id,
     CASE WHEN toks IS NULL THEN CAST([] AS UBIGINT[])
-         WHEN len(toks) < {shingle_k}
-         THEN [('0x' || substr(sha256(array_to_string(toks, ' ')), 1, 15))::UBIGINT]
-         ELSE list_transform(generate_series(1, len(toks) - {shingle_k - 1}),
-              i -> ('0x' || substr(sha256(array_to_string(
-                   toks[i:i+{shingle_k - 1}], ' ')), 1, 15))::UBIGINT)
+         WHEN len(toks) < {k}
+         THEN [CASE len(toks)
+           {arms}
+           END]
+         ELSE list_transform(generate_series(1, len(toks) - {k - 1}),
+              i -> {win})
     END AS hashes
-  FROM t
-), hx AS (
+  FROM hsx
+)"""
+
+
+def _jaccard_oracle(shingle_k: int = 3, threshold: float = 0.5) -> str:
+    """Exact set-similarity join in SQL, mirroring
+    ``ops/dedup.py:jaccard_pairs`` bit for bit: the same vectorized-fold
+    shingle hashes (so even hash-collision semantics agree), distinct per
+    doc, self-join on the hash, per-pair shared count, and
+    ``n_shared/(n_a+n_b-n_shared)`` — an IEEE-exact double division of
+    exact int64s on both sides."""
+    return rf"""{_shingle_cte_sql(shingle_k)}, hx AS (
   SELECT DISTINCT doc_id, h
   FROM (SELECT doc_id, unnest(hashes) AS h FROM sh)
 ), p AS (
@@ -1353,7 +1387,8 @@ def _minhash_oracle(num_perm: int = 64, shingle_k: int = 3,
                     seed: int = 1, max_bucket: int = 64) -> str:
     """Full MinHash+LSH in SQL, mirroring ``ops/dedup.py`` bit for bit:
 
-    * shingle hashes: 60-bit sha256 prefixes (``sha256_int60``);
+    * shingle hashes: the vectorized-fold domain (``_shingle_cte_sql`` —
+      60-bit sha256 token hashes, FNV64 multiply-add window fold);
     * permutations: the SAME seeded (a, b) coefficients, injected as
       literals; the arithmetic replicates numpy's uint64 WRAPAROUND
       (``(a*h+b) mod 2^64 mod p``) via HUGEINT double-mod;
@@ -1370,24 +1405,7 @@ def _minhash_oracle(num_perm: int = 64, shingle_k: int = 3,
     B = "[" + ", ".join(str(int(x)) for x in b) + "]"
     P = _MINHASH_PRIME
     r = num_perm // bands
-    return rf"""
-WITH t AS (
-  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
-                             w -> w <> '')) = 0 THEN NULL
-         ELSE list_filter(string_split_regex(text, '\s+'),
-                          w -> w <> '') END AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    CASE WHEN toks IS NULL THEN CAST([] AS UBIGINT[])
-         WHEN len(toks) < {shingle_k}
-         THEN [('0x' || substr(sha256(array_to_string(toks, ' ')), 1, 15))::UBIGINT]
-         ELSE list_transform(generate_series(1, len(toks) - {shingle_k - 1}),
-              i -> ('0x' || substr(sha256(array_to_string(
-                   toks[i:i+{shingle_k - 1}], ' ')), 1, 15))::UBIGINT)
-    END AS hashes
-  FROM t
-), hx AS (
+    return rf"""{_shingle_cte_sql(shingle_k)}, hx AS (
   SELECT doc_id, unnest(hashes) AS h FROM sh
 ), pv AS (
   -- row-based min instead of nested list lambdas: ~9x faster in DuckDB
