@@ -154,7 +154,8 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
 
 
 def connected_components(edges, src_col: str = "u", dst_col: str = "v",
-                         num_buckets: int = 256, max_rounds: int = 50):
+                         num_buckets: int = 256, max_rounds: int = 50,
+                         frontier_node_ratio: int = 50):
     """Exact connected components: ``(node, component)`` where component
     is the MINIMUM node id (codepoint order for string ids — identical in
     numpy object-min and DuckDB binary collation) reachable from the node.
@@ -210,10 +211,14 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
                          "lbl": batch.column(dst_col)})
 
     def fold_self(batch: pa.Table) -> pa.Table:
+        # ``old`` = the label BEFORE this round; before init every node's
+        # label is implicitly its own id, so init emits old = node — the
+        # uniform "changed ⇔ lbl != old" contract every later round uses
         return pa.table({
             "node": batch.column("node"),
             "lbl": pc.min_element_wise(batch.column("node"),
                                        batch.column("lbl")),
+            "old": batch.column("node"),
         })
 
     labels = (grouped_reduce(
@@ -247,39 +252,139 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
                          "lbl": batch.column("lbl"),
                          "old": batch.column("lbl")})
 
+    def active_rows(batch: pa.Table) -> pa.Table:
+        # ACTIVE SET (VERDICT r3 #4): only nodes whose label DECREASED
+        # last round can teach a neighbor anything new — an unchanged
+        # source's lbl was already folded into every destination on the
+        # round it last changed, and min is idempotent. Joining the edge
+        # table against just these rows keeps the fixpoint exact while
+        # late rounds (most labels stable, chains still halving) shrink
+        # from graph-scale to frontier-scale; as the frontier collapses
+        # the build side drops under the broadcast bound and the round
+        # becomes a shuffle-free map over the edge table.
+        t = batch.filter(pc.invert(pc.equal(batch.column("lbl"),
+                                            batch.column("old"))))
+        return pa.table({"node": t.column("node"), "lbl": t.column("lbl")})
+
+    from ccnerx_ray.state import metrics
+
+    def nb_lbl(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column(dst_col),
+                         "lbl": batch.column("lbl"),
+                         "old": batch.column(dst_col)})
+
+    def req_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("node"),
+                         "ptr": batch.column("lbl")})
+
+    def deref_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("v"),
+                         "lbl": batch.column("lbl"),
+                         "old": batch.column("v")})
+
     def changed_flags(batch: pa.Table) -> pa.Table:
         return pa.table({"c": pc.cast(
             pc.invert(pc.equal(batch.column("lbl"), batch.column("old"))),
             pa.int64())})
 
-    changed = 0
+    def count_changed(key: str):
+        # the changed count rides the SAME executor run that builds the
+        # round's label table, as a fire-and-forget metrics increment per
+        # block — a HINT, never arithmetic: the counter is documented
+        # best-effort (task retries over-count, in-flight sends
+        # under-count). Over-counts only buy a harmless idempotent extra
+        # round; a zero reading is CONFIRMED by an exact aggregation run
+        # before the loop may exit, so the fixpoint stays exact while
+        # every non-final round costs ONE executor run instead of two.
+        def fn(batch: pa.Table) -> pa.Table:
+            n = pc.sum(pc.cast(
+                pc.invert(pc.equal(batch.column("lbl"),
+                                   batch.column("old"))),
+                pa.int64())).as_py() or 0
+            metrics.incr(key, int(n))
+            return batch
+        return fn
+
+    import uuid
+    nonce = uuid.uuid4().hex[:8]
+    # init counts as round 1 and changed by definition (labels start as
+    # the node ids); seed the hint with the node count once known
+    changed_hint: int | None = None
+
     for rnd in range(max_rounds):
-        nbytes = labels.size_bytes()
+        n_nodes = labels.count()          # metadata on a materialized table
+        if changed_hint is None:
+            changed_hint = n_nodes
+        row_bytes = max(1, (labels.size_bytes() or 1) // max(1, n_nodes))
+        # frontier mode pays an extra executor run (the scan that FINDS
+        # the frontier) plus two broadcast joins; that only beats a wide
+        # round when the frontier is a small FRACTION of the graph (the
+        # wide round's reduce input shrinks from edge-scale to
+        # frontier-scale) — and it must fit the broadcast bound at all
+        frontier_small = ((changed_hint * row_bytes) < (16 << 20)
+                          and changed_hint * frontier_node_ratio < n_nodes)
 
-        # neighbor mins: every (real ∪ pointer) edge forwards its source
-        # endpoint's current label to its destination
-        joined = adaptive_join(
-            sym.union(labels.map_batches(ptr_edges, batch_format="pyarrow")),
-            labels, on=src_col, right_on="node", build_bytes_hint=nbytes)
+        if frontier_small:
+            # FRONTIER ROUNDS (VERDICT r3 #4): only nodes whose label
+            # DECREASED last round can teach anyone anything new — an
+            # unchanged source's label was folded into every destination
+            # the round it last changed, and min is idempotent. The
+            # frontier is small enough to broadcast, so both joins below
+            # go shuffle-free: (1) real ∪ pointer edges probe the
+            # broadcast frontier (only frontier-sourced propagation rows
+            # survive the inner join); (2) frontier nodes DEREFERENCE
+            # their freshly acquired pointee against the label table —
+            # without this second half of the doubling term, stale labels
+            # crawl through lagged cascades (measured: 22 → 32 rounds at
+            # sf0.1 with the deref dropped).
+            active = labels.map_batches(active_rows,
+                                        batch_format="pyarrow").materialize()
+            joined = adaptive_join(
+                sym.union(labels.map_batches(ptr_edges,
+                                             batch_format="pyarrow")),
+                active, on=src_col, right_on="node",
+                build_bytes_hint=active.size_bytes())
+            deref = adaptive_join(
+                labels, active.map_batches(req_rows, batch_format="pyarrow"),
+                on="node", right_on="ptr",
+                build_bytes_hint=active.size_bytes())
+            prop = joined.map_batches(nb_lbl, batch_format="pyarrow").union(
+                deref.map_batches(deref_rows, batch_format="pyarrow"))
+        else:
+            # WIDE ROUNDS: the frontier is still graph-scale, so the
+            # active filter buys nothing — join every (real ∪ pointer)
+            # edge against the full label table (the full pointer term
+            # needs no deref: build side has every pointee)
+            # (A chained second jump — deref the pointer edges once more
+            # inside the same run for 4× chain contraction — was tried
+            # and measured round count 22 → 21 only: the round count here
+            # is bounded by neighbor-HOOK depth, not chain length, and
+            # the extra broadcast build cost a net +25% wall. Removed.)
+            joined = adaptive_join(
+                sym.union(labels.map_batches(ptr_edges,
+                                             batch_format="pyarrow")),
+                labels, on=src_col, right_on="node",
+                build_bytes_hint=labels.size_bytes())
+            prop = joined.map_batches(nb_lbl, batch_format="pyarrow")
 
-        def nb_lbl(batch: pa.Table) -> pa.Table:
-            return pa.table({"node": batch.column(dst_col),
-                             "lbl": batch.column("lbl"),
-                             "old": batch.column(dst_col)})
-
-        nb = joined.map_batches(nb_lbl, batch_format="pyarrow")
-
-        new = grouped_reduce(
-            labels.map_batches(self_rows, batch_format="pyarrow").union(nb),
+        key = f"cc_changed_{nonce}_{rnd}"
+        labels = grouped_reduce(
+            labels.map_batches(self_rows, batch_format="pyarrow").union(prop),
             ["node"], {"lbl": "min", "old": "min"}, num_buckets=buckets,
             out_dtypes=dt3, pre_combine=True
-        ).repartition(buckets).materialize()
+        ).map_batches(count_changed(key), batch_format="pyarrow") \
+         .repartition(buckets).materialize()
 
-        changed = new.map_batches(changed_flags,
-                                  batch_format="pyarrow").sum("c")
-        labels = new
-        if not changed:
-            break
+        changed_hint = metrics.snapshot().get(key, 0)
+        changed = changed_hint
+        if not changed_hint:
+            # exact confirmation — the only second run a round ever pays,
+            # and only the (rare) rounds whose hint reads zero
+            changed = labels.map_batches(changed_flags,
+                                         batch_format="pyarrow").sum("c")
+            changed_hint = int(changed or 0)
+            if not changed:
+                break
     else:
         # max_rounds exhausted without reaching the fixpoint — count it
         # rather than silently emitting partial components (pointer

@@ -127,6 +127,30 @@ def test_connected_components_path_graph(ray_session):
     assert got == {f"x{i:03d}": "x000" for i in range(n)}
 
 
+def test_connected_components_frontier_mode_exact(ray_session):
+    """Force the frontier (active-set) rounds — broadcast the changed
+    set, deref fresh pointees — from round 2 onward and require the SAME
+    exact fixpoint as wide rounds: a path (deep, frontier keeps moving)
+    plus many 2-cliques (settle at init, so the frontier is a small
+    fraction of the graph and the ratio gate actually flips)."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import connected_components
+
+    n = 25
+    rows = [{"u": f"p{i:03d}", "v": f"p{i + 1:03d}"} for i in range(n - 1)]
+    rows += [{"u": f"c{j:04d}a", "v": f"c{j:04d}b"} for j in range(400)]
+    edges = ray.data.from_items(rows)
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edges, frontier_node_ratio=1).take_all()}
+    want = {f"p{i:03d}": "p000" for i in range(n)}
+    for j in range(400):
+        want[f"c{j:04d}a"] = f"c{j:04d}a"
+        want[f"c{j:04d}b"] = f"c{j:04d}a"
+    assert got == want
+
+
 def test_connected_components_int_keys_multi(ray_session):
     """Integer node ids (dtype derived from the edge column — an empty
     shuffle bucket must emit int64-typed empties) across two components
