@@ -79,6 +79,29 @@ def fuzzy_name_pairs(ds, block_col: str, key_col: str, name_col: str,
     Output: (block, key_a, key_b, dist).
     """
 
+    def band_pair_chunks(ls: np.ndarray, chunk_pairs: int = 2_000_000):
+        """Candidate (i, j) pairs over length-SORTED positions, emitted
+        only inside the |Δlen| <= max_dist band (searchsorted window per
+        position — the band is never materialized as a full triu; ADVICE
+        r3: a hot block's O(b²) int64 triu allocated tens of GB before
+        any pruning ran) and in bounded-memory chunks."""
+        n = len(ls)
+        hi = np.searchsorted(ls, ls + max_dist, side="right")
+        cnt = hi - np.arange(n) - 1
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (tot + cnt[end] <= chunk_pairs
+                               or end == start):
+                tot += int(cnt[end])
+                end += 1
+            if tot:
+                c = cnt[start:end]
+                ii = np.repeat(np.arange(start, end), c)
+                offs = np.cumsum(c) - c
+                yield ii, np.arange(tot) - np.repeat(offs, c) + ii + 1
+            start = end
+
     def local(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for block, grp in g.groupby(block_col, sort=False):
@@ -88,11 +111,8 @@ def fuzzy_name_pairs(ds, block_col: str, key_col: str, name_col: str,
                      for s in names]
             lens = np.fromiter((len(c) for c in codes), dtype=np.int64,
                                count=len(codes))
-            ii, jj = np.triu_indices(len(names), k=1)
-            band = np.abs(lens[ii] - lens[jj]) <= max_dist
-            ii, jj = ii[band], jj[band]
-            if len(ii) == 0:
-                continue
+            order = np.argsort(lens, kind="stable")
+            ls = lens[order]
             # bag-of-chars counts over the group's observed alphabet
             vocab = np.unique(np.concatenate(codes)) if codes else \
                 np.zeros(0, np.uint32)
@@ -100,12 +120,22 @@ def fuzzy_name_pairs(ds, block_col: str, key_col: str, name_col: str,
             for r, c in enumerate(codes):
                 pos = np.searchsorted(vocab, c)
                 np.add.at(counts[r], pos, 1)
-            l1 = np.abs(counts[ii].astype(np.int32)
-                        - counts[jj]).sum(axis=1)
-            bag = l1 <= 2 * max_dist
-            ii, jj = ii[bag], jj[bag]
-            if len(ii) == 0:
+            counts_s = counts[order]
+            cand_i, cand_j = [], []
+            for ii, jj in band_pair_chunks(ls):
+                # bag bound (a substitution moves the character multiset
+                # by 2 L1 units, an insert/delete by 1) applied PER
+                # CHUNK, so survivors are all that ever accumulates
+                l1 = np.abs(counts_s[ii].astype(np.int32)
+                            - counts_s[jj]).sum(axis=1)
+                bag = l1 <= 2 * max_dist
+                if bag.any():
+                    cand_i.append(order[ii[bag]])
+                    cand_j.append(order[jj[bag]])
+            if not cand_i:
                 continue
+            ii = np.concatenate(cand_i)
+            jj = np.concatenate(cand_j)
             dist = batched_levenshtein(list(names[ii]), list(names[jj]))
             keep = dist <= max_dist
             ka, kb = keys[ii[keep]], keys[jj[keep]]
