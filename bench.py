@@ -72,6 +72,7 @@ EXTRAS = [
     "top_order_per_customer",  # per-group argmax row / DISTINCT ON (r3)
     "events_moving_week",    # RANGE-frame moving window (r3)
     "supplier_triangles",    # degree-ordered exact triangle count (r3)
+    "doc_embeddings",        # A5 encoder: text -> embedding table (r4)
     "ivf_knn_store",         # partition-pruned ANN probe over the IVF
                              # store (r4); lineage at
                              # /tmp/ccnerx_ivf/<sf>/_lineage/probe.json

@@ -167,6 +167,29 @@ def batch_token_hash_lists(texts, tokenizer,
     return hasher(list(uniques))[codes], offsets
 
 
+_TOKEN_HASH_PAIR_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def token_hash_pairs60(tokens) -> tuple[np.ndarray, np.ndarray]:
+    """TWO independent 60-bit hashes per token from one sha256 (hex
+    slices [0:15] and [15:30]; SQL mirrors: ``substr(sha256(w), 1, 15)``
+    / ``substr(sha256(w), 16, 15)``) — the (offset, stride) pair of the
+    encoder's token-vector family. One hashlib call per missing token."""
+    h1 = np.empty(len(tokens), dtype=np.uint64)
+    h2 = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH_PAIR_CACHE
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            hx = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            v = (int(hx[:15], 16), int(hx[15:30], 16))
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[t] = v
+        h1[i] = v[0]
+        h2[i] = v[1]
+    return h1, h2
+
+
 _TOKEN_HASH64_CACHE: dict[str, int] = {}
 
 

@@ -637,6 +637,44 @@ def q_ivf_knn_store_full(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_doc_embeddings(sf_dir: str):
+    """A5 encoder stage (VERDICT r3 #5): PRODUCE an embeddings table
+    from documents — deterministic hash-token mean encoder, exposed in
+    exact-integer long form (doc_id, dim, n_tokens, sum_micro) so the
+    whole encoder is DuckDB-hash-exact; the float `embedding` column
+    consumers use is sum_micro/(n_tokens·1e6) of the same integers."""
+    from ccnerx_ray.stages.encode import doc_embedding_micros
+    return doc_embedding_micros(_docs_wide(sf_dir, ["doc_id", "text"]),
+                                dim=8)
+
+
+def _doc_embeddings_oracle(dim: int = 8) -> str:
+    # component = ((h1 + d·h2) mod 2^64) mod 2000001 − 10^6, with h1/h2
+    # two 60-bit slices of one sha256 (offset + per-token stride —
+    # stages/encode.py documents why a single additive hash collapses
+    # every token vector onto one line); intermediates < 2^66, far
+    # inside HUGEINT
+    return rf"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')) = 0 THEN NULL
+         ELSE list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '') END AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(w), 1, 15))::UBIGINT AS h1,
+         ('0x' || substr(sha256(w), 16, 15))::UBIGINT AS h2
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t WHERE toks IS NOT NULL)
+)
+SELECT doc_id, d AS dim, count(*) AS n_tokens,
+       CAST(sum(CAST((CAST(h1 AS HUGEINT) + d * CAST(h2 AS HUGEINT))
+                     % 18446744073709551616 % 2000001 AS BIGINT)
+                - 1000000) AS BIGINT) AS sum_micro
+FROM th, (SELECT unnest(generate_series(1, {dim})) AS d) dims
+GROUP BY doc_id, d
+"""
+
+
 def q_ivf_knn_full(sf_dir: str):
     """IVF with nprobe = n_centroids probes EVERY cluster, so the result
     must equal exact brute-force KNN — an invariant that oracle-checks
@@ -1124,6 +1162,7 @@ ANALYTICS_QUERIES = {
     "ivf_knn_full": q_ivf_knn_full,
     "ivf_knn_store": q_ivf_knn_store,
     "ivf_knn_store_full": q_ivf_knn_store_full,
+    "doc_embeddings": q_doc_embeddings,
     "centroids": q_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "bm25_topk": q_bm25_topk,
@@ -1151,6 +1190,7 @@ ANALYTICS_ORACLE = {
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "ivf_knn_store_full": ORACLE_KNN,  # store probe of every partition
+    "doc_embeddings": _doc_embeddings_oracle(),
     "centroids": ORACLE_CENTROIDS,
     "kmeans_clusters": _oracle_kmeans(),
     "bm25_topk": _oracle_bm25(),

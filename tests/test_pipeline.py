@@ -312,3 +312,51 @@ def test_alias_pairs_semantic_catches_synonyms(ray_session):
                       embedding=emb).take_all()
     assert {(p["canonical_id"], p["alias_id"]) for p in sem} == {("e1", "e2")}
     assert all(p["cos_pm"] >= 900_000 for p in sem)
+
+
+def test_alias_pairs_semantic_off_encoder_vectors(ray_session):
+    """A5 closure (VERDICT r3 #5): the semantic alias scorer runs with
+    NO fixture embedding table — entity vectors come from the encoder's
+    hash-token family (stages/encode.HashWordEmbedding, the same vector
+    family doc_embeddings produces). Mean-of-token vectors are word-order
+    invariant, so bag-equal norm_keys alias at cosine 1.0 while
+    different-token keys stay apart (hash vectors are near-orthogonal)."""
+    import ray.data
+    from ccnerx_ray.stages.canonical import alias_pairs
+    from ccnerx_ray.stages.encode import HashWordEmbedding
+
+    rows = [
+        {"entity_id": "e1", "norm_key": "tree parse", "label": "FUNC",
+         "repr_surface": "TreeParse", "n_mentions": 5},
+        {"entity_id": "e2", "norm_key": "parse tree", "label": "FUNC",
+         "repr_surface": "parse_tree", "n_mentions": 3},
+        {"entity_id": "e3", "norm_key": "halt now", "label": "FUNC",
+         "repr_surface": "halt_now", "n_mentions": 1},
+    ]
+    sem = alias_pairs(ray.data.from_items(rows), threshold=0.95,
+                      scorer="semantic",
+                      embedding=HashWordEmbedding(32)).take_all()
+    assert {(p["canonical_id"], p["alias_id"]) for p in sem} == {("e1", "e2")}
+
+
+def test_embedding_dedup_off_derived_embeddings(ray_session):
+    """embedding_dup_pairs fed by doc_embeddings output (not fixture
+    vectors): two documents sharing most tokens embed near-identically
+    (mean of mostly-equal token vectors) and pair up; an unrelated doc
+    stays out."""
+    import ray.data
+    from ccnerx_ray.ops.dedup import embedding_dup_pairs
+    from ccnerx_ray.stages.encode import doc_embeddings
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra"},
+        {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(60))},
+    ])
+    vecs = doc_embeddings(docs, dim=32, concurrency=2)
+    pairs = embedding_dup_pairs(vecs.select_columns(["doc_id", "embedding"])
+                                .rename_columns(["vec_id", "embedding"]),
+                                threshold=0.95, id_col="vec_id")
+    got = {(p["id_a"], p["id_b"]) for p in pairs.take_all()}
+    assert got == {(1, 2)}
