@@ -73,6 +73,7 @@ EXTRAS = [
     "events_moving_week",    # RANGE-frame moving window (r3)
     "supplier_triangles",    # degree-ordered exact triangle count (r3)
     "doc_embeddings",        # A5 encoder: text -> embedding table (r4)
+    "prompt_corpus",         # M8/M10 cloze-prompt + MLM corpus (r4)
     "ivf_knn_store",         # partition-pruned ANN probe over the IVF
                              # store (r4); lineage at
                              # /tmp/ccnerx_ivf/<sf>/_lineage/probe.json

@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ccnerx_ray.config import PipelineConfig
 from ccnerx_ray.functions.hashing import sha256_hex
+from ccnerx_ray.functions.tokenize import ws_tokens
 from ccnerx_ray.ops.dedup import (embedding_dup_pairs, exact_dedup_groups,
                                   minhash_dedup_pairs, simhash_pairs)
 from ccnerx_ray.ops.similarity import (ivf_build_store, ivf_knn,
@@ -637,6 +638,84 @@ def q_ivf_knn_store_full(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_prompt_corpus(sf_dir: str):
+    """M8/M10 end-to-end (VERDICT r3 #6 — the one reference dataflow
+    with no registered counterpart): canonical entities → cloze
+    prompt + MLM pretraining corpus, the Ray shape of
+    ``CC/loaders/lex_loader.py:144-252`` / ``CC/pre_trained.py:17-141``
+    (prompt assembly ``tag_convert.py:10-61``). One row per entity:
+    flattened ``prompt`` / ``origin`` strings, BIOES ``tags``, the
+    masked-position count and the MLM target token (loss is computed
+    ONLY at masks — M10's ignore_index contract)."""
+    from ccnerx_ray.functions.prompt import build_prompt
+
+    ents = q_kg_entities(sf_dir)
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        eids, labs_o, prompts, origins, tags, n_masked, targets = \
+            [], [], [], [], [], [], []
+        for eid, nk, lab in zip(batch.column("entity_id").to_pylist(),
+                                batch.column("norm_key").to_pylist(),
+                                batch.column("label").to_pylist()):
+            toks = ws_tokens(nk or "")
+            if not toks:
+                continue
+            p = build_prompt(toks, lab)
+            eids.append(eid)
+            labs_o.append(lab)
+            prompts.append(" ".join(p["prompt"]))
+            origins.append(" ".join(p["origin"]))
+            tags.append(" ".join(p["tags"]))
+            n_masked.append(sum(p["mlm_mask"]))
+            targets.append(lab.lower())
+        return pa.table({
+            "entity_id": pa.array(eids, pa.string()),
+            "label": pa.array(labs_o, pa.string()),
+            "prompt": pa.array(prompts, pa.string()),
+            "origin": pa.array(origins, pa.string()),
+            "tags": pa.array(tags, pa.string()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+            "mlm_target": pa.array(targets, pa.string()),
+        })
+
+    return ents.map_batches(assemble, batch_format="pyarrow")
+
+
+def _prompt_corpus_oracle() -> str:
+    """SQL mirror: the KG-entities CTE feeds string assembly — prompt =
+    tokens ⊕ 'is a' ⊕ [MASK], BIOES tags from the token count (S- for
+    singletons, B-/I-*/E- otherwise; three trailing O's cover connector
+    + mask), MLM target = lower(label)."""
+    return f"""
+WITH {_KG_CTE},
+agg AS (SELECT surface AS norm_key, label, count(*) AS cnt
+        FROM kg_m GROUP BY 1, 2),
+tot AS (SELECT norm_key FROM agg GROUP BY 1),
+lab AS (SELECT norm_key, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY norm_key
+                     ORDER BY cnt DESC, label) AS rn FROM agg)
+        WHERE rn = 1),
+ent AS (SELECT substr(sha256(norm_key), 1, 16) AS entity_id, norm_key,
+               label,
+               list_filter(string_split_regex(norm_key, '\\s+'),
+                           w -> w <> '') AS toks
+        FROM tot JOIN lab USING (norm_key))
+SELECT entity_id, label,
+       array_to_string(toks, ' ') || ' is a [MASK]' AS prompt,
+       array_to_string(toks, ' ') || ' is a ' || lower(label) AS origin,
+       CASE WHEN len(toks) = 1 THEN 'S-' || label
+            ELSE array_to_string(list_transform(
+                 generate_series(1, len(toks)),
+                 i -> CASE WHEN i = 1 THEN 'B-' || label
+                           WHEN i = len(toks) THEN 'E-' || label
+                           ELSE 'I-' || label END), ' ')
+       END || ' O O O' AS tags,
+       CAST(1 AS BIGINT) AS n_masked,
+       lower(label) AS mlm_target
+FROM ent WHERE len(toks) > 0
+"""
+
+
 def q_doc_embeddings(sf_dir: str):
     """A5 encoder stage (VERDICT r3 #5): PRODUCE an embeddings table
     from documents — deterministic hash-token mean encoder, exposed in
@@ -1163,6 +1242,7 @@ ANALYTICS_QUERIES = {
     "ivf_knn_store": q_ivf_knn_store,
     "ivf_knn_store_full": q_ivf_knn_store_full,
     "doc_embeddings": q_doc_embeddings,
+    "prompt_corpus": q_prompt_corpus,
     "centroids": q_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "bm25_topk": q_bm25_topk,
@@ -1191,6 +1271,7 @@ ANALYTICS_ORACLE = {
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "ivf_knn_store_full": ORACLE_KNN,  # store probe of every partition
     "doc_embeddings": _doc_embeddings_oracle(),
+    "prompt_corpus": _prompt_corpus_oracle(),
     "centroids": ORACLE_CENTROIDS,
     "kmeans_clusters": _oracle_kmeans(),
     "bm25_topk": _oracle_bm25(),
