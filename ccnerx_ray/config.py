@@ -31,6 +31,13 @@ class PipelineConfig:
     embed_dim: int = 32              # token embedding dim (reference: 200-d word2vec, embedding.py:43)
     hidden_dim: int = 24             # emission MLP hidden
     lexicon_boost: float = 8.0       # LE-fusion strength of catalog label priors
+    fusion: str = "boost"            # "boost" (additive label priors — the
+                                     # oracle-paired production path) or
+                                     # "lebert" (word-attention fusion over
+                                     # matched-word embeddings, LEBert.py:
+                                     # 172-196 information flow; boost still
+                                     # applies on top — seeded weights carry
+                                     # no label signal of their own)
 
     # --- canonicalization / shuffle hygiene ---
     canonical_salt_buckets: int = 16  # salt fan-out for hot normalized keys

@@ -168,6 +168,14 @@ class TaggerModel:
         # per-token BASE emission row cache (emission = f(token) + boosts;
         # the MLP runs once per distinct token, ever, per process)
         self._row_cache: dict[str, np.ndarray] = {}
+        self.fusion = None
+        if cfg.fusion == "lebert":
+            from ccnerx_ray.model.fusion import WordAttentionFusion
+            self.fusion = WordAttentionFusion(cfg.hidden_dim, cfg.embed_dim,
+                                              cfg.model_seed + 3)
+            self._word_emb_cache: dict[tuple, np.ndarray] = {}
+        elif cfg.fusion != "boost":
+            raise ValueError(f"unknown fusion mode {cfg.fusion!r}")
 
     # --- embeddings -----------------------------------------------------
     def _embed(self, token: str) -> np.ndarray:
@@ -179,6 +187,55 @@ class TaggerModel:
                 self._emb_cache[token] = vec
         return vec
 
+    def _word_embed(self, word: tuple) -> np.ndarray:
+        """Matched-word embedding = mean of its token embeddings (the
+        deterministic stand-in for LEBert's 200-d word2vec rows)."""
+        vec = self._word_emb_cache.get(word)
+        if vec is None:
+            vec = np.mean([self._embed(t) for t in word], axis=0)
+            if len(self._word_emb_cache) < 500_000:
+                self._word_emb_cache[word] = vec
+        return vec
+
+    def _fused_emissions(self, tokens: list[str]) -> np.ndarray:
+        """LEBert-mode unary scores: hidden states fused with the
+        position's matched-word embeddings through word attention
+        (``model/fusion.py``; LEBert.py:172-196 information flow), THEN
+        projected to tag space; the additive lexicon boost still applies
+        (seeded fusion weights carry no label signal)."""
+        from ccnerx_ray.model.fusion import position_word_slots
+
+        L = len(tokens)
+        T = self.num_tags + 2
+        X = np.stack([self._embed(t) for t in tokens])
+        H = np.tanh(X @ self.W1 + self.b1)
+        spans = list(self.trie.spans(tokens,
+                                     max_words=self.cfg.max_word_num))
+        slots = position_word_slots(spans, L, self.cfg.max_word_num)
+        Wn = self.cfg.max_word_num
+        Wm = np.zeros((L, Wn, self.cfg.embed_dim))
+        mask = np.zeros((L, Wn))
+        for k, words in enumerate(slots):
+            for j, w in enumerate(words):
+                Wm[k, j] = self._word_embed(w)
+                mask[k, j] = 1.0
+        e = self.fusion.fuse(H, Wm, mask) @ self.W2 + self.b2
+        e[:, self.tag2id["O"]] += self.o_bias
+        e[:, -2:] = IMPOSSIBLE
+        boost = self.cfg.lexicon_boost
+        for start, end, word in spans:
+            lab = self.catalog.label(word)
+            if lab is None:
+                continue
+            if end - start == 1:
+                e[start, self.tag2id[f"S-{lab}"]] += boost
+            else:
+                e[start, self.tag2id[f"B-{lab}"]] += boost
+                for k in range(start + 1, end - 1):
+                    e[k, self.tag2id[f"I-{lab}"]] += boost
+                e[end - 1, self.tag2id[f"E-{lab}"]] += boost
+        return e
+
     # --- emissions ------------------------------------------------------
     def emissions(self, tokens: list[str]) -> np.ndarray:
         """Per-position unary scores [L, num_tags+2] = MLP(embedding) +
@@ -187,6 +244,8 @@ class TaggerModel:
         T = self.num_tags + 2
         if L == 0:
             return np.zeros((0, T))
+        if self.fusion is not None:
+            return self._fused_emissions(tokens)
         X = np.stack([self._embed(t) for t in tokens])
         e = np.tanh(X @ self.W1 + self.b1) @ self.W2 + self.b2
         e[:, self.tag2id["O"]] += self.o_bias
@@ -250,6 +309,18 @@ class TaggerModel:
         if L == 0:
             return [[] for _ in segments]
         T = self.num_tags + 2
+
+        if self.fusion is not None:
+            # LEBert mode: emissions are position-contextual (word
+            # attention), so the per-token row cache does not apply
+            feats = np.zeros((B, L, T))
+            masks = np.zeros((B, L))
+            for i, seg in enumerate(segments):
+                if seg:
+                    feats[i, :len(seg)] = self._fused_emissions(seg)
+                    masks[i, :len(seg)] = 1.0
+            paths = viterbi_decode(feats, masks, self.crf)
+            return [[self.tags[t] for t in path] for path in paths]
 
         uniq: dict[str, int] = {}
         for seg in segments:

@@ -86,6 +86,37 @@ class TorchTaggerModel:
         self.module = (module or toy_module(cfg.embed_dim, cfg.hidden_dim,
                                             T, cfg.model_seed)).to(
             self.device).eval()
+        self.fusion_np = None
+        if cfg.fusion == "lebert":
+            # LEBert word-attention twin (VERDICT r3 #3): parameters are
+            # COPIED from the numpy fusion module, and the whole fused
+            # forward runs float64, so the parity test can demand
+            # identical spans between backends (reference flow:
+            # CC/LEBert.py:172-196; see model/fusion.py)
+            from ccnerx_ray.model.fusion import WordAttentionFusion
+            self.fusion_np = WordAttentionFusion(
+                cfg.hidden_dim, cfg.embed_dim, cfg.model_seed + 3)
+            self.module = self.module.double()
+            if weights is not None and len(self.module) == 3:
+                # re-copy checkpoint weights at full precision — the
+                # float32 construction above already rounded them, and
+                # span parity with the float64 numpy backend needs
+                # bit-equal parameters
+                with torch.no_grad():
+                    self.module[0].weight.copy_(torch.as_tensor(
+                        weights["W1"].T, dtype=torch.float64))
+                    self.module[0].bias.copy_(torch.as_tensor(
+                        weights["b1"], dtype=torch.float64))
+                    self.module[2].weight.copy_(torch.as_tensor(
+                        weights["W2"].T, dtype=torch.float64))
+                    self.module[2].bias.copy_(torch.as_tensor(
+                        weights["b2"], dtype=torch.float64))
+            self._ft = {k: torch.as_tensor(getattr(self.fusion_np, k),
+                                           dtype=torch.float64,
+                                           device=self.device)
+                        for k in ("Wt", "bt", "Ww", "bw", "attn_W")}
+        elif cfg.fusion != "boost":
+            raise ValueError(f"unknown fusion mode {cfg.fusion!r}")
         if weights is not None:
             self.crf = CRFParams(
                 np.asarray(weights["transitions"], dtype=np.float64),
@@ -103,6 +134,61 @@ class TorchTaggerModel:
         r = np.random.default_rng(_token_seed(token, self._emb_salt))
         return r.uniform(-1.0, 1.0, self.cfg.embed_dim)
 
+    def _fused_emissions(self, seg: list[str]) -> np.ndarray:
+        """Torch word-attention forward, op-for-op the numpy
+        ``TaggerModel._fused_emissions`` in float64."""
+        torch = self.torch
+        from ccnerx_ray.model.fusion import position_word_slots
+
+        L = len(seg)
+        T = self.num_tags + 2
+        X = torch.as_tensor(np.stack([self._embed(t) for t in seg]),
+                            dtype=torch.float64, device=self.device)
+        with torch.no_grad():
+            H = self.module[1](self.module[0](X))        # Linear + Tanh
+            spans = list(self.trie.spans(seg,
+                                         max_words=self.cfg.max_word_num))
+            slots = position_word_slots(spans, L, self.cfg.max_word_num)
+            Wn = self.cfg.max_word_num
+            Wm = np.zeros((L, Wn, self.cfg.embed_dim))
+            mk = np.zeros((L, Wn))
+            for k, words in enumerate(slots):
+                for j, w in enumerate(words):
+                    Wm[k, j] = np.mean([self._embed(t) for t in w], axis=0)
+                    mk[k, j] = 1.0
+            Wt_m = torch.as_tensor(Wm, dtype=torch.float64,
+                                   device=self.device)
+            mask = torch.as_tensor(mk, dtype=torch.float64,
+                                   device=self.device)
+            f = self._ft
+            wo = torch.tanh(Wt_m @ f["Wt"] + f["bt"]) @ f["Ww"] + f["bw"]
+            alpha = torch.einsum("ld,lwd->lw", H @ f["attn_W"], wo)
+            alpha = alpha - 10000.0 * (1.0 - mask)
+            alpha = torch.softmax(alpha, dim=1)
+            weighted = torch.einsum("lw,lwd->ld", alpha, wo)
+            has_word = mask.any(dim=1)
+            fused = torch.where(has_word[:, None], H + weighted, H)
+            mu = fused.mean(dim=1, keepdim=True)
+            sd = torch.sqrt(fused.var(dim=1, unbiased=False,
+                                      keepdim=True) + 1e-12)
+            fused = torch.where(has_word[:, None], (fused - mu) / sd, H)
+            e = self.module[2](fused).cpu().numpy().astype(np.float64)
+        e[:, self.tag2id["O"]] += self.o_bias
+        e[:, -2:] = IMPOSSIBLE
+        boost = self.cfg.lexicon_boost
+        for start, end, word in spans:
+            lab = self.catalog.label(word)
+            if lab is None:
+                continue
+            if end - start == 1:
+                e[start, self.tag2id[f"S-{lab}"]] += boost
+            else:
+                e[start, self.tag2id[f"B-{lab}"]] += boost
+                for k in range(start + 1, end - 1):
+                    e[k, self.tag2id[f"I-{lab}"]] += boost
+                e[end - 1, self.tag2id[f"E-{lab}"]] += boost
+        return e
+
     def tag_segments(self, segments: list[list[str]]) -> list[list[str]]:
         torch = self.torch
         if not segments:
@@ -112,6 +198,16 @@ class TorchTaggerModel:
         if L == 0:
             return [[] for _ in segments]
         T = self.num_tags + 2
+
+        if self.fusion_np is not None:
+            feats = np.zeros((B, L, T))
+            masks = np.zeros((B, L))
+            for i, seg in enumerate(segments):
+                if seg:
+                    feats[i, :len(seg)] = self._fused_emissions(seg)
+                    masks[i, :len(seg)] = 1.0
+            paths = viterbi_decode(feats, masks, self.crf)
+            return [[self.tags[t] for t in path] for path in paths]
 
         uniq: dict[str, int] = {}
         for seg in segments:

@@ -1371,6 +1371,26 @@ def q_kg_triples_ckpt(sf_dir: str):
 ANALYTICS_QUERIES["kg_triples_ckpt"] = q_kg_triples_ckpt
 ANALYTICS_ORACLE["kg_triples_ckpt"] = ORACLE_KG_TRIPLES
 
+def q_kg_triples_lebert(sf_dir: str):
+    """Flagship KG pipeline through the LEBert word-attention fusion
+    emission path (VERDICT r3 #3; model/fusion.py mirrors
+    CC/LEBert.py:172-196 with seeded weights). Paired with the SAME
+    closed-form oracle as kg_triples: on a catalog-driven corpus the
+    lexicon prior dominates the seeded fusion perturbation, so the
+    fused tagger must emit identical triples — a corpus-scale
+    hash-exact check that the fusion layer preserves decode semantics,
+    not just the fixture pytest."""
+    import dataclasses
+    from ccnerx_ray.pipelines.kg import triples_dataset
+    corpus = corpus_from_documents(sf_dir)
+    cfg = dataclasses.replace(kg_cfg(), fusion="lebert")
+    return triples_dataset(corpus, TESTDATA_CATALOG, cfg)
+
+
+ANALYTICS_QUERIES["kg_triples_lebert"] = q_kg_triples_lebert
+ANALYTICS_ORACLE["kg_triples_lebert"] = ORACLE_KG_TRIPLES
+
+
 
 def q_minhash_dedup_keepers(sf_dir: str):
     """Full near-dup dedup pipeline: MinHash-LSH pairs → connected

@@ -70,3 +70,24 @@ def test_torch_backend_from_checkpoint_matches_numpy(tmp_path):
     assert a["surfaces"] == b["surfaces"]
     assert a["labels"] == b["labels"]
     assert a["starts"] == b["starts"]
+
+
+def test_torch_lebert_fusion_parity_with_numpy(tmp_path):
+    """VERDICT r3 #3 parity gate: the torch word-attention twin holds
+    parameters COPIED from the numpy fusion module and runs float64, so
+    the decoded spans must match the seeded numpy-fusion reference run
+    exactly on the fixture corpus."""
+    from ccnerx_ray.model.tagger import save_checkpoint
+
+    cfg = PipelineConfig(tagger_concurrency=2, fusion="lebert")
+    ckpt = str(tmp_path / "tagger.npz")
+    save_checkpoint(ckpt, cfg)
+    seg = make_segmenter(cfg)(_corpus_batch())
+    out_np = MentionTagger(catalog_pairs=CATALOG, cfg=cfg,
+                           checkpoint_path=ckpt)(seg)
+    out_th = MentionTagger(catalog_pairs=CATALOG, cfg=cfg,
+                           backend="torch", checkpoint_path=ckpt)(seg)
+    a, b = out_np.to_pylist()[0], out_th.to_pylist()[0]
+    assert a["surfaces"] == b["surfaces"]
+    assert a["labels"] == b["labels"]
+    assert a["starts"] == b["starts"]
