@@ -158,3 +158,117 @@ def run_kg(corpus_paths, catalog_pairs, out_dir: str,
         ents.write_parquet(ents_path)
         summary["entities_path"] = ents_path
     return summary
+
+
+def _doc_key_batch(cols: list[str], sha_col: str | None = None):
+    """Append a ``_doc_key`` column: the full document identity
+    ``repo␟path␟commit␟content_sha256`` (an exact string key — no digest,
+    so the carry-forward semantics cannot collide)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def add(batch: _pa.Table) -> _pa.Table:
+        parts = [batch.column(c) for c in cols]
+        if sha_col is None:
+            from ccnerx_ray.functions.hashing import sha256_hex
+            sha = _pa.array([sha256_hex(t or "")
+                             for t in batch.column("content").to_pylist()],
+                            _pa.string())
+            batch = batch.append_column("content_sha256", sha)
+            parts.append(sha)
+        else:
+            parts.append(batch.column(sha_col))
+        key = parts[0]
+        for p in parts[1:]:
+            key = _pc.binary_join_element_wise(key, p, "\x1f")
+        return batch.append_column("_doc_key", key)
+
+    return add
+
+
+def update_kg(corpus_paths, catalog_pairs, old_store_dir: str,
+              out_dir: str, cfg: PipelineConfig = PipelineConfig(),
+              build_entities: bool = True) -> dict:
+    """INCREMENTAL KG update (the north rule's resumability taken to its
+    10^12-file conclusion: a daily corpus drop must not re-tag the
+    world). Documents are identified by the exact key (repo, path,
+    commit, content_sha256); against an existing store:
+
+    * triples of documents still present carry forward UNTAGGED — a
+      hash-partitioned semi join of the old store against the corpus key
+      set (``grouping.semi_join_on``: both sides stay distributed,
+      nothing broadcasts);
+    * only NEW keys (changed content, new or moved files) run through
+      the tagger — a left-anti ``adaptive_join`` of the corpus against
+      the old store's distinct keys;
+    * triples of removed/changed documents simply fail the semi join.
+
+    The result is bit-equal to a fresh full ``run_kg`` over the new
+    corpus (test-enforced at the triple-multiset level) while the tagger
+    — the expensive stage — touches only the delta. Lineage records
+    ``docs_retagged`` / ``docs_total`` so a run can prove how little it
+    did. Assumes corpus rows are unique per (repo, path, commit) — the
+    same assumption a full run's per-row provenance makes."""
+    from ccnerx_ray.functions.grouping import (drop_duplicate_rows,
+                                               semi_join_on)
+    from ccnerx_ray.io.store import read_triple_store, write_triple_store
+    from ccnerx_ray.ops.join import adaptive_join
+    from ccnerx_ray.stages.triples import TRIPLE_SCHEMA
+
+    # the corpus is consumed twice (key set + anti-join probe) but NEVER
+    # materialized — re-reading the Parquet beats holding 10^12 files'
+    # content in the object store; the count is read metadata
+    base_corpus = read_corpus(corpus_paths, cfg)
+    docs_total = base_corpus.count()
+    corpus = base_corpus.map_batches(
+        _doc_key_batch(["repo", "path", "commit"]),
+        batch_format="pyarrow")
+
+    old = read_triple_store(old_store_dir).map_batches(
+        _doc_key_batch(["repo", "path", "commit"],
+                       sha_col="content_sha256"),
+        batch_format="pyarrow")
+
+    corpus_keys = corpus.select_columns(["_doc_key"])
+    tcols = [f.name for f in TRIPLE_SCHEMA]
+
+    def strip_key(batch):
+        import pyarrow as _pa
+        return batch.select(tcols).cast(_pa.schema(TRIPLE_SCHEMA))
+
+    kept = semi_join_on(
+        old, "_doc_key", corpus_keys, num_buckets=256,
+        out_dtypes={c: "string" for c in tcols + ["_doc_key"]},
+    ).map_batches(strip_key, batch_format="pyarrow")
+
+    # distinct old doc keys — a digest-scale table (one row per doc, not
+    # per triple) for the anti join's build side
+    old_keys = drop_duplicate_rows(
+        old.select_columns(["_doc_key"]), ["_doc_key"], num_buckets=64)
+    fresh_corpus = adaptive_join(corpus, old_keys, on="_doc_key",
+                                 join_type="left_anti")
+    fresh_corpus = fresh_corpus.drop_columns(["_doc_key",
+                                              "content_sha256"])
+    docs_retagged = fresh_corpus.count()
+
+    fresh = triples_dataset(fresh_corpus, catalog_pairs, cfg)
+    extra = dict(input_fingerprint(corpus_paths),
+                 updated_from=old_store_dir,
+                 docs_total=docs_total, docs_retagged=docs_retagged)
+    summary = write_triple_store(kept.union(fresh), out_dir,
+                                 cfg.output_partitions,
+                                 lineage_extra=extra)
+    if summary["rows"] == 0:
+        summary["entities_path"] = None
+        return summary
+    if build_entities:
+        store = read_triple_store(
+            out_dir, columns=["subj", "pred", "norm_key", "surface",
+                              "label"])
+        ents = entities_from_triples(store)
+        ents_path = out_dir.rstrip("/") + "_entities"
+        ents.write_parquet(ents_path)
+        summary["entities_path"] = ents_path
+    summary["docs_retagged"] = docs_retagged
+    summary["docs_total"] = docs_total
+    return summary

@@ -10,6 +10,40 @@ from ccnerx_ray.queries.relational4 import RELATIONAL4_ORACLE, RELATIONAL4_QUERI
 from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
 
 
+# Registry ORDER is part of the driver contract (VERDICT r3 #8): the
+# correctness gate samples a prefix of the registry, so the KG flagship,
+# dedup/ANN/graph/encoder families and the other non-relational operator
+# families lead; the relational long tail (independently gate-verified in
+# r1-r3) follows. Every name below must exist — the assertion at the
+# bottom of all_queries() guards against drift.
+_PRIORITY = [
+    # KG flagship family
+    "kg_triples", "kg_mentions", "kg_entities", "kg_entities_store",
+    "kg_label_dist", "kg_aliases", "kg_triples_ckpt", "kg_triples_lebert",
+    "prompt_corpus",
+    # dedup family
+    "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
+    "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
+    "fingerprint",
+    # embeddings / ANN / clustering
+    "doc_embeddings", "knn", "ivf_knn", "ivf_knn_full", "ivf_knn_store",
+    "ivf_knn_store_full", "kmeans_clusters", "centroids",
+    "embedding_dim_stats",
+    # graph
+    "graph_pagerank", "graph_components", "supplier_triangles",
+    # text analysis / retrieval / hygiene
+    "token_stats", "quality", "langid", "repetition", "decontaminate",
+    "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
+    "top_words", "heavy_hitters",
+    # sketches / quantiles / windows / as-of
+    "hll_custkey", "quantile_summary", "quantiles", "quantiles_cont",
+    "profile", "events_global_asof", "click_last_purchase",
+    "events_moving_week", "user_sessions",
+    # multimodal
+    "media_headers", "media_features",
+]
+
+
 def all_queries() -> dict:
     q = {}
     q.update(RELATIONAL_QUERIES)
@@ -17,7 +51,11 @@ def all_queries() -> dict:
     q.update(RELATIONAL3_QUERIES)
     q.update(RELATIONAL4_QUERIES)
     q.update(ANALYTICS_QUERIES)
-    return q
+    missing = [n for n in _PRIORITY if n not in q]
+    assert not missing, f"priority registry entries missing: {missing}"
+    ordered = {n: q[n] for n in _PRIORITY}
+    ordered.update({n: f for n, f in q.items() if n not in ordered})
+    return ordered
 
 
 def all_oracles() -> dict:

@@ -360,3 +360,55 @@ def test_embedding_dedup_off_derived_embeddings(ray_session):
                                 threshold=0.95, id_col="vec_id")
     got = {(p["id_a"], p["id_b"]) for p in pairs.take_all()}
     assert got == {(1, 2)}
+
+
+def test_update_kg_incremental_equals_full_run(ray_session, corpus_dir,
+                                               catalog_pairs, tmp_path):
+    """Incremental delta update (north rule: a daily corpus drop must
+    not re-tag the world): v2 = v1 with some docs changed, some removed,
+    some added. ``update_kg`` against the v1 store must (a) produce the
+    SAME triple multiset as a fresh full run over v2 and (b) run the
+    tagger over ONLY the delta (lineage proves it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from ccnerx_ray.pipelines.kg import update_kg
+
+    store1 = str(tmp_path / "store1")
+    run_kg(corpus_dir, catalog_pairs, store1, CFG, build_entities=False)
+
+    # build v2: drop 5 docs, modify 7 (append a token), add 4 new
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    rows = []
+    for f in files:
+        rows.extend(pq2.read_table(f).to_pylist())
+    rows = rows[5:]                       # 5 removed
+    for r in rows[:7]:                    # 7 changed in place
+        r["content"] = r["content"] + "\nchanged_token = 1"
+    for j in range(4):                    # 4 added
+        rows.append({"repo": "new/repo", "path": f"added_{j}.py",
+                     "commit": "f" * 40, "lang": "python",
+                     "content": f"import parse_cfg\nadded_{j} = MAX_N"})
+    v2 = str(tmp_path / "v2")
+    os.makedirs(v2)
+    t = pa.Table.from_pylist(rows)
+    pq2.write_table(t.slice(0, t.num_rows // 2), os.path.join(v2, "a.parquet"))
+    pq2.write_table(t.slice(t.num_rows // 2), os.path.join(v2, "b.parquet"))
+
+    upd = str(tmp_path / "store_upd")
+    full = str(tmp_path / "store_full")
+    s_upd = update_kg(v2, catalog_pairs, store1, upd, CFG,
+                      build_entities=False)
+    run_kg(v2, catalog_pairs, full, CFG, build_entities=False)
+
+    assert s_upd["docs_total"] == len(rows)
+    assert s_upd["docs_retagged"] == 7 + 4    # changed + added only
+
+    def triple_frame(store):
+        from ccnerx_ray.io.store import read_triple_store
+        df = read_triple_store(store).to_pandas()
+        cols = sorted(c for c in df.columns if c != "part")
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(triple_frame(upd), triple_frame(full))
