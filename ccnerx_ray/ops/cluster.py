@@ -108,9 +108,13 @@ def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
         def partial_sums(batch: pa.Table) -> pa.Table:
             Cm = ray.get(c_ref)
             X = _mat(batch)
-            diff = X[:, None, :] - Cm[None, :, :]
-            d2 = np.einsum("nkd,nkd->nk", diff, diff)
-            assign = d2.argmin(axis=1)          # ties -> lowest cluster
+            # argmin of |x-c|^2 == argmin of (|c|^2 - 2 x.c): the |x|^2
+            # term is constant per row, and the arithmetic is exact
+            # integer, so ties (-> lowest cluster, argmin picks first)
+            # are byte-identical to the full-distance form — without the
+            # n×k×d subtraction temp the einsum form materialized.
+            cn = np.einsum("kd,kd->k", Cm, Cm)
+            assign = (cn[None, :] - 2 * (X @ Cm.T)).argmin(axis=1)
             sums = np.zeros_like(Cm)
             np.add.at(sums, assign, X)
             counts = np.bincount(assign, minlength=Cm.shape[0])
@@ -124,10 +128,14 @@ def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
                 "n": pa.array(np.repeat(counts[present], d), pa.int64()),
             })
 
+        # ≤ k×dim keys and per-BLOCK combiner output as shuffle input:
+        # a handful of reducers covers any corpus scale (reduce rows =
+        # blocks × keys), while 64 mostly-empty partitions paid a task
+        # launch each, three times per run (cf. triangle_count r3 fix).
         merged = grouped_reduce(
             pts.map_batches(partial_sums, batch_format="pyarrow"),
             ["cluster", "dim"], {"s": "sum", "n": "sum"},
-            num_buckets=num_buckets,
+            num_buckets=min(4, num_buckets),
             out_dtypes={"cluster": "int64", "dim": "int64",
                         "s": "int64", "n": "int64"},
             pre_combine=True)

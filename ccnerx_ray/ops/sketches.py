@@ -105,7 +105,7 @@ def approx_distinct(ds, col: str, p: int = 12) -> dict:
 
 def asof_join(left, right, on: str, by: str | None = None,
               direction: str = "backward", num_buckets: int = 64,
-              suffix: str = "_r"):
+              suffix: str = "_r", broadcast_rows_max: int = 500_000):
     """Distributed as-of join: for each left row, attach the latest right
     row with ``right.on <= left.on`` (direction='backward'), optionally
     per ``by`` key.
@@ -114,8 +114,12 @@ def asof_join(left, right, on: str, by: str | None = None,
     provenance, sort-within-bucket, ``pd.merge_asof`` per bucket (matches
     only exist within the same ``by`` key — the partitioning assumption).
 
-    Global shape (``by=None``, VERDICT r2 #2 — this used to be a single
-    reducer): RANGE-bucket the ``on`` domain into ``num_buckets``
+    Global shape (``by=None``): a right side of ≤ ``broadcast_rows_max``
+    rows (the common case — a global as-of's right side is a reference
+    table) is broadcast whole via ``ray.put`` and each left batch is
+    ``pd.merge_asof``-ed against it in one map stage, no shuffle.
+    Otherwise (VERDICT r2 #2 — this used to be a single reducer):
+    RANGE-bucket the ``on`` domain into ``num_buckets``
     equal-width buckets; a tiny per-bucket boundary summary (one right
     row per bucket per block) rides to the driver, which computes each
     bucket's CARRY rows — the latest right row before the bucket
@@ -161,12 +165,14 @@ def asof_join(left, right, on: str, by: str | None = None,
         return coarse_grouped(both, [by], join_bucket,
                               num_buckets=num_buckets)
     return _asof_join_global(left, right, on, direction, num_buckets,
-                             suffix, lcols, rcols, tag)
+                             suffix, lcols, rcols, tag,
+                             broadcast_rows_max)
 
 
 def _asof_join_global(left, right, on: str, direction: str,
                       num_buckets: int, suffix: str,
-                      lcols: list[str], rcols: list[str], tag):
+                      lcols: list[str], rcols: list[str], tag,
+                      broadcast_rows_max: int = 500_000):
     """Range-bucketed global as-of (see :func:`asof_join` docstring)."""
     import ray
     import pyarrow as _pa
@@ -188,6 +194,28 @@ def _asof_join_global(left, right, on: str, direction: str,
     # (Balance caveat: a left domain far wider than the right's piles
     # its out-of-range rows into two edge buckets.)
     nr, lo_r, hi_r = count_min_max(right, on)
+    # Broadcast fast path: a global as-of's right side is a reference
+    # table (daily rollup, rate schedule, calendar) orders of magnitude
+    # below the probe side. Under the same 500k-row bound the union-find
+    # fast path documents, ship the WHOLE sorted right table once via
+    # ray.put and pd.merge_asof each left batch against it — no union,
+    # no range shuffle, the probe side streams through one map stage.
+    # Semantics are pd.merge_asof's exactly (the bucketed path below
+    # bottoms out in the same call per bucket); duplicate `on` rows keep
+    # the same stable-sort-by-`on` resolution either way.
+    if 0 < nr <= broadcast_rows_max:
+        rf_all = (right.to_pandas(limit=None).reindex(columns=rcols)
+                  .sort_values(on, kind="stable").reset_index(drop=True))
+        rf_ref = ray.put(rf_all)
+
+        def probe(batch: _pa.Table) -> pd.DataFrame:
+            lf = (batch.to_pandas().reindex(columns=lcols)
+                  .sort_values(on, kind="stable"))
+            return pd.merge_asof(lf, ray.get(rf_ref), on=on,
+                                 direction=direction,
+                                 suffixes=("", suffix))
+
+        return left.map_batches(probe, batch_format="pyarrow")
     lo, hi = lo_r, hi_r
     if nr == 0 or not np.isfinite(lo):
         lo, hi = 0.0, 1.0

@@ -273,10 +273,12 @@ def test_asof_join_by_key(ray_session):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
-def test_asof_join_global_bucketed(ray_session, direction):
-    """Global (no-by) as-of, range-bucketed (VERDICT r2 #2): matches that
-    sit MANY empty buckets away must arrive via the boundary carry, and
-    the result equals a single-process pandas merge_asof."""
+@pytest.mark.parametrize("bmax", [0, 500_000])
+def test_asof_join_global_bucketed(ray_session, direction, bmax):
+    """Global (no-by) as-of, BOTH paths: broadcast (small right shipped
+    whole, bmax=default) and range-bucketed (forced via bmax=0, VERDICT
+    r2 #2 — matches that sit MANY empty buckets away must arrive via the
+    boundary carry). Each equals a single-process pandas merge_asof."""
     import pandas as pd
     import ray.data
     from ccnerx_ray.ops.sketches import asof_join
@@ -292,7 +294,7 @@ def test_asof_join_global_bucketed(ray_session, direction):
         [{"t": int(t), "price": int(t) * 10} for t in rvals]).repartition(3)
 
     got = asof_join(left, right, on="t", direction=direction,
-                    num_buckets=16).to_pandas()
+                    num_buckets=16, broadcast_rows_max=bmax).to_pandas()
     lf = pd.DataFrame({"t": lvals.astype("int64"),
                        "lid": np.arange(120, dtype="int64")})
     rf = pd.DataFrame({"t": rvals.astype("int64"),
