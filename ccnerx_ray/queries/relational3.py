@@ -283,7 +283,6 @@ def q_graph_components(sf_dir: str):
     operator over the pair list."""
     import ray.data
 
-    from ccnerx_ray.functions.grouping import drop_duplicate_rows
     from ccnerx_ray.ops.graph import connected_components
 
     ds = ray.data.read_parquet(
@@ -301,10 +300,12 @@ def q_graph_components(sf_dir: str):
             "s", pc.cast(batch.column("l_suppkey"), pa.string()), "")
         return pa.table({"u": p, "v": s})
 
-    edges = drop_duplicate_rows(
-        ds.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"],
-        num_buckets=64)
-    return connected_components(edges)
+    # NO dedup shuffle: min-label propagation (and the block-local
+    # contraction preamble) is idempotent under duplicate edges, so the
+    # raw filtered edge stream feeds connected_components directly —
+    # the all-to-all the dedup paid bought nothing here
+    return connected_components(ds.map_batches(to_edges,
+                                               batch_format="pyarrow"))
 
 
 def _components_oracle() -> str:
