@@ -98,6 +98,15 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
     t = dict(zip(sch.names, sch.types)).get(src_col)
     node_dtype = ("int64" if t is not None and pa.types.is_integer(t)
                   else "string")
+    # shuffle width from the DATA, not the constant: every iteration
+    # pays a reduce and two joins, and 256 partitions on a node-scale
+    # table is a task launch per empty bucket, three times per round
+    # (cf. the connected_components sizing)
+    num_buckets = int(min(max((sym.size_bytes() or 0) // (64 << 20), 8),
+                          num_buckets))
+    if sym.num_blocks() > 4 * num_buckets:
+        # probe side of every iteration's join — coalesce tiny blocks once
+        sym = sym.repartition(num_buckets).materialize()
     # materialized once: reused as the probe side of every iteration's
     # rank update (a lazy deg would re-run its groupby per iteration)
     deg = degree_counts(sym, src_col, num_buckets=num_buckets,
