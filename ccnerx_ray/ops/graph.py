@@ -165,7 +165,8 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
 def connected_components(edges, src_col: str = "u", dst_col: str = "v",
                          num_buckets: int = 256, max_rounds: int = 50,
                          frontier_node_ratio: int = 50,
-                         local_contract: bool = True):
+                         local_contract: bool = True,
+                         fold_block_bytes: int = 64 << 20):
     """Exact connected components: ``(node, component)`` where component
     is the MINIMUM node id (codepoint order for string ids — identical in
     numpy object-min and DuckDB binary collation) reachable from the node.
@@ -278,7 +279,7 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
         # Levels are log8(blocks) at worst; a remainder too big for one
         # block after folding stops shrinking breaks to the pointer
         # rounds, so the 100-TB path is unchanged in the limit.
-        one_block = 64 << 20
+        one_block = fold_block_bytes
         while sym.num_blocks() > 1:
             if (sym.size_bytes() or 0) <= one_block:
                 nxt = 1

@@ -165,3 +165,26 @@ def test_connected_components_int_keys_multi(ray_session):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).take_all()}
     assert got == {2: 2, 5: 2, 9: 2, 7: 7, 11: 7, 40: 40}
+
+
+def test_connected_components_fold_stall_falls_back(ray_session):
+    """When the recursive star-forest fold STALLS (remainder never fits
+    one fold block — forced via fold_block_bytes=1), the operator must
+    fall through to the pointer-jumping rounds over the partially
+    contracted stars and still reach the exact fixpoint. Pins the 100-TB
+    fallback path the default threshold hides at toy scale."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import connected_components
+
+    # a path crossing many blocks plus an isolated pair: worst case for
+    # per-block contraction, so the distributed rounds must do real work
+    items = [{"u": i, "v": i + 1} for i in range(200)]
+    items.append({"u": 900, "v": 901})
+    edges = ray.data.from_items(items).repartition(16)
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edges, fold_block_bytes=1).take_all()}
+    want = {i: 0 for i in range(201)}
+    want.update({900: 900, 901: 900})
+    assert got == want
