@@ -56,12 +56,22 @@ def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
 
 def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     num_buckets: int = 64):
+                     num_buckets: int = 64,
+                     driver_merge_rows_max: int = 2_000_000):
     """Exact integer Lloyd k-means. Returns a k×dim long-form Dataset
     ``(cluster, dim, c_micro, n_points)``: the centroid components after
     ``n_iter`` updates and the size of the membership that produced the
     final update (0 for a cluster that was empty in the last round and
-    therefore kept its previous centroid)."""
+    therefore kept its previous centroid).
+
+    Per-iteration merge is adaptive: the shuffle input is ≤ blocks × k×d
+    partial rows, so while that bound sits under
+    ``driver_merge_rows_max`` the iteration is ONE map-only pass whose
+    per-block partials sum on the driver (integer addition — order-free,
+    bit-identical to the grouped path). Beyond the bound (100-TB regime:
+    ~1.6M blocks × k×d rows is tens of GB) the partials reduce through
+    the coarse ``grouped_reduce`` shuffle instead, so only ≤ k×d rows
+    ever reach the driver."""
     import ray
     import ray.data
 
@@ -101,6 +111,10 @@ def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
     C = np.stack([np.asarray(r["xm"], dtype=np.int64) for r in cand[:k]])
     kk, dim = C.shape
 
+    # path decision is metadata-only: pts is materialized, block count
+    # is known, and each block contributes ≤ k×dim partial rows.
+    driver_merge = (pts.num_blocks() * kk * dim) <= driver_merge_rows_max
+
     counts_last = np.zeros(kk, dtype=np.int64)
     for _ in range(n_iter):
         c_ref = ray.put(C)
@@ -128,25 +142,53 @@ def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
                 "n": pa.array(np.repeat(counts[present], d), pa.int64()),
             })
 
-        # ≤ k×dim keys and per-BLOCK combiner output as shuffle input:
-        # a handful of reducers covers any corpus scale (reduce rows =
-        # blocks × keys), while 64 mostly-empty partitions paid a task
-        # launch each, three times per run (cf. triangle_count r3 fix).
-        merged = grouped_reduce(
-            pts.map_batches(partial_sums, batch_format="pyarrow"),
-            ["cluster", "dim"], {"s": "sum", "n": "sum"},
-            num_buckets=min(4, num_buckets),
-            out_dtypes={"cluster": "int64", "dim": "int64",
-                        "s": "int64", "n": "int64"},
-            pre_combine=True)
-        rows = merged.take_all()                # ≤ k×dim rows — tiny
-        newC = C.copy()
-        counts_last = np.zeros(kk, dtype=np.int64)
-        for r in rows:
-            c, d_ = int(r["cluster"]), int(r["dim"]) - 1
-            counts_last[c] = int(r["n"])
-            newC[c, d_] = _trunc_div(np.int64(r["s"]), np.int64(r["n"]))
-        C = newC
+        partials = pts.map_batches(partial_sums, batch_format="pyarrow")
+        if driver_merge:
+            # one map-only pass; per-block partials (≤ blocks × k×d rows,
+            # under the bound by construction) sum on the driver.
+            tbls = [t for t in ray.get(partials.to_arrow_refs())
+                    if t.num_rows]
+            t = pa.concat_tables(tbls)
+            cl_a = t.column("cluster").to_numpy()
+            dm_a = t.column("dim").to_numpy()
+            s_a = t.column("s").to_numpy()
+            n_a = t.column("n").to_numpy()
+        else:
+            # ≤ k×dim keys and per-BLOCK combiner output as shuffle
+            # input: a handful of reducers covers any corpus scale
+            # (reduce rows = blocks × keys), while 64 mostly-empty
+            # partitions paid a task launch each, three times per run.
+            merged = grouped_reduce(
+                partials, ["cluster", "dim"], {"s": "sum", "n": "sum"},
+                num_buckets=min(4, num_buckets),
+                out_dtypes={"cluster": "int64", "dim": "int64",
+                            "s": "int64", "n": "int64"},
+                pre_combine=True)
+            tbls = [t for t in ray.get(merged.to_arrow_refs())
+                    if t.num_rows]                 # ≤ k×dim rows — tiny
+            t = pa.concat_tables(tbls)
+            cl_a = np.asarray(t.column("cluster").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            dm_a = np.asarray(t.column("dim").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            s_a = np.asarray(t.column("s").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            n_a = np.asarray(t.column("n").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+        # identical update for both paths: key-aggregate (the driver
+        # path carries one partial row per block per present key; the
+        # grouped path already reduced to unique keys — np.add.at
+        # handles both, integer addition is order-free)
+        idx = cl_a * dim + (dm_a - 1)
+        S = np.zeros(kk * dim, dtype=np.int64)
+        N = np.zeros(kk * dim, dtype=np.int64)
+        np.add.at(S, idx, s_a)
+        np.add.at(N, idx, n_a)
+        newC = C.copy().reshape(-1)
+        nz = N > 0
+        newC[nz] = _trunc_div(S[nz], N[nz])
+        C = newC.reshape(kk, dim)
+        counts_last = N.reshape(kk, dim)[:, 0].copy()
 
     out = pa.table({
         "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dim)),

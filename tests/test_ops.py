@@ -1081,6 +1081,15 @@ def test_kmeans_int_empty_cluster_and_trunc_div(ray_session):
     assert by2[(0, 1)].c_micro == -300_000 // 2
     assert by2[(0, 2)].c_micro == 300_000 // 2
 
+    # the big-corpus merge path (grouped_reduce shuffle, forced via
+    # driver_merge_rows_max=0) must be bit-identical to the driver merge
+    out2_shuffled = kmeans_lloyd_int(
+        ray.data.from_items(rows), k=3, n_iter=2, num_buckets=4,
+        driver_merge_rows_max=0).to_pandas()
+    lhs = out2.sort_values(["cluster", "dim"]).reset_index(drop=True)
+    rhs = out2_shuffled.sort_values(["cluster", "dim"]).reset_index(drop=True)
+    assert lhs.equals(rhs)
+
 
 def test_bm25_topk_planted_ranking(ray_session):
     """More query-term mass ranks higher; ties break doc_id ASC; terms
