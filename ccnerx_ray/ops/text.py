@@ -261,6 +261,13 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
     from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
     from ccnerx_ray.ops.join import adaptive_join
 
+    # size every shuffle from the input bytes (parquet metadata — known
+    # before execution) instead of fixed 64/256-bucket constants: a
+    # node-scale corpus pays a task launch per empty partition in each
+    # of the four grouped stages (cf. the pagerank/triangles r4 sizing),
+    # while a 100-TB corpus still fans out to the 256 cap.
+    width = int(min(max((ds.size_bytes() or 0) // (64 << 20), 4), 256))
+
     def tokenize_chunked(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
         keys = batch.column(key_col).to_pylist()
@@ -277,10 +284,16 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
             "n_tokens": pa.array(ntok, pa.int64()),
         })
 
-    t1 = ds.map_batches(tokenize_chunked, batch_format="pyarrow")
+    # t1 feeds BOTH the chunk-sum reduce and the offset join; left lazy,
+    # the whole read+tokenize pipeline would execute twice. Its rows drop
+    # the text column (id + counts + key, ~1000× smaller than the
+    # corpus), so one materialization — spillable by the object store —
+    # is strictly cheaper than a second corpus scan at any scale.
+    t1 = ds.map_batches(tokenize_chunked,
+                        batch_format="pyarrow").materialize()
     chunk_sums = grouped_reduce(
         t1.select_columns([key_col, "chunk", "n_tokens"]),
-        [key_col, "chunk"], {"n_tokens": "sum"}, num_buckets=64,
+        [key_col, "chunk"], {"n_tokens": "sum"}, num_buckets=width,
         pre_combine=True,
         out_dtypes={key_col: "string", "chunk": "int64",
                     "n_tokens": "int64"})
@@ -297,7 +310,7 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
         })
 
     offsets = coarse_grouped(chunk_sums, [key_col], offsets_local,
-                             num_buckets=16,
+                             num_buckets=min(16, width),
                              out_dtypes={"chunk_key": "string",
                                          "offset": "int64"})
     joined = adaptive_join(t1, offsets, on="chunk_key")
@@ -316,14 +329,14 @@ def pack_documents(ds, budget: int = 512, key_col: str = "source",
         })
 
     per_doc = coarse_grouped(joined, [key_col, "chunk"], assign_local,
-                             num_buckets=256,
+                             num_buckets=width,
                              out_dtypes={key_col: "string",
                                          "pack_id": "int64",
                                          "n_docs": "int64",
                                          "pack_tokens": "int64"})
     return grouped_reduce(per_doc, [key_col, "pack_id"],
                           {"n_docs": "sum", "pack_tokens": "sum"},
-                          num_buckets=64, pre_combine=True,
+                          num_buckets=width, pre_combine=True,
                           out_dtypes={key_col: "string", "pack_id": "int64",
                                       "n_docs": "int64",
                                       "pack_tokens": "int64"})
