@@ -75,35 +75,32 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
     """
     evset = frozenset(eval_sources)
 
-    # stream A: per-eval-doc distinct gram totals (zeros included)
-    def eval_totals(batch: pa.Table) -> pa.Table:
-        ids, out = [], []
-        for did, src, txt in zip(batch.column(id_col).to_pylist(),
-                                 batch.column(source_col).to_pylist(),
-                                 batch.column(text_col).to_pylist()):
-            if src in evset:
-                ids.append(did)
-                out.append(len(_doc_grams_arr(txt, n)))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_grams": pa.array(out, pa.int64()),
-                         "n_contaminated": pa.array([0] * len(ids),
-                                                    pa.int64())})
-
-    # stream B: gram occurrences; train grams dedupe per batch (the
-    # bucket stage tolerates cross-batch repeats — presence is presence)
+    # ONE corpus scan: gram occurrences for both sides. Per-eval-doc
+    # distinct gram totals need no separate totals pass — the explode
+    # emits each eval doc's distinct grams exactly once, so the
+    # bucket-local eval-row counts sum to the exact total in the final
+    # per-doc reduce. Eval docs with NO grams (shorter than n tokens)
+    # emit one sentinel row (gram=-1, is_eval=2) so their zero row
+    # survives to the output. Train grams dedupe per batch (the bucket
+    # stage tolerates cross-batch repeats — presence is presence).
     def explode(batch: pa.Table) -> pa.Table:
         g_col, d_col, e_col = [], [], []
         train_seen: set[int] = set()
         for did, src, txt in zip(batch.column(id_col).to_pylist(),
                                  batch.column(source_col).to_pylist(),
                                  batch.column(text_col).to_pylist()):
-            grams = _doc_grams(txt, n)
             if src in evset:
-                g_col.extend(grams)
+                grams = _doc_grams_arr(txt, n)
+                if len(grams) == 0:
+                    g_col.append(-1)
+                    d_col.append(did)
+                    e_col.append(2)
+                    continue
+                g_col.extend(grams.tolist())
                 d_col.extend([did] * len(grams))
                 e_col.extend([1] * len(grams))
             else:
-                fresh = grams - train_seen
+                fresh = _doc_grams(txt, n) - train_seen
                 train_seen |= fresh
                 g_col.extend(fresh)
                 d_col.extend([-1] * len(fresh))
@@ -114,23 +111,35 @@ def ngram_contamination(docs, eval_sources: set[str], *, n: int = 13,
 
     def bucket_matches(g: pd.DataFrame) -> pd.DataFrame:
         # a gram is contaminating iff BOTH sides occur in its (single)
-        # bucket; count matched grams per eval doc, vectorized
+        # bucket; per eval doc count the bucket's matched grams AND its
+        # total grams (partial — the final reduce sums across buckets)
+        ev = g[g["is_eval"] == 1]
         in_train = g.groupby("gram", sort=False)["is_eval"].transform("min")
         hits = g[(g["is_eval"] == 1) & (in_train == 0)]
-        out = hits.groupby("doc_id", sort=False).size().reset_index(
-            name="n_contaminated")
-        out["n_grams"] = 0
+        tot = ev.groupby("doc_id", sort=False).size()
+        hit = hits.groupby("doc_id", sort=False).size()
+        out = tot.to_frame(name="n_grams")
+        out["n_contaminated"] = hit.reindex(tot.index, fill_value=0)
+        out = out.reset_index()
+        zero = g.loc[g["is_eval"] == 2, ["doc_id"]].drop_duplicates()
+        if len(zero):
+            zero = zero.assign(n_grams=0, n_contaminated=0)
+            out = pd.concat([out, zero], ignore_index=True)
         return out[["doc_id", "n_grams", "n_contaminated"]]
 
-    totals = docs.map_batches(eval_totals, batch_format="pyarrow")
+    # shuffle width from the input bytes: gram rows are ~24 B each and
+    # a ws token averages ~6 B of text, so the gram stream is ~4× the
+    # corpus bytes; clamp to the same 256-task cap the constant used
+    bytes_est = 4 * (docs.size_bytes() or 0)
+    width = int(min(max(bytes_est // (64 << 20), 8), num_buckets))
     grams = docs.map_batches(explode, batch_format="pyarrow")
     matches = coarse_grouped(grams, ["gram"], bucket_matches,
-                             num_buckets=num_buckets,
+                             num_buckets=width,
                              out_dtypes=_OUT_DTYPES)
-    combined = totals.union(matches)
-    return grouped_reduce(combined, ["doc_id"],
+    return grouped_reduce(matches, ["doc_id"],
                           {"n_grams": "sum", "n_contaminated": "sum"},
-                          num_buckets=64, out_dtypes=_OUT_DTYPES,
+                          num_buckets=min(64, width),
+                          out_dtypes=_OUT_DTYPES,
                           pre_combine=True)
 
 
