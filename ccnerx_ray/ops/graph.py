@@ -549,8 +549,14 @@ SELECT node, degree, pr AS pr_micro FROM p{iterations}""")
 
 def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
                    num_buckets: int = 64) -> int:
-    """EXACT triangle count of an undirected graph given as duplicate-free
-    canonical edges (each unordered pair once; no self-loops).
+    """EXACT triangle count of an undirected graph given as canonical
+    edges (``u < v``; no self-loops). DUPLICATE edges are tolerated — no
+    upstream dedup shuffle is needed: degrees computed on the multigraph
+    are still a deterministic node→rank function (orientation stays a
+    consistent total order; the O(√m) out-degree bound degrades only by
+    the duplicate multiplicity), each node's wedge adjacency dedupes
+    in-memory via ``np.unique``, and the closing-edge semi-join is
+    presence-based.
 
     Degree-ordered node-iterator (the MapReduce-classic from Suri &
     Vassilvitskii's "Counting Triangles and the Curse of the Last
@@ -625,7 +631,8 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         xs, ys = [], []
         for _, grp in g.groupby("src", sort=False):
-            ns = np.sort(grp["dst"].to_numpy())
+            # unique == sort + dedupe: duplicate input edges collapse here
+            ns = np.unique(grp["dst"].to_numpy())
             k = len(ns)
             if k < 2:
                 continue

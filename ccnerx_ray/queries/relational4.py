@@ -213,14 +213,13 @@ def q_supplier_triangles(sf_dir: str):
         return pa.table({"l_orderkey": batch.column("l_orderkey"),
                          "l_suppkey": batch.column("l_suppkey")})
 
-    pairs_src = drop_duplicate_rows(
-        ds.map_batches(filt, batch_format="pyarrow"),
-        ["l_orderkey", "l_suppkey"], num_buckets=32)
-
     def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # np.unique dedupes (orderkey, suppkey) repeats inside the order
+        # group — the separate upstream drop_duplicate_rows shuffle was
+        # redundant with this sort
         us, vs = [], []
         for _, grp in g.groupby("l_orderkey", sort=False):
-            s = np.sort(grp["l_suppkey"].to_numpy(np.int64))
+            s = np.unique(grp["l_suppkey"].to_numpy(np.int64))
             if len(s) < 2:
                 continue
             iu = np.triu_indices(len(s), 1)
@@ -232,11 +231,13 @@ def q_supplier_triangles(sf_dir: str):
         return pd.DataFrame({"u": np.concatenate(us),
                              "v": np.concatenate(vs)})
 
-    edges = drop_duplicate_rows(
-        coarse_grouped(pairs_src, ["l_orderkey"], order_pairs,
-                       num_buckets=32,
-                       out_dtypes={"u": "int64", "v": "int64"}),
-        ["u", "v"], num_buckets=32)
+    # cross-order duplicate pairs flow straight into triangle_count —
+    # it tolerates duplicate edges by design (multigraph degrees are a
+    # deterministic rank; wedge adjacency dedupes in-memory), so the
+    # (u, v) dedup all-to-all disappears too
+    edges = coarse_grouped(ds.map_batches(filt, batch_format="pyarrow"),
+                           ["l_orderkey"], order_pairs, num_buckets=32,
+                           out_dtypes={"u": "int64", "v": "int64"})
     n = triangle_count(edges)
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 

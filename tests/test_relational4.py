@@ -46,3 +46,7 @@ def test_triangle_count_known_graphs(ray_session):
         ray.data.from_items(k4 + [{"u": 4, "v": 9}])) == 4
     cyc = [{"u": a, "v": b} for a, b in [(1, 2), (2, 3), (3, 4), (1, 4)]]
     assert triangle_count(ray.data.from_items(cyc)) == 0
+    # duplicate-edge tolerance (lets callers skip the upstream dedup
+    # all-to-all): tripling every K4 edge changes nothing — multigraph
+    # degrees still orient consistently, wedge adjacency dedupes
+    assert triangle_count(ray.data.from_items(k4 * 3)) == 4
