@@ -112,16 +112,29 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
     deg = degree_counts(sym, src_col, num_buckets=num_buckets,
                         node_dtype=node_dtype).materialize()
 
+    # attach the (static) source degree to the edges ONCE: the rank loop
+    # then joins only the (node, pr) table per iteration, and — because
+    # symmetrize guarantees degree ≥ 1, so every node receives mass every
+    # round and `sums` covers ALL nodes — the new ranks apply directly to
+    # the reduce output with NO deg re-join per iteration. One-time cost:
+    # the edge table materializes ~1.33× wider; amortized over the
+    # iterations it removes a join barrier each round.
+    sym_deg = adaptive_join(sym, deg, on=src_col, right_on="node",
+                            build_bytes_hint=deg.size_bytes()).materialize()
+
     def init_pr(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "pr", pa.array(np.full(batch.num_rows, 1_000_000,
-                                   dtype=np.int64)))
+        return pa.table({
+            "node": batch.column("node"),
+            "pr": pa.array(np.full(batch.num_rows, 1_000_000,
+                                   dtype=np.int64)),
+        })
 
     nodes = deg.map_batches(init_pr, batch_format="pyarrow")
 
     for _ in range(iterations):
         nodes = nodes.materialize()     # reused by join + next round
-        joined = adaptive_join(sym, nodes, on=src_col, right_on="node",
+        joined = adaptive_join(sym_deg, nodes, on=src_col,
+                               right_on="node",
                                build_bytes_hint=nodes.size_bytes())
 
         def contrib(batch: pa.Table) -> pa.Table:
@@ -132,34 +145,35 @@ def pagerank_int(edges, iterations: int = 3, src_col: str = "u",
                 "s": pa.array(pr // d, pa.int64()),
             })
 
-        # pre_combine: integer sums are associative, so combining per-batch
-        # partials is exact — the shuffle carries ~distinct-nodes-per-batch
-        # rows instead of one row PER EDGE per iteration.
-        sums = grouped_reduce(
-            joined.map_batches(contrib, batch_format="pyarrow"),
-            ["node"], {"s": "sum"}, num_buckets=num_buckets,
-            out_dtypes={"node": node_dtype, "s": "int64"},
-            pre_combine=True).materialize()
-
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("s").to_numpy()
             return pa.table({
                 "node": batch.column("node"),
-                "degree": batch.column("degree"),
                 "pr": pa.array(150_000 + (17 * s) // 20, pa.int64()),
             })
 
-        # degree rides along: join the tiny sums back onto (node, degree)
-        nodes = adaptive_join(
-            deg, sums, on="node",
-            build_bytes_hint=sums.size_bytes()
-        ).map_batches(apply_rank, batch_format="pyarrow")
+        # pre_combine: integer sums are associative, so combining per-batch
+        # partials is exact — the shuffle carries ~distinct-nodes-per-batch
+        # rows instead of one row PER EDGE per iteration.
+        nodes = grouped_reduce(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"s": "sum"}, num_buckets=num_buckets,
+            out_dtypes={"node": node_dtype, "s": "int64"},
+            pre_combine=True).map_batches(apply_rank,
+                                          batch_format="pyarrow")
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["pr_micro" if c == "pr" else c for c in batch.column_names])
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "degree": batch.column("degree"),
+            "pr_micro": batch.column("pr"),
+        })
 
-    return nodes.map_batches(rename, batch_format="pyarrow")
+    # degree re-attaches ONCE at the end for the output schema
+    nodes = nodes.materialize()
+    return adaptive_join(deg, nodes, on="node",
+                         build_bytes_hint=nodes.size_bytes()
+                         ).map_batches(finish, batch_format="pyarrow")
 
 
 def connected_components(edges, src_col: str = "u", dst_col: str = "v",
