@@ -75,6 +75,7 @@ EXTRAS = [
     "doc_embeddings",        # A5 encoder: text -> embedding table (r4)
     "prompt_corpus",         # M8/M10 cloze-prompt + MLM corpus (r4)
     "kg_triples_lebert",     # LEBert word-attention fusion tagger (r4)
+    "kg_two_hop",            # 2-hop neighborhood over the triple graph (r4)
     "ivf_knn_store",         # partition-pruned ANN probe over the IVF
                              # store (r4); lineage at
                              # /tmp/ccnerx_ivf/<sf>/_lineage/probe.json

@@ -673,6 +673,127 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
     return int(closed.count())
 
 
+def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
+                   num_buckets: int = 64):
+    """Per-entity 1-hop and EXACTLY-2-hop neighborhood sizes over an
+    undirected graph given as canonical (``u < v``) edges — the
+    neighborhood query a KG serves after triples materialize ("what
+    co-occurs with what, directly and through one intermediate?").
+    Duplicate edges are tolerated (deduped here — the counts are
+    DISTINCT-neighbor semantics). Returns ``(entity, n_neighbors,
+    n_two_hop)`` with one row per entity that has at least one edge;
+    ``n_two_hop`` counts entities at distance exactly 2 (reachable via
+    a shared middle, not adjacent, not self).
+
+    Distributed shape: dedup → symmetrize; wedge enumeration groups by
+    the MIDDLE node (like :func:`triangle_count`'s adjacency stage) and
+    emits each middle's distinct neighbor pairs; a global pair dedup
+    plus an anti-join against the direct edges leaves the exact
+    distance-2 pair set, which explodes to 2 rows/pair into the same
+    per-entity reduce that carries the 1-hop counts. Skew note: wedge
+    volume is Σ deg(m)² over middles — for EXACT 2-hop counts that is
+    the size of the answer itself (a hub's 2-hop set IS quadratic);
+    there is no silent cap, so budget the wedge shuffle accordingly."""
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               drop_duplicate_rows,
+                                               grouped_reduce)
+    from ccnerx_ray.ops.join import adaptive_join
+
+    edges = drop_duplicate_rows(
+        edges, [src_col, dst_col],
+        num_buckets=num_buckets).materialize()
+    sch = edges.schema()
+    t = dict(zip(sch.names, sch.types)).get(src_col)
+    # the dedup stage may leave pandas-typed blocks: schema types can be
+    # numpy dtypes (or `object` for strings) instead of pyarrow types
+    if isinstance(t, pa.DataType):
+        node_dtype = "int64" if pa.types.is_integer(t) else "string"
+    else:
+        try:
+            node_dtype = ("int64" if t is not None
+                          and np.issubdtype(t, np.integer) else "string")
+        except TypeError:
+            node_dtype = "string"
+    ebytes = edges.size_bytes() or 0
+    width = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+    sym = symmetrize(edges, src_col, dst_col)
+
+    out_d = {"entity": node_dtype, "n_neighbors": "int64",
+             "n_two_hop": "int64"}
+
+    def n1_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "entity": batch.column(src_col),
+            "n_neighbors": pa.array(np.ones(n, dtype=np.int64)),
+            "n_two_hop": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    def _pair_key(x: pa.Array, y: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+        if node_dtype == "int64":
+            x = pc.cast(x, pa.string())
+            y = pc.cast(y, pa.string())
+        return pc.binary_join_element_wise(x, y, "|")
+
+    def wedge_pairs(g) -> "pd.DataFrame":
+        import pandas as pd
+        xs, ys = [], []
+        for _, grp in g.groupby(src_col, sort=False):
+            ns = np.unique(grp[dst_col].to_numpy())
+            k = len(ns)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            xs.append(ns[iu[0]])
+            ys.append(ns[iu[1]])
+        if not xs:
+            return pd.DataFrame({"x": pd.Series(dtype=(
+                "int64" if node_dtype == "int64" else "string")),
+                "y": pd.Series(dtype=(
+                    "int64" if node_dtype == "int64" else "string"))})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys)})
+
+    cand = drop_duplicate_rows(
+        coarse_grouped(sym, [src_col], wedge_pairs, num_buckets=width,
+                       out_dtypes={"x": node_dtype, "y": node_dtype}),
+        ["x", "y"], num_buckets=width)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pk", _pair_key(batch.column("x"), batch.column("y")))
+
+    def edge_pk(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": _pair_key(batch.column(src_col),
+                                         batch.column(dst_col))})
+
+    h2 = adaptive_join(
+        cand.map_batches(add_pk, batch_format="pyarrow"),
+        edges.map_batches(edge_pk, batch_format="pyarrow"),
+        on="pk", join_type="left_anti",
+        build_bytes_hint=ebytes)
+
+    def n2_rows(batch: pa.Table) -> pa.Table:
+        x = batch.column("x")
+        y = batch.column("y")
+        ent = pa.chunked_array(list(x.chunks) + list(y.chunks)) \
+            if isinstance(x, pa.ChunkedArray) else pa.chunked_array([x, y])
+        n = len(ent)
+        return pa.table({
+            "entity": ent,
+            "n_neighbors": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_two_hop": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    combined = sym.map_batches(n1_rows, batch_format="pyarrow").union(
+        h2.map_batches(n2_rows, batch_format="pyarrow"))
+    return grouped_reduce(combined, ["entity"],
+                          {"n_neighbors": "sum", "n_two_hop": "sum"},
+                          num_buckets=width, out_dtypes=out_d,
+                          pre_combine=True)
+
+
 def triangle_oracle_sql(edge_sql: str) -> str:
     """DuckDB oracle for :func:`triangle_count`: ``edge_sql`` must yield
     duplicate-free id-canonical (u < v) undirected edges; each triangle

@@ -31,6 +31,7 @@ _PRIORITY = [
     "embedding_dim_stats",
     # graph
     "graph_pagerank", "graph_components", "supplier_triangles",
+    "kg_two_hop",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",

@@ -1371,6 +1371,49 @@ def q_kg_triples_ckpt(sf_dir: str):
 ANALYTICS_QUERIES["kg_triples_ckpt"] = q_kg_triples_ckpt
 ANALYTICS_ORACLE["kg_triples_ckpt"] = ORACLE_KG_TRIPLES
 
+
+def q_kg_two_hop(sf_dir: str):
+    """Two-hop neighborhood sizes over the materialized co-occurrence
+    graph — the downstream query a KG store actually serves ("what
+    relates to X directly, and through one intermediate?"). Edges are
+    the flagship pipeline's ``co_occurs_with`` triples; the counting is
+    ``ops/graph.py:two_hop_counts`` (middle-node wedge enumeration +
+    global pair dedup + anti-join against direct edges)."""
+    from ccnerx_ray.ops.graph import two_hop_counts
+
+    triples = q_kg_triples(sf_dir)
+
+    def co_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(batch.column("pred"), "co_occurs_with")
+        b = batch.filter(keep)
+        return pa.table({"u": b.column("subj"), "v": b.column("obj")})
+
+    return two_hop_counts(
+        triples.map_batches(co_edges, batch_format="pyarrow"))
+
+
+ORACLE_KG_TWO_HOP = f"""
+WITH t AS ({ORACLE_KG_TRIPLES}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM t
+      WHERE pred = 'co_occurs_with'),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+none1 AS (SELECT a AS entity, count(*) AS n1 FROM sym GROUP BY 1),
+w AS (SELECT DISTINCT s1.b AS x, s2.b AS y
+      FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
+h2 AS (SELECT x, y FROM w
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = w.x AND e.b = w.y)),
+n2s AS (SELECT x AS entity FROM h2 UNION ALL SELECT y AS entity FROM h2),
+n2 AS (SELECT entity, count(*) AS n2 FROM n2s GROUP BY 1)
+SELECT none1.entity, CAST(none1.n1 AS BIGINT) AS n_neighbors,
+       CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n_two_hop
+FROM none1 LEFT JOIN n2 USING (entity)
+"""
+
+ANALYTICS_QUERIES["kg_two_hop"] = q_kg_two_hop
+ANALYTICS_ORACLE["kg_two_hop"] = ORACLE_KG_TWO_HOP
+
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors

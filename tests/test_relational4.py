@@ -50,3 +50,20 @@ def test_triangle_count_known_graphs(ray_session):
     # all-to-all): tripling every K4 edge changes nothing — multigraph
     # degrees still orient consistently, wedge adjacency dedupes
     assert triangle_count(ray.data.from_items(k4 * 3)) == 4
+
+
+def test_two_hop_counts_known_graph(ray_session):
+    """Path 1-2-3-4 plus chord 1-3, worked by hand: distance-2 sets are
+    {4} for 1, {4} for 2, {} for 3, {1,2} for 4. Duplicate input edges
+    must not change the DISTINCT-neighbor counts."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import two_hop_counts
+
+    es = [{"u": a, "v": b} for a, b in [(1, 2), (2, 3), (3, 4), (1, 3)]]
+    want = {1: (2, 1), 2: (2, 1), 3: (3, 0), 4: (1, 2)}
+    for edges in (es, es * 2):
+        out = two_hop_counts(ray.data.from_items(edges)).to_pandas()
+        got = {int(r.entity): (int(r.n_neighbors), int(r.n_two_hop))
+               for r in out.itertuples()}
+        assert got == want
