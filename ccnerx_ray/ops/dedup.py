@@ -324,7 +324,8 @@ _PAIR_DTYPES = {"id_a": "int64", "id_b": "int64",
                 "n_a": "int64", "n_b": "int64"}
 
 
-def _score_jaccard_pairs(pair_rows, threshold: float):
+def _score_jaccard_pairs(pair_rows, threshold: float,
+                         num_buckets: int = 256):
     """(id_a, id_b, n_a, n_b) multiset → per-pair shared count → exact
     Jaccard ≥ threshold. One coarse-grouped shuffle keyed on the pair."""
 
@@ -338,7 +339,7 @@ def _score_jaccard_pairs(pair_rows, threshold: float):
         return agg[j >= threshold]
 
     return coarse_grouped(pair_rows, ["id_a", "id_b"], count,
-                          num_buckets=256,
+                          num_buckets=num_buckets,
                           out_dtypes=dict(_PAIR_DTYPES,
                                           n_shared="int64",
                                           jaccard="float64"))
@@ -364,10 +365,15 @@ def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ``(pair ids, sizes)`` — never the documents themselves.
     """
     rows = shingle_set_rows(ds, text_col, id_col, shingle_k)
+    # size both shuffles from the input bytes (shingle rows are ~24 B
+    # per token ≈ 4× the corpus bytes; the caps keep the 100-TB fan-out)
+    bytes_est = 4 * (ds.size_bytes() or 0)
+    w_post = int(min(max(bytes_est // (64 << 20), 8), 1024))
+    w_pair = int(min(max(bytes_est // (64 << 20), 8), 256))
     pairs = coarse_grouped(rows, ["sh"],
                            _posting_pairs(id_col, max_posting),
-                           num_buckets=1024, out_dtypes=_PAIR_DTYPES)
-    return _score_jaccard_pairs(pairs, threshold)
+                           num_buckets=w_post, out_dtypes=_PAIR_DTYPES)
+    return _score_jaccard_pairs(pairs, threshold, num_buckets=w_pair)
 
 
 def jaccard_pairs_prefix(ds, text_col: str = "text", id_col: str = "doc_id",
