@@ -69,7 +69,12 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
                  .reset_index())
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
-    return coarse_grouped(partials, ["text_sha256"], local, num_buckets=512,
+    # the shuffle carries ~90 B digest rows, not documents (~1/10 of the
+    # corpus bytes for ~1 KB docs); width follows the data with the old
+    # 512 as the corpus-scale cap
+    width = int(min(max((ds.size_bytes() or 0) // (640 << 20), 8), 512))
+    return coarse_grouped(partials, ["text_sha256"], local,
+                          num_buckets=width,
                           out_dtypes={"text_sha256": "string",
                                       "keep_id": "int64",
                                       "n_copies": "int64"})
@@ -88,7 +93,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return keep.drop(columns=["_dedup_key"])
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    return coarse_grouped(keyed, ["_dedup_key"], local, num_buckets=512)
+    # full rows shuffle here — size from the corpus bytes directly
+    width = int(min(max((ds.size_bytes() or 0) // (64 << 20), 8), 512))
+    return coarse_grouped(keyed, ["_dedup_key"], local, num_buckets=width)
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +188,8 @@ def _dedup_pairs(pairs, score_name: str, score_dtype: str = "float64"):
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
-                        threshold: float = 0.7, max_bucket: int = 64):
+                        threshold: float = 0.7, max_bucket: int = 64,
+                        num_buckets: int = 1024):
     """MinHash-LSH: band the signatures, coarse-bucket-groupby, emit
     verified pairs ``(id_a, id_b, est_jaccard)`` with est_jaccard =
     fraction of agreeing signature components, filtered at ``threshold``.
@@ -232,7 +240,8 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
                                    max_bucket, score)
 
     banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
-    pairs = coarse_grouped(banded, ["bucket"], local, num_buckets=1024,
+    pairs = coarse_grouped(banded, ["bucket"], local,
+                           num_buckets=num_buckets,
                            out_dtypes={"id_a": "int64", "id_b": "int64",
                                        "score": "float64"})
     return _dedup_pairs(pairs, "est_jaccard")
@@ -244,7 +253,12 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """documents → near-dup pairs (the full shingle→minhash→band→bucket
     pipeline)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
-    return lsh_candidate_pairs(sigs, id_col, bands, threshold)
+    # banded rows are bands x (16 B keys + num_perm*8 B sig) per doc —
+    # comparable to the corpus bytes for ~1 KB docs; size the bucket
+    # shuffle from the input instead of a fixed 1024-task fan-out
+    width = int(min(max((ds.size_bytes() or 0) // (64 << 20), 8), 1024))
+    return lsh_candidate_pairs(sigs, id_col, bands, threshold,
+                               num_buckets=width)
 
 
 def ngram_jaccard_verify(pairs_rows: list[dict], docs_by_id: dict,
