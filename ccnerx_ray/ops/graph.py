@@ -703,6 +703,12 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
         edges, [src_col, dst_col],
         num_buckets=num_buckets).materialize()
     sch = edges.schema()
+    if sch is None:       # no edges at all ⇒ no entities with neighbors
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "n_neighbors": pa.array([], pa.int64()),
+            "n_two_hop": pa.array([], pa.int64())}))
     t = dict(zip(sch.names, sch.types)).get(src_col)
     # the dedup stage may leave pandas-typed blocks: schema types can be
     # numpy dtypes (or `object` for strings) instead of pyarrow types

@@ -67,3 +67,14 @@ def test_two_hop_counts_known_graph(ray_session):
         got = {int(r.entity): (int(r.n_neighbors), int(r.n_two_hop))
                for r in out.itertuples()}
         assert got == want
+
+    # degenerate inputs: a single edge has no 2-hop pairs; an EMPTY edge
+    # set returns an empty typed frame instead of crashing on the
+    # schema-less materialization
+    import pandas as pd
+    one = two_hop_counts(ray.data.from_items(es[:1])).to_pandas()
+    assert {int(r.entity): (int(r.n_neighbors), int(r.n_two_hop))
+            for r in one.itertuples()} == {1: (1, 0), 2: (1, 0)}
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}))
+    assert len(two_hop_counts(empty).to_pandas()) == 0
