@@ -21,9 +21,12 @@ Distributed shape (the part that matters at 100 TB): the corpus is
 micro-ized ONCE and materialized as ``(id, fixed_size_list<int64>)``;
 each iteration is one scan — per-batch numpy assignment against the
 broadcast k×d centroid matrix, per-batch PARTIAL cluster sums
-(``np.add.at``), then a coarse grouped merge of ``≤ k×d`` rows per
-batch. Only the k×d centroid table (a few KB) ever reaches the driver;
-the corpus never shuffles.
+(``np.add.at``), then an ADAPTIVE merge of the ``≤ k×d``-rows-per-block
+partials: summed on the driver while ``blocks × k×d`` is bounded (one
+map-only pass per iteration), reduced through a coarse grouped shuffle
+beyond that (only ``≤ k×d`` rows reach the driver). Integer addition is
+order-free, so the merge site cannot change results; the corpus never
+shuffles either way.
 
 Initial centroids are the k rows with the SMALLEST ids (deterministic
 and SQL-expressible): per-batch partial top-k, bounded driver merge.

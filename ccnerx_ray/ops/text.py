@@ -378,13 +378,20 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
             "tf": pa.array(oc, pa.int64()),
         })
 
-    tf_rows = ds.map_batches(term_counts, batch_format="pyarrow")
+    # tf_rows feeds BOTH the df reduce and the idf join probe; left
+    # lazy the whole read+tokenize pipeline would run twice. Its rows
+    # drop the document text, so one spillable materialization beats a
+    # second corpus scan at any scale (cf. pack_documents).
+    tf_rows = ds.map_batches(term_counts,
+                             batch_format="pyarrow").materialize()
+    width = int(min(max((ds.size_bytes() or 0) // (64 << 20), 8),
+                    num_buckets))
     df_rows = grouped_reduce(
         tf_rows.map_batches(
             lambda b: b.select(["term"]).append_column(
                 "df", pa.array(np.ones(b.num_rows, dtype=np.int64))),
             batch_format="pyarrow"),
-        ["term"], {"df": "sum"}, num_buckets=num_buckets,
+        ["term"], {"df": "sum"}, num_buckets=width,
         out_dtypes={"term": "string", "df": "int64"}, pre_combine=True)
     joined = adaptive_join(tf_rows, df_rows, on="term")
 
@@ -397,7 +404,8 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         g = g[g["rank"] <= top_n]
         return g[[id_col, "term", "tf", "df", "rank"]]
 
-    return coarse_grouped(joined, [id_col], top, num_buckets=64,
+    return coarse_grouped(joined, [id_col], top,
+                          num_buckets=min(64, width),
                           out_dtypes={id_col: "int64", "term": "string",
                                       "tf": "int64", "df": "int64",
                                       "rank": "int64"})
