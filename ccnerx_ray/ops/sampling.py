@@ -31,6 +31,44 @@ def shuffled(ds, seed: int = 2021):
     return ds.random_shuffle(seed=seed)
 
 
+def hash_split(ds, id_col: str = "doc_id", salt: str = "split",
+               bounds_pm: tuple = (("train", 900), ("val", 950),
+                                   ("test", 1000))):
+    """Deterministic hash-bucket corpus split (train/val/test): each row
+    lands in a per-mille bucket — the first 15 hex chars (60 bits) of
+    ``sha256(f"{salt}:{id}")`` mod 1000 — and takes the first split
+    whose upper bound exceeds its bucket. A PURE MAP: no shuffle, no
+    state, assignment stable across runs, retries, partitionings and
+    cluster sizes — which is what makes it the split primitive at
+    100 TB (a seeded global shuffle would be an all-to-all; the
+    reference's driver-side ``random.sample`` does not scale past one
+    machine). Appends ``split`` and ``bucket_pm``. DuckDB mirror:
+    ``('0x' || substr(sha256(salt || ':' || CAST(id AS VARCHAR)), 1,
+    15))::UBIGINT % 1000`` — the same 60-bit prefix arithmetic the HLL
+    oracle uses."""
+    import pyarrow as pa
+
+    from ccnerx_ray.functions.hashing import sha256_hex
+
+    names = [n for n, _ in bounds_pm]
+    highs = [b for _, b in bounds_pm]
+    assert highs == sorted(highs) and highs[-1] == 1000, \
+        "bounds_pm must be ascending per-mille bounds ending at 1000"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        pms, splits = [], []
+        for i in ids:
+            pm = int(sha256_hex(f"{salt}:{i}")[:15], 16) % 1000
+            pms.append(pm)
+            splits.append(next(n for n, b in zip(names, highs) if pm < b))
+        return (batch
+                .append_column("split", pa.array(splits, pa.string()))
+                .append_column("bucket_pm", pa.array(pms, pa.int64())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
                       seed: int = 2021, num_buckets: int = 64):
     """Deterministic stratified sample: the ``n_per_key`` rows of each

@@ -111,6 +111,30 @@ def test_prompts_from_catalog_stage(ray_session):
     assert rows[1]["tags"][:2] == ["B-CLASS", "E-CLASS"]
 
 
+def test_hash_split_deterministic_partition(ray_session):
+    """Every row gets exactly one split; assignment is a pure function of
+    the id (partitioning-independent, rerun-stable) and matches the
+    documented sha256 per-mille arithmetic."""
+    import ray.data
+    from ccnerx_ray.functions.hashing import sha256_hex
+    from ccnerx_ray.ops.sampling import hash_split
+
+    rows = [{"doc_id": i} for i in range(500)]
+    a = hash_split(ray.data.from_items(rows)).take_all()
+    b = hash_split(ray.data.from_items(rows).repartition(7)).take_all()
+    assert sorted((r["doc_id"], r["split"]) for r in a) == \
+        sorted((r["doc_id"], r["split"]) for r in b)
+    for r in a:
+        pm = int(sha256_hex(f"split:{r['doc_id']}")[:15], 16) % 1000
+        assert r["bucket_pm"] == pm
+        assert r["split"] == ("train" if pm < 900
+                              else "val" if pm < 950 else "test")
+    from collections import Counter
+    c = Counter(r["split"] for r in a)
+    assert set(c) == {"train", "val", "test"} and sum(c.values()) == 500
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
 def test_stratified_sample_deterministic(ray_session):
     import ray.data
     from ccnerx_ray.ops.sampling import stratified_sample
