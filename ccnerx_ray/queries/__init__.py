@@ -25,8 +25,11 @@ _PRIORITY = [
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
     "fingerprint",
-    # embeddings / ANN / clustering
-    "doc_embeddings", "knn", "ivf_knn", "ivf_knn_full", "ivf_knn_store",
+    # embeddings / ANN / clustering (ivf_knn is rows-only — its
+    # machinery is gate-checked through the oracle-paired ivf_knn_full,
+    # so it lives in the registry tail rather than spending a slot of
+    # the 50-row gate window)
+    "doc_embeddings", "knn", "ivf_knn_full", "ivf_knn_store",
     "ivf_knn_store_full", "kmeans_clusters", "centroids",
     "embedding_dim_stats",
     # graph
@@ -36,12 +39,17 @@ _PRIORITY = [
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
     "top_words", "heavy_hitters",
-    # sketches / quantiles / windows / as-of
-    "hll_custkey", "quantile_summary", "quantiles", "quantiles_cont",
+    # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
+    # are thin wrappers of quantile_summary — they live in the registry
+    # tail so the 50-row gate window reaches the multimodal + split
+    # families below)
+    "hll_custkey", "quantile_summary",
     "profile", "events_global_asof", "click_last_purchase",
     "events_moving_week", "user_sessions",
     # multimodal
     "media_headers", "media_features",
+    # corpus splits / sampling
+    "doc_splits",
 ]
 
 

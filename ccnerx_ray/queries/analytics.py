@@ -1440,34 +1440,6 @@ FROM (SELECT doc_id,
 ANALYTICS_QUERIES["doc_splits"] = q_doc_splits
 ANALYTICS_ORACLE["doc_splits"] = ORACLE_DOC_SPLITS
 
-
-def q_stratified_docs(sf_dir: str):
-    """Class-balanced subset: the 20 docs per source with the smallest
-    ``sha256(seed|source|id)`` rank key (``ops/sampling.py:
-    stratified_sample``) — deterministic across runs/partitionings,
-    reproducible in SQL via the same hex-prefix ordering."""
-    from ccnerx_ray.ops.sampling import stratified_sample
-
-    out = stratified_sample(_docs(sf_dir, ["doc_id", "source"]),
-                            key_col="source", id_col="doc_id",
-                            n_per_key=20)
-    return out.select_columns(["doc_id", "source"])
-
-
-ORACLE_STRATIFIED_DOCS = """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY substr(sha256('2021|' || source || '|'
-                                  || CAST(doc_id AS VARCHAR)), 1, 16),
-                    doc_id) AS rn
-  FROM documents) WHERE rn <= 20
-"""
-
-ANALYTICS_QUERIES["stratified_docs"] = q_stratified_docs
-ANALYTICS_ORACLE["stratified_docs"] = ORACLE_STRATIFIED_DOCS
-
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors
