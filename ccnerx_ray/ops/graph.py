@@ -674,7 +674,7 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
 
 
 def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
-                   num_buckets: int = 64):
+                   num_buckets: int = 64, max_degree: int | None = None):
     """Per-entity 1-hop and EXACTLY-2-hop neighborhood sizes over an
     undirected graph given as canonical (``u < v``) edges — the
     neighborhood query a KG serves after triples materialize ("what
@@ -692,8 +692,13 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
     distance-2 pair set, which explodes to 2 rows/pair into the same
     per-entity reduce that carries the 1-hop counts. Skew note: wedge
     volume is Σ deg(m)² over middles — for EXACT 2-hop counts that is
-    the size of the answer itself (a hub's 2-hop set IS quadratic);
-    there is no silent cap, so budget the wedge shuffle accordingly."""
+    the size of the answer itself (a hub's 2-hop set IS quadratic).
+    ``max_degree`` (default None = exact) bounds the per-middle wedge
+    memory on hub-heavy graphs: a middle keeps only its ``max_degree``
+    smallest neighbors as wedge sources, every truncated neighbor row
+    is counted into the ``two_hop_wedges_truncated`` run metric (the
+    ``max_bucket`` contract — approximation is explicit, never
+    silent), and the result becomes a LOWER bound on n_two_hop."""
     from ccnerx_ray.functions.grouping import (coarse_grouped,
                                                drop_duplicate_rows,
                                                grouped_reduce)
@@ -744,15 +749,24 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
 
     def wedge_pairs(g) -> "pd.DataFrame":
         import pandas as pd
+
+        from ccnerx_ray.state import metrics
         xs, ys = [], []
+        truncated = 0
         for _, grp in g.groupby(src_col, sort=False):
             ns = np.unique(grp[dst_col].to_numpy())
             k = len(ns)
+            if max_degree is not None and k > max_degree:
+                truncated += k - max_degree
+                ns = ns[:max_degree]     # smallest ids — deterministic
+                k = max_degree
             if k < 2:
                 continue
             iu = np.triu_indices(k, 1)
             xs.append(ns[iu[0]])
             ys.append(ns[iu[1]])
+        if truncated:
+            metrics.incr("two_hop_wedges_truncated", truncated)
         if not xs:
             return pd.DataFrame({"x": pd.Series(dtype=(
                 "int64" if node_dtype == "int64" else "string")),

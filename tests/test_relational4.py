@@ -78,3 +78,19 @@ def test_two_hop_counts_known_graph(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame(
         {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}))
     assert len(two_hop_counts(empty).to_pandas()) == 0
+
+    # max_degree hub cap: a star 0-(1..5) has n_two_hop = 4 for every
+    # leaf (exact); capping the middle's wedge sources at 3 keeps only
+    # leaves {1,2,3} as sources, so capped counts are a LOWER bound and
+    # uncapped leaves drop to 0 — approximation is explicit, not silent
+    star = [{"u": 0, "v": i} for i in range(1, 6)]
+    exact = {int(r.entity): int(r.n_two_hop)
+             for r in two_hop_counts(
+                 ray.data.from_items(star)).to_pandas().itertuples()}
+    assert exact == {0: 0, 1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+    capped = {int(r.entity): int(r.n_two_hop)
+              for r in two_hop_counts(
+                  ray.data.from_items(star),
+                  max_degree=3).to_pandas().itertuples()}
+    assert capped == {0: 0, 1: 2, 2: 2, 3: 2, 4: 0, 5: 0}
+    assert all(capped[k] <= exact[k] for k in exact)
