@@ -42,6 +42,11 @@ def main() -> int:
                     help="input files per resumable chunk")
     ap.add_argument("--no-resume", action="store_true",
                     help="single monolithic run (fresh output dir required)")
+    ap.add_argument("--update-from", default=None, metavar="OLD_STORE",
+                    help="incremental delta update: carry forward triples "
+                    "of unchanged (repo,path,commit,content_sha256) docs "
+                    "from OLD_STORE and re-tag ONLY new/changed docs "
+                    "(pipelines/kg.py:update_kg); output must be fresh")
     ap.add_argument("--compact", action="store_true",
                     help="after a chunked run, compact the store into one "
                     "file per partition (streaming row-group copy) at "
@@ -84,7 +89,11 @@ def main() -> int:
                          output_partitions=args.partitions)
 
     t0 = time.time()
-    if args.no_resume:
+    if args.update_from:
+        from ccnerx_ray.pipelines.kg import update_kg
+        summary = update_kg(args.input, catalog, args.update_from,
+                            args.output, cfg)
+    elif args.no_resume:
         summary = run_kg(args.input, catalog, args.output, cfg)
     else:
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
