@@ -76,6 +76,7 @@ EXTRAS = [
     "prompt_corpus",         # M8/M10 cloze-prompt + MLM corpus (r4)
     "kg_triples_lebert",     # LEBert word-attention fusion tagger (r4)
     "kg_two_hop",            # 2-hop neighborhood over the triple graph (r4)
+    "doc_splits",            # deterministic hash-bucket corpus split (r4)
     "ivf_knn_store",         # partition-pruned ANN probe over the IVF
                              # store (r4); lineage at
                              # /tmp/ccnerx_ivf/<sf>/_lineage/probe.json
