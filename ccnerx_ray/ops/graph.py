@@ -37,6 +37,29 @@ from ccnerx_ray.functions.grouping import grouped_reduce
 from ccnerx_ray.ops.join import adaptive_join
 
 
+def encode_pair_key(x, y) -> pa.Array:
+    """Collision-free string key for a node pair, vectorized: each
+    component is LENGTH-PREFIXED (``len(x) ':' x ':' len(y) ':' y``), so
+    delimiter characters inside string node ids cannot alias two
+    different pairs (ADVICE r4: a bare ``x|y`` concat maps both
+    ``('a|b','c')`` and ``('a','b|c')`` to ``'a|b|c'`` — an anti-join on
+    that key can wrongly drop a genuine pair). Decoding is unique: the
+    digits before the first ``':'`` fix ``len(x)``, which fixes every
+    later boundary. Integer ids are cast to their decimal strings first
+    (injective). Callers that need an UNORDERED key must min/max the
+    components before calling."""
+    import pyarrow.compute as pc
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        x = pa.array(x)
+    if not isinstance(y, (pa.Array, pa.ChunkedArray)):
+        y = pa.array(y)
+    xs = pc.cast(x, pa.string())
+    ys = pc.cast(y, pa.string())
+    lx = pc.cast(pc.utf8_length(xs), pa.string())
+    ly = pc.cast(pc.utf8_length(ys), pa.string())
+    return pc.binary_join_element_wise(lx, xs, ly, ys, ":")
+
+
 def symmetrize(edges, src_col: str = "u", dst_col: str = "v"):
     """Undirected view of a directed edge list: each (u, v) also emitted
     as (v, u). Input must be duplicate-free if degree semantics require
@@ -628,11 +651,11 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
     oriented = e2.map_batches(orient, batch_format="pyarrow")
 
     def _pk(x, y) -> pa.Array:
-        # canonical "lo|hi" pair key, vectorized (arrow kernels). The
-        # string-order min/max is applied identically on the wedge and
+        # canonical length-prefixed pair key, vectorized (arrow kernels).
+        # The string-order min/max is applied identically on the wedge and
         # edge sides, so the key is a consistent unordered-pair identity
-        # even where string order differs from id order. String node ids
-        # must not contain '|'.
+        # even where string order differs from id order; the length
+        # prefix keeps it collision-free for ids containing delimiters.
         import pyarrow.compute as pc
         xs = pc.cast(pa.array(x) if not isinstance(x, (pa.Array,
                      pa.ChunkedArray)) else x, pa.string())
@@ -640,7 +663,7 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
                      pa.ChunkedArray)) else y, pa.string())
         lo = pc.min_element_wise(xs, ys)
         hi = pc.max_element_wise(xs, ys)
-        return pc.binary_join_element_wise(lo, hi, "|")
+        return encode_pair_key(lo, hi)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         xs, ys = [], []
@@ -704,14 +727,27 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
                                                grouped_reduce)
     from ccnerx_ray.ops.join import adaptive_join
 
+    edges_in = edges
     edges = drop_duplicate_rows(
         edges, [src_col, dst_col],
         num_buckets=num_buckets).materialize()
     sch = edges.schema()
     if sch is None:       # no edges at all ⇒ no entities with neighbors
         import ray.data
+        # derive the empty-frame entity dtype from the INPUT edge column
+        # (ADVICE r4: a hard-coded string here gives an int-keyed empty
+        # graph a different schema than its non-empty runs); re-executing
+        # the input plan is cheap — it is provably empty
+        try:
+            in_sch = edges_in.schema()
+        except Exception:  # noqa: BLE001 — schema probing is best-effort
+            in_sch = None
+        in_t = (dict(zip(in_sch.names, in_sch.types)).get(src_col)
+                if in_sch is not None else None)
+        ent_type = (pa.int64() if isinstance(in_t, pa.DataType)
+                    and pa.types.is_integer(in_t) else pa.string())
         return ray.data.from_arrow(pa.table({
-            "entity": pa.array([], pa.string()),
+            "entity": pa.array([], ent_type),
             "n_neighbors": pa.array([], pa.int64()),
             "n_two_hop": pa.array([], pa.int64())}))
     t = dict(zip(sch.names, sch.types)).get(src_col)
@@ -741,11 +777,9 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
         })
 
     def _pair_key(x: pa.Array, y: pa.Array) -> pa.Array:
-        import pyarrow.compute as pc
-        if node_dtype == "int64":
-            x = pc.cast(x, pa.string())
-            y = pc.cast(y, pa.string())
-        return pc.binary_join_element_wise(x, y, "|")
+        # both sides are already (lo, hi)-canonical; the length-prefixed
+        # encoding keeps the key collision-free for arbitrary string ids
+        return encode_pair_key(x, y)
 
     def wedge_pairs(g) -> "pd.DataFrame":
         import pandas as pd
@@ -797,8 +831,12 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
     def n2_rows(batch: pa.Table) -> pa.Table:
         x = batch.column("x")
         y = batch.column("y")
-        ent = pa.chunked_array(list(x.chunks) + list(y.chunks)) \
-            if isinstance(x, pa.ChunkedArray) else pa.chunked_array([x, y])
+        # type passed explicitly: a zero-chunk block would otherwise make
+        # chunked_array unable to infer one (ADVICE r4)
+        ent = (pa.chunked_array(list(x.chunks) + list(y.chunks),
+                                type=x.type)
+               if isinstance(x, pa.ChunkedArray)
+               else pa.chunked_array([x, y], type=x.type))
         n = len(ent)
         return pa.table({
             "entity": ent,

@@ -94,3 +94,37 @@ def test_two_hop_counts_known_graph(ray_session):
                   max_degree=3).to_pandas().itertuples()}
     assert capped == {0: 0, 1: 2, 2: 2, 3: 2, 4: 0, 5: 0}
     assert all(capped[k] <= exact[k] for k in exact)
+
+
+def test_two_hop_pair_key_collision_and_empty_dtype(ray_session):
+    """ADVICE r4 regressions. (a) String node ids containing the old '|'
+    delimiter: path a|b — c — a with direct edge ('a','b|c') used to
+    collide pair ('a|b','c') with that edge's key and wrongly anti-join
+    the genuine distance-2 pair away. (b) An EMPTY int-keyed edge set
+    must return an int64 entity column (same schema as non-empty runs),
+    not a hard-coded string."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ccnerx_ray.ops.graph import encode_pair_key, two_hop_counts
+
+    # encode_pair_key is injective on the ambiguous family
+    k1 = encode_pair_key(pa.array(["a|b"]), pa.array(["c"]))
+    k2 = encode_pair_key(pa.array(["a"]), pa.array(["b|c"]))
+    assert k1.to_pylist() != k2.to_pylist()
+
+    # wedge middle 'c': neighbors {'a|b', 'a'} → candidate 2-hop pair
+    # ('a', 'a|b') — distinct from every direct edge, must survive
+    es = [{"u": "a|b", "v": "c"}, {"u": "a", "v": "c"},
+          {"u": "a", "v": "b|c"}]
+    out = two_hop_counts(ray.data.from_items(es)).to_pandas()
+    got = {r.entity: int(r.n_two_hop) for r in out.itertuples()}
+    assert got["a|b"] == 1 and got["a"] == 1
+
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}))
+    res = two_hop_counts(empty)
+    sch = res.schema()
+    assert pa.types.is_integer(
+        dict(zip(sch.names, sch.types))["entity"])
