@@ -199,6 +199,75 @@ def semi_join_on(ds, key_col: str, keys_ds, keys_col: str | None = None,
                           out_dtypes=out_dtypes)
 
 
+def lookup_join_on(ds, key_col: str, lut_ds, value_col: str,
+                   lut_key_col: str | None = None,
+                   num_buckets: int = 256,
+                   out_dtypes: dict[str, str] | None = None):
+    """Hash-partitioned LEFT OUTER lookup: append ``lut_ds[value_col]``
+    to every row of ``ds`` by key equality (null where no match) — the
+    fact-scale shape of a dimension lookup when the lookup side is too
+    big to broadcast. One coarse co-group (the :func:`semi_join_on`
+    pattern with a carried value): both sides stay distributed, nothing
+    lands on the driver, and — unlike ``Dataset.join`` — the machinery
+    tolerates the schema-less empty blocks a grouped upstream leaves
+    behind. The lookup side must be UNIQUE per key (the aggregated
+    one-row-per-key shape); duplicates raise rather than silently
+    multiplying probe rows."""
+    lut_key_col = lut_key_col or key_col
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+    if value_col in names:
+        raise ValueError(f"probe side already has column {value_col!r}")
+    if out_dtypes is None:
+        # derive the empty-block schema pin from the probe schema when
+        # every column type has a dtype-string name; else leave unpinned
+        rev = {v: k for k, v in _ARROW_TYPES.items()}
+        derived = {nm: rev.get(tp) for nm, tp in zip(names, types)}
+        if all(v is not None for v in derived.values()):
+            out_dtypes = derived
+
+    def mark_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (batch
+                .append_column(value_col, pa.nulls(n, pa.string()))
+                .append_column("_lu",
+                               pa.array(np.zeros(n, dtype=np.int8))))
+
+    def lut_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for nm, tp in zip(names, types):
+            cols[nm] = (batch.column(lut_key_col).cast(tp)
+                        if nm == key_col else pa.nulls(n, tp))
+        cols[value_col] = batch.column(value_col).cast(pa.string())
+        return pa.table(cols).append_column(
+            "_lu", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = ds.map_batches(mark_rows, batch_format="pyarrow").union(
+        lut_ds.map_batches(lut_rows, batch_format="pyarrow"))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["_lu"] == 1]
+        probe = g[g["_lu"] == 0].drop(columns=["_lu"])
+        if len(lut):
+            if not lut[key_col].is_unique:
+                dup = lut[key_col][lut[key_col].duplicated()].iloc[0]
+                raise ValueError(
+                    f"lookup side has duplicate key {dup!r} — aggregate "
+                    "it to one row per key first")
+            mapping = pd.Series(lut[value_col].to_numpy(),
+                                index=lut[key_col])
+            probe = probe.assign(
+                **{value_col: probe[key_col].map(mapping)})
+        return probe
+
+    dt = dict(out_dtypes) if out_dtypes else None
+    if dt is not None:
+        dt[value_col] = "string"
+    return coarse_grouped(both, [key_col], local, num_buckets,
+                          out_dtypes=dt)
+
+
 def drop_duplicate_rows(ds, key_cols: Sequence[str], num_buckets: int = 256):
     """Distributed exact row-dedup on ``key_cols`` (keeps an arbitrary but
     deterministic-per-content first row: rows are sorted by keys locally)."""

@@ -1460,6 +1460,27 @@ ANALYTICS_QUERIES["kg_triples_lebert"] = q_kg_triples_lebert
 ANALYTICS_ORACLE["kg_triples_lebert"] = ORACLE_KG_TRIPLES
 
 
+def q_kg_mentions_join(sf_dir: str):
+    """Flagship mention table through the DISTRIBUTED catalog-linking
+    path (VERDICT r4 #1; ``stages/link.py:link_exploded_mentions``): the
+    link catalog is a Dataset, candidate labels are aggregated with a
+    coarse groupby, and ``broadcast_bytes=0`` FORCES the hash-partitioned
+    lookup joins — so the driver gate exercises the exact machinery a
+    10⁸-surface catalog would use. Shares ``kg_mentions``'s closed-form
+    oracle: the two linker realizations must be value-hash identical."""
+    from ccnerx_ray.pipelines.kg import mentions_dataset_join
+    from ccnerx_ray.stages.link import catalog_dataset
+
+    corpus = corpus_from_documents(sf_dir)
+    return mentions_dataset_join(
+        corpus, TESTDATA_CATALOG, catalog_dataset(TESTDATA_CATALOG),
+        kg_cfg(), broadcast_bytes=0)
+
+
+ANALYTICS_QUERIES["kg_mentions_join"] = q_kg_mentions_join
+ANALYTICS_ORACLE["kg_mentions_join"] = ORACLE_KG_MENTIONS
+
+
 
 def q_minhash_dedup_keepers(sf_dir: str):
     """Full near-dup dedup pipeline: MinHash-LSH pairs → connected

@@ -150,6 +150,11 @@ class MentionTagger:
             return self._emitter(self._linker(nested))
         if self.emit == "mentions":
             return explode_mentions(self._linker(nested))
+        if self.emit == "mentions_raw":
+            # flat UNLINKED mentions — the probe side of the
+            # hash-partitioned catalog join (stages/link.py:
+            # link_exploded_mentions); linking happens downstream
+            return explode_mentions(nested)
         return nested
 
     def _tag_batch(self, batch: pa.Table) -> pa.Table:
