@@ -38,6 +38,21 @@ class PipelineConfig:
                                      # 172-196 information flow; boost still
                                      # applies on top — seeded weights carry
                                      # no label signal of their own)
+    backbone: str = "mlp"            # "mlp" (2-layer emission MLP — the
+                                     # oracle-paired production default) or
+                                     # "attn" (seeded multi-layer self-
+                                     # attention encoder, the structural
+                                     # twin of the reference's BERT stack;
+                                     # with fusion="lebert" the word
+                                     # attention is injected MID-STACK at
+                                     # attn_fusion_layer, the LEBert.py:
+                                     # 141-196 layer-assembly information
+                                     # flow)
+    attn_layers: int = 3             # encoder depth in attn mode
+    attn_heads: int = 4              # attention heads (divides embed_dim)
+    attn_fusion_layer: int = 1       # lexicon fusion applied AFTER this
+                                     # layer index (mid-stack, like the
+                                     # reference's add_layer; LEBert.py:141)
 
     # --- canonicalization / shuffle hygiene ---
     canonical_salt_buckets: int = 16  # salt fan-out for hot normalized keys
@@ -47,6 +62,13 @@ class PipelineConfig:
     featurize_batch_size: int = 256  # map_batches rows per task (sorted by length inside)
     tagger_batch_size: int = 64      # decode chunk: tight L per sorted chunk
     tagger_concurrency: int = 8      # actor-pool size for the tagger stage
+    tagger_num_gpus: float = 0.0     # GPUs reserved per tagger actor
+                                     # (SURVEY §2.4: A2 on a GPU pool —
+                                     # pair with backend="torch",
+                                     # device="cuda"); 0.0 = CPU pool,
+                                     # fractional values share one GPU
+                                     # across actors
+    encoder_num_gpus: float = 0.0    # GPUs per DocEncoder actor (A5)
     read_parallelism: int = -1       # -1 = let Ray decide
 
     # --- output ---

@@ -62,6 +62,17 @@ def save_checkpoint(path: str, cfg: PipelineConfig = PipelineConfig()) -> str:
         "o_bias": np.float64(3.0),
         "emb_salt": np.int64(cfg.model_seed + 2),
     }
+    if cfg.backbone == "attn":
+        # attention-backbone checkpoints are self-contained: all N layer
+        # parameter sets plus the tag-space projection ride in the same
+        # flat npz (keys attn_<layer>_<name>, Wp, bp)
+        from ccnerx_ray.model.attention import SeededAttentionEncoder
+        enc = SeededAttentionEncoder(D, cfg.attn_layers, cfg.attn_heads,
+                                     cfg.model_seed)
+        payload.update(enc.flat_weights())
+        rng2 = np.random.default_rng(cfg.model_seed + 50)
+        payload["Wp"] = rng2.standard_normal((D, T)) * 0.4 / np.sqrt(D)
+        payload["bp"] = rng2.standard_normal(T) * 0.1
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp.npz")  # .npz: savez keeps name
@@ -168,10 +179,40 @@ class TaggerModel:
         # per-token BASE emission row cache (emission = f(token) + boosts;
         # the MLP runs once per distinct token, ever, per process)
         self._row_cache: dict[str, np.ndarray] = {}
+        self.encoder = None
+        if cfg.backbone == "attn":
+            # multi-layer self-attention backbone (VERDICT r4 #2): the
+            # structural twin of the reference's transformer stack
+            # (CC/LEBert.py:141-171); hidden width = embed_dim so the
+            # residual stream is well-defined, projection to tag space
+            # via a dedicated seeded (Wp, bp)
+            from ccnerx_ray.model.attention import (
+                SeededAttentionEncoder, unflatten_layer_weights)
+            lw = (unflatten_layer_weights(weights, cfg.attn_layers)
+                  if weights is not None else None)
+            self.encoder = SeededAttentionEncoder(
+                cfg.embed_dim, cfg.attn_layers, cfg.attn_heads,
+                cfg.model_seed, layer_weights=lw)
+            if weights is not None and "Wp" in weights:
+                self.Wp = np.asarray(weights["Wp"], dtype=np.float64)
+                self.bp = np.asarray(weights["bp"], dtype=np.float64)
+            else:
+                rng2 = np.random.default_rng(cfg.model_seed + 50)
+                self.Wp = (rng2.standard_normal((cfg.embed_dim, T))
+                           * 0.4 / np.sqrt(cfg.embed_dim))
+                self.bp = rng2.standard_normal(T) * 0.1
+        elif cfg.backbone != "mlp":
+            raise ValueError(f"unknown backbone {cfg.backbone!r}; "
+                             "expected 'mlp' or 'attn'")
         self.fusion = None
         if cfg.fusion == "lebert":
             from ccnerx_ray.model.fusion import WordAttentionFusion
-            self.fusion = WordAttentionFusion(cfg.hidden_dim, cfg.embed_dim,
+            # in attn mode the fusion adapter operates mid-stack on the
+            # D-wide residual stream (LEBert injects between encoder
+            # layers); in mlp mode it fuses the H-wide hidden state
+            fdim = cfg.embed_dim if self.encoder is not None \
+                else cfg.hidden_dim
+            self.fusion = WordAttentionFusion(fdim, cfg.embed_dim,
                                               cfg.model_seed + 3)
             self._word_emb_cache: dict[tuple, np.ndarray] = {}
         elif cfg.fusion != "boost":
@@ -236,14 +277,70 @@ class TaggerModel:
                 e[end - 1, self.tag2id[f"E-{lab}"]] += boost
         return e
 
+    def _apply_boost(self, e: np.ndarray, spans) -> None:
+        """Additive lexicon label priors on candidate spans (in place)."""
+        boost = self.cfg.lexicon_boost
+        for start, end, word in spans:
+            lab = self.catalog.label(word)
+            if lab is None:
+                continue
+            if end - start == 1:
+                e[start, self.tag2id[f"S-{lab}"]] += boost
+            else:
+                e[start, self.tag2id[f"B-{lab}"]] += boost
+                for k in range(start + 1, end - 1):
+                    e[k, self.tag2id[f"I-{lab}"]] += boost
+                e[end - 1, self.tag2id[f"E-{lab}"]] += boost
+
+    def _attn_emissions(self, tokens: list[str]) -> np.ndarray:
+        """Attention-backbone unary scores: token embeddings + sinusoidal
+        positions → N self-attention layers with the LEBert word-attention
+        adapter injected after layer ``attn_fusion_layer`` (mid-stack —
+        the CC/LEBert.py:141-196 information flow) → seeded projection to
+        tag space; O bias, START/STOP mask and the additive lexicon boost
+        apply exactly as in the other backbones (seeded weights carry no
+        label signal of their own)."""
+        from ccnerx_ray.model.attention import sinusoidal_positions
+
+        L = len(tokens)
+        X = (np.stack([self._embed(t) for t in tokens])
+             + sinusoidal_positions(L, self.cfg.embed_dim))
+        spans = list(self.trie.spans(tokens,
+                                     max_words=self.cfg.max_word_num))
+        hook = None
+        if self.fusion is not None:
+            from ccnerx_ray.model.fusion import position_word_slots
+            slots = position_word_slots(spans, L, self.cfg.max_word_num)
+            Wn = self.cfg.max_word_num
+            Wm = np.zeros((L, Wn, self.cfg.embed_dim))
+            mask = np.zeros((L, Wn))
+            for k, words in enumerate(slots):
+                for j, w in enumerate(words):
+                    Wm[k, j] = self._word_embed(w)
+                    mask[k, j] = 1.0
+
+            def hook(H):
+                return self.fusion.fuse(H, Wm, mask)
+
+        H = self.encoder.forward(X, fusion_hook=hook,
+                                 fusion_layer=self.cfg.attn_fusion_layer)
+        e = H @ self.Wp + self.bp
+        e[:, self.tag2id["O"]] += self.o_bias
+        e[:, -2:] = IMPOSSIBLE
+        self._apply_boost(e, spans)
+        return e
+
     # --- emissions ------------------------------------------------------
     def emissions(self, tokens: list[str]) -> np.ndarray:
-        """Per-position unary scores [L, num_tags+2] = MLP(embedding) +
-        lexicon-fusion label priors + O bias; START/STOP columns impossible."""
+        """Per-position unary scores [L, num_tags+2] = backbone(embedding)
+        + lexicon-fusion label priors + O bias; START/STOP columns
+        impossible."""
         L = len(tokens)
         T = self.num_tags + 2
         if L == 0:
             return np.zeros((0, T))
+        if self.encoder is not None:
+            return self._attn_emissions(tokens)
         if self.fusion is not None:
             return self._fused_emissions(tokens)
         X = np.stack([self._embed(t) for t in tokens])
@@ -310,14 +407,16 @@ class TaggerModel:
             return [[] for _ in segments]
         T = self.num_tags + 2
 
-        if self.fusion is not None:
-            # LEBert mode: emissions are position-contextual (word
-            # attention), so the per-token row cache does not apply
+        if self.fusion is not None or self.encoder is not None:
+            # LEBert / attention mode: emissions are position-contextual,
+            # so the per-token row cache does not apply
+            efn = (self._attn_emissions if self.encoder is not None
+                   else self._fused_emissions)
             feats = np.zeros((B, L, T))
             masks = np.zeros((B, L))
             for i, seg in enumerate(segments):
                 if seg:
-                    feats[i, :len(seg)] = self._fused_emissions(seg)
+                    feats[i, :len(seg)] = efn(seg)
                     masks[i, :len(seg)] = 1.0
             paths = viterbi_decode(feats, masks, self.crf)
             return [[self.tags[t] for t in path] for path in paths]

@@ -86,6 +86,38 @@ class TorchTaggerModel:
         self.module = (module or toy_module(cfg.embed_dim, cfg.hidden_dim,
                                             T, cfg.model_seed)).to(
             self.device).eval()
+        self.encoder_np = None
+        if cfg.backbone == "attn":
+            # attention backbone twin (VERDICT r4 #2): parameters COPIED
+            # from the numpy encoder (or the shared npz checkpoint), the
+            # whole forward in float64 — span parity with the numpy
+            # backend is test-enforced
+            from ccnerx_ray.model.attention import (
+                SeededAttentionEncoder, unflatten_layer_weights)
+            lw = (unflatten_layer_weights(weights, cfg.attn_layers)
+                  if weights is not None else None)
+            self.encoder_np = SeededAttentionEncoder(
+                cfg.embed_dim, cfg.attn_layers, cfg.attn_heads,
+                cfg.model_seed, layer_weights=lw)
+            self._attn_t = [
+                {k: torch.as_tensor(v, dtype=torch.float64,
+                                    device=self.device)
+                 for k, v in p.items()}
+                for p in self.encoder_np.layers]
+            if weights is not None and "Wp" in weights:
+                Wp = np.asarray(weights["Wp"], dtype=np.float64)
+                bp = np.asarray(weights["bp"], dtype=np.float64)
+            else:
+                rng2 = np.random.default_rng(cfg.model_seed + 50)
+                Wp = (rng2.standard_normal((cfg.embed_dim, T))
+                      * 0.4 / np.sqrt(cfg.embed_dim))
+                bp = rng2.standard_normal(T) * 0.1
+            self._Wp = torch.as_tensor(Wp, dtype=torch.float64,
+                                       device=self.device)
+            self._bp = torch.as_tensor(bp, dtype=torch.float64,
+                                       device=self.device)
+        elif cfg.backbone != "mlp":
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.fusion_np = None
         if cfg.fusion == "lebert":
             # LEBert word-attention twin (VERDICT r3 #3): parameters are
@@ -94,8 +126,10 @@ class TorchTaggerModel:
             # identical spans between backends (reference flow:
             # CC/LEBert.py:172-196; see model/fusion.py)
             from ccnerx_ray.model.fusion import WordAttentionFusion
+            fdim = (cfg.embed_dim if self.encoder_np is not None
+                    else cfg.hidden_dim)
             self.fusion_np = WordAttentionFusion(
-                cfg.hidden_dim, cfg.embed_dim, cfg.model_seed + 3)
+                fdim, cfg.embed_dim, cfg.model_seed + 3)
             self.module = self.module.double()
             if weights is not None and len(self.module) == 3:
                 # re-copy checkpoint weights at full precision — the
@@ -189,6 +223,88 @@ class TorchTaggerModel:
                 e[end - 1, self.tag2id[f"E-{lab}"]] += boost
         return e
 
+    def _attn_emissions(self, seg: list[str]) -> np.ndarray:
+        """Torch attention forward, op-for-op the numpy
+        ``TaggerModel._attn_emissions`` in float64 (manual LayerNorm with
+        the numpy eps so parity holds at the bit level up to BLAS
+        association)."""
+        torch = self.torch
+        from ccnerx_ray.model.attention import sinusoidal_positions
+        from ccnerx_ray.model.fusion import position_word_slots
+
+        L = len(seg)
+        D = self.cfg.embed_dim
+        h = self.cfg.attn_heads
+        dh = D // h
+        Xn = (np.stack([self._embed(t) for t in seg])
+              + sinusoidal_positions(L, D))
+        spans = list(self.trie.spans(seg, max_words=self.cfg.max_word_num))
+
+        def ln(x):
+            mu = x.mean(dim=-1, keepdim=True)
+            sd = torch.sqrt(x.var(dim=-1, unbiased=False,
+                                  keepdim=True) + 1e-12)
+            return (x - mu) / sd
+
+        with torch.no_grad():
+            X = torch.as_tensor(Xn, dtype=torch.float64,
+                                device=self.device)
+            for i, p in enumerate(self._attn_t):
+                Q = (X @ p["Wq"] + p["bq"]).reshape(L, h, dh)
+                K = (X @ p["Wk"] + p["bk"]).reshape(L, h, dh)
+                V = (X @ p["Wv"] + p["bv"]).reshape(L, h, dh)
+                scores = torch.einsum("qhd,khd->hqk", Q, K) / np.sqrt(dh)
+                A = torch.softmax(scores, dim=-1)
+                ctx = torch.einsum("hqk,khd->qhd", A, V).reshape(L, D)
+                X = ln(X + ctx @ p["Wo"] + p["bo"])
+                ffn = torch.tanh(X @ p["Wf1"] + p["bf1"]) @ p["Wf2"] \
+                    + p["bf2"]
+                X = ln(X + ffn)
+                if (self.fusion_np is not None
+                        and i == self.cfg.attn_fusion_layer):
+                    slots = position_word_slots(spans, L,
+                                                self.cfg.max_word_num)
+                    Wn = self.cfg.max_word_num
+                    Wm = np.zeros((L, Wn, D))
+                    mk = np.zeros((L, Wn))
+                    for k, words in enumerate(slots):
+                        for j, w in enumerate(words):
+                            Wm[k, j] = np.mean(
+                                [self._embed(t) for t in w], axis=0)
+                            mk[k, j] = 1.0
+                    Wt_m = torch.as_tensor(Wm, dtype=torch.float64,
+                                           device=self.device)
+                    mask = torch.as_tensor(mk, dtype=torch.float64,
+                                           device=self.device)
+                    f = self._ft
+                    wo = torch.tanh(Wt_m @ f["Wt"] + f["bt"]) @ f["Ww"] \
+                        + f["bw"]
+                    alpha = torch.einsum("ld,lwd->lw", X @ f["attn_W"],
+                                         wo)
+                    alpha = alpha - 10000.0 * (1.0 - mask)
+                    alpha = torch.softmax(alpha, dim=1)
+                    weighted = torch.einsum("lw,lwd->ld", alpha, wo)
+                    has_word = mask.any(dim=1)
+                    fused = torch.where(has_word[:, None], X + weighted,
+                                        X)
+                    X = torch.where(has_word[:, None], ln(fused), X)
+            e = (X @ self._Wp + self._bp).cpu().numpy().astype(np.float64)
+        e[:, self.tag2id["O"]] += self.o_bias
+        e[:, -2:] = IMPOSSIBLE
+        boost = self.cfg.lexicon_boost
+        for start, end, word in spans:
+            lab = self.catalog.label(word)
+            if lab is None:
+                continue
+            if end - start == 1:
+                e[start, self.tag2id[f"S-{lab}"]] += boost
+            else:
+                e[start, self.tag2id[f"B-{lab}"]] += boost
+                for k in range(start + 1, end - 1):
+                    e[k, self.tag2id[f"I-{lab}"]] += boost
+                e[end - 1, self.tag2id[f"E-{lab}"]] += boost
+        return e
+
     def tag_segments(self, segments: list[list[str]]) -> list[list[str]]:
         torch = self.torch
         if not segments:
@@ -198,6 +314,16 @@ class TorchTaggerModel:
         if L == 0:
             return [[] for _ in segments]
         T = self.num_tags + 2
+
+        if self.encoder_np is not None:
+            feats = np.zeros((B, L, T))
+            masks = np.zeros((B, L))
+            for i, seg in enumerate(segments):
+                if seg:
+                    feats[i, :len(seg)] = self._attn_emissions(seg)
+                    masks[i, :len(seg)] = 1.0
+            paths = viterbi_decode(feats, masks, self.crf)
+            return [[self.tags[t] for t in path] for path in paths]
 
         if self.fusion_np is not None:
             feats = np.zeros((B, L, T))

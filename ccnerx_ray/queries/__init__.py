@@ -20,7 +20,7 @@ _PRIORITY = [
     # KG flagship family
     "kg_triples", "kg_mentions", "kg_mentions_join", "kg_entities",
     "kg_entities_store", "kg_label_dist", "kg_aliases", "kg_triples_ckpt",
-    "kg_triples_lebert", "prompt_corpus",
+    "kg_triples_lebert", "kg_triples_attn", "prompt_corpus",
     # dedup family
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",

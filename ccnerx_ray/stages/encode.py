@@ -103,15 +103,19 @@ class DocEncoder:
 
 def doc_embeddings(ds, dim: int = 32, text_col: str = "text",
                    id_col: str = "doc_id", concurrency: int = 4,
-                   batch_size: int = 512):
+                   batch_size: int = 512, num_gpus: float = 0.0):
     """The embeddings-producing pipeline: documents → (id, embedding,
-    n_tokens) via an actor pool of :class:`DocEncoder`."""
+    n_tokens) via an actor pool of :class:`DocEncoder`. ``num_gpus``
+    reserves GPUs per encoder actor (``cfg.encoder_num_gpus`` — the A5
+    GPU-pool slot, SURVEY §2.4); 0.0 = CPU pool, scheduling unchanged."""
+    from ccnerx_ray.pipelines.kg import pool_resources
     return ds.map_batches(DocEncoder,
                           fn_constructor_kwargs={"dim": dim,
                                                  "text_col": text_col,
                                                  "id_col": id_col},
                           concurrency=concurrency, batch_size=batch_size,
-                          batch_format="pyarrow")
+                          batch_format="pyarrow",
+                          **pool_resources(num_gpus))
 
 
 def doc_embedding_micros(ds, dim: int = 8, text_col: str = "text",
