@@ -302,51 +302,84 @@ def shingle_set_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def _posting_pairs(id_col: str, max_posting: int | None):
+def _posting_pairs(id_col: str, max_posting: int | None,
+                   threshold: float = 0.0):
     """Local fn for :func:`coarse_grouped` over shingle rows: for every
-    shingle (inverted-index posting list), emit all doc pairs sharing it.
+    shingle (inverted-index posting list), emit the doc pairs sharing it,
+    PRE-COMBINED per (id_a, id_b) with a partial shared-shingle count
+    ``cnt``. Group iteration is numpy boundary slicing, not per-shingle
+    pandas sub-frames (the r4 profile's hot spot). Two EXACT row-volume
+    cuts before the pair shuffle:
+
+    * length filter (SSJoin/PPJoin size bound): ``J = s/(n_a+n_b-s)``
+      with ``s ≤ min`` gives ``J ≤ min/max``, so any pair with
+      ``min(n_a, n_b) < threshold · max(n_a, n_b)`` provably fails and
+      is dropped at the source;
+    * combiner: a surviving pair sharing many shingles in one bucket
+      collapses to one partial row.
+
     ``max_posting`` caps hot posting lists (truncation metric-counted)."""
     from ccnerx_ray.state import metrics
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
-        ida, idb, na, nb = [], [], [], []
+        sh = g["sh"].to_numpy()
+        ids = g[id_col].to_numpy()
+        nd = g["n_doc"].to_numpy()
+        # sort by (sh, id): groups become contiguous slices and triu on
+        # the sorted slice keeps the id_a < id_b pair canon
+        order = np.lexsort((ids, sh))
+        sh, ids, nd = sh[order], ids[order], nd[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        ida_p, idb_p, na_p, nb_p = [], [], [], []
         truncated = 0
-        for _, sub in g.groupby("sh", sort=False):
-            if len(sub) < 2:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = int(e - s)
+            if k < 2:
                 continue
-            if max_posting is not None:
-                truncated += max(0, len(sub) - max_posting)
-                sub = sub.sort_values(id_col).head(max_posting)
-            else:
-                sub = sub.sort_values(id_col)
-            ids = sub[id_col].to_numpy()
-            ns = sub["n_doc"].to_numpy()
-            ai, bi = np.triu_indices(len(ids), k=1)
-            ida.extend(ids[ai].tolist())
-            idb.extend(ids[bi].tolist())
-            na.extend(ns[ai].tolist())
-            nb.extend(ns[bi].tolist())
+            if max_posting is not None and k > max_posting:
+                truncated += k - max_posting
+                e = s + max_posting
+                k = max_posting
+            ai, bi = np.triu_indices(k, 1)
+            ida_p.append(ids[s:e][ai])
+            idb_p.append(ids[s:e][bi])
+            na_p.append(nd[s:e][ai])
+            nb_p.append(nd[s:e][bi])
         if truncated:
             metrics.incr("jaccard_postings_truncated", truncated)
-        return pd.DataFrame({"id_a": ida, "id_b": idb,
-                             "n_a": na, "n_b": nb})
+        if not ida_p:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in _PAIR_DTYPES})
+        a = np.concatenate(ida_p)
+        b = np.concatenate(idb_p)
+        na = np.concatenate(na_p)
+        nb = np.concatenate(nb_p)
+        if threshold > 0.0:
+            keep = (np.minimum(na, nb)
+                    >= threshold * np.maximum(na, nb))
+            a, b, na, nb = a[keep], b[keep], na[keep], nb[keep]
+        df = pd.DataFrame({"id_a": a, "id_b": b, "n_a": na, "n_b": nb})
+        return (df.groupby(["id_a", "id_b"], sort=False, as_index=False)
+                  .agg(n_a=("n_a", "first"), n_b=("n_b", "first"),
+                       cnt=("n_a", "size")))
 
     return local
 
 
 _PAIR_DTYPES = {"id_a": "int64", "id_b": "int64",
-                "n_a": "int64", "n_b": "int64"}
+                "n_a": "int64", "n_b": "int64", "cnt": "int64"}
 
 
 def _score_jaccard_pairs(pair_rows, threshold: float,
                          num_buckets: int = 256):
-    """(id_a, id_b, n_a, n_b) multiset → per-pair shared count → exact
-    Jaccard ≥ threshold. One coarse-grouped shuffle keyed on the pair."""
+    """(id_a, id_b, n_a, n_b, cnt) partials → per-pair shared count
+    (``sum(cnt)``) → exact Jaccard ≥ threshold. One coarse-grouped
+    shuffle keyed on the pair."""
 
     def count(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby(["id_a", "id_b"], sort=False)
                 .agg(n_a=("n_a", "first"), n_b=("n_b", "first"),
-                     n_shared=("n_a", "size"))
+                     n_shared=("cnt", "sum"))
                 .reset_index())
         j = agg["n_shared"] / (agg["n_a"] + agg["n_b"] - agg["n_shared"])
         agg["jaccard"] = j
@@ -354,9 +387,10 @@ def _score_jaccard_pairs(pair_rows, threshold: float,
 
     return coarse_grouped(pair_rows, ["id_a", "id_b"], count,
                           num_buckets=num_buckets,
-                          out_dtypes=dict(_PAIR_DTYPES,
-                                          n_shared="int64",
-                                          jaccard="float64"))
+                          out_dtypes={"id_a": "int64", "id_b": "int64",
+                                      "n_a": "int64", "n_b": "int64",
+                                      "n_shared": "int64",
+                                      "jaccard": "float64"})
 
 
 def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -385,7 +419,7 @@ def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     w_post = int(min(max(bytes_est // (64 << 20), 8), 1024))
     w_pair = int(min(max(bytes_est // (64 << 20), 8), 256))
     pairs = coarse_grouped(rows, ["sh"],
-                           _posting_pairs(id_col, max_posting),
+                           _posting_pairs(id_col, max_posting, threshold),
                            num_buckets=w_post, out_dtypes=_PAIR_DTYPES)
     return _score_jaccard_pairs(pairs, threshold, num_buckets=w_pair)
 
@@ -431,7 +465,8 @@ def jaccard_pairs_prefix(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     prefix_rows = rows.map_batches(to_prefix, batch_format="pyarrow")
-    cand = coarse_grouped(prefix_rows, ["sh"], _posting_pairs(id_col, None),
+    cand = coarse_grouped(prefix_rows, ["sh"],
+                          _posting_pairs(id_col, None, threshold),
                           num_buckets=1024, out_dtypes=_PAIR_DTYPES)
 
     # candidate DOC ids (both sides of every candidate pair), distinct —
@@ -449,7 +484,7 @@ def jaccard_pairs_prefix(ds, text_col: str = "text", id_col: str = "doc_id",
         rows, id_col, cand_ids, keys_col="cid", num_buckets=256,
         out_dtypes={id_col: "int64", "sh": "int64", "n_doc": "int64"})
     shared = coarse_grouped(verify_rows, ["sh"],
-                            _posting_pairs(id_col, max_posting),
+                            _posting_pairs(id_col, max_posting, threshold),
                             num_buckets=256, out_dtypes=_PAIR_DTYPES)
     return _score_jaccard_pairs(shared, threshold)
 
