@@ -806,8 +806,12 @@ def two_hop_counts(edges, src_col: str = "u", dst_col: str = "v",
                 "int64" if node_dtype == "int64" else "string")),
                 "y": pd.Series(dtype=(
                     "int64" if node_dtype == "int64" else "string"))})
-        return pd.DataFrame({"x": np.concatenate(xs),
-                             "y": np.concatenate(ys)})
+        out_x = np.concatenate(xs)
+        # wedge volume into lineage next to the truncation count: a
+        # hub-skew run can prove its memory stayed bounded (the planted-
+        # hub test pins C(max_degree, 2) for a pure star)
+        metrics.incr("two_hop_wedge_pairs", len(out_x))
+        return pd.DataFrame({"x": out_x, "y": np.concatenate(ys)})
 
     cand = drop_duplicate_rows(
         coarse_grouped(sym, [src_col], wedge_pairs, num_buckets=width,

