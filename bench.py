@@ -81,6 +81,11 @@ EXTRAS = [
                              # store (r4); lineage at
                              # /tmp/ccnerx_ivf/<sf>/_lineage/probe.json
                              # records bytes_probed < bytes_total
+    "kg_mentions_join",      # distributed (hash-partitioned) catalog
+                             # linking path — forced past the broadcast
+                             # fast path (r5)
+    "kg_triples_attn",       # multi-layer attention backbone with
+                             # mid-stack LEBert fusion (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -161,7 +161,10 @@ def input_fingerprint(paths) -> dict:
     import os as _os
 
     if isinstance(paths, str):
-        files = sorted(glob.glob(_os.path.join(paths, "*.parquet")))             if _os.path.isdir(paths) else [paths]
+        if _os.path.isdir(paths):
+            files = sorted(glob.glob(_os.path.join(paths, "*.parquet")))
+        else:
+            files = [paths]
     else:
         files = sorted(paths)
     h = hashlib.sha256()
