@@ -133,11 +133,102 @@ def catalog_candidates(catalog_ds, key_col: str, out_col: str,
                           out_dtypes={key_col: "string", out_col: "string"})
 
 
+def _cogroup_link(mentions, catalog_ds, max_label_num: int,
+                  num_buckets: int):
+    """One hash-partitioned co-group on ``norm_key`` that appends BOTH
+    candidate columns (``_s_cands`` exact-surface, ``_nk_cands``
+    normalized-key) to the mention table. Correct because ``norm_key``
+    is a pure function of the surface string, so a catalog row with the
+    mention's exact surface necessarily shares its ``norm_key`` group.
+    Catalog rows are per-batch-deduped to distinct
+    ``(norm_key, surface, label)`` triples before the shuffle (a free
+    combiner); the probe is shuffled exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import (_ARROW_TYPES,
+                                               coarse_grouped)
+
+    sch = mentions.schema()
+    names, types = list(sch.names), list(sch.types)
+    for required in ("surface", "norm_key", "label"):
+        if required not in names:
+            raise ValueError(
+                f"mention table is missing column {required!r}")
+    for added in ("_s_cands", "_nk_cands", "_lu"):
+        if added in names:
+            raise ValueError(f"probe already has column {added!r}")
+    # pin the empty-block schema when every probe type is nameable,
+    # same discipline as grouping.lookup_join_on
+    rev = {v: k for k, v in _ARROW_TYPES.items()}
+    derived = {nm: rev.get(tp) for nm, tp in zip(names, types)}
+    out_dtypes = None
+    if all(v is not None for v in derived.values()):
+        out_dtypes = dict(derived)
+        out_dtypes["_s_cands"] = "string"
+        out_dtypes["_nk_cands"] = "string"
+
+    def mark(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (batch
+                .append_column("_s_cands", pa.nulls(n, pa.string()))
+                .append_column("_nk_cands", pa.nulls(n, pa.string()))
+                .append_column("_lu",
+                               pa.array(np.zeros(n, dtype=np.int8))))
+
+    def lut_rows(batch: pa.Table) -> pa.Table:
+        t = (batch.select(["norm_key", "surface", "label"])
+             .group_by(["norm_key", "surface", "label"]).aggregate([]))
+        n = t.num_rows
+        cols = {}
+        for nm, tp in zip(names, types):
+            cols[nm] = (t.column(nm).cast(tp)
+                        if nm in ("norm_key", "surface", "label")
+                        else pa.nulls(n, tp))
+        return (pa.table(cols)
+                .append_column("_s_cands", pa.nulls(n, pa.string()))
+                .append_column("_nk_cands", pa.nulls(n, pa.string()))
+                .append_column("_lu",
+                               pa.array(np.ones(n, dtype=np.int8))))
+
+    both = mentions.map_batches(mark, batch_format="pyarrow").union(
+        catalog_ds.map_batches(lut_rows, batch_format="pyarrow"))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["_lu"] == 1]
+        probe = g[g["_lu"] == 0].drop(columns=["_lu"])
+        if len(lut) and len(probe):
+            pairs = (lut[["norm_key", "surface", "label"]]
+                     .drop_duplicates())
+            # exact candidates: sorted distinct labels per SURFACE,
+            # truncated to max_label_num — catalog_candidates verbatim
+            ex = (pairs[["surface", "label"]].drop_duplicates()
+                  .sort_values(["surface", "label"], kind="mergesort"))
+            ex = ex[ex.groupby("surface", sort=False)
+                    .cumcount() < max_label_num]
+            s_map = ex.groupby("surface", sort=False)["label"] \
+                .agg("|".join)
+            # normalized candidates: same contract per NORM_KEY
+            nk = (pairs[["norm_key", "label"]].drop_duplicates()
+                  .sort_values(["norm_key", "label"], kind="mergesort"))
+            nk = nk[nk.groupby("norm_key", sort=False)
+                    .cumcount() < max_label_num]
+            nk_map = nk.groupby("norm_key", sort=False)["label"] \
+                .agg("|".join)
+            probe = probe.assign(
+                _s_cands=probe["surface"].map(s_map),
+                _nk_cands=probe["norm_key"].map(nk_map))
+        return probe
+
+    return coarse_grouped(both, ["norm_key"], local, num_buckets,
+                          out_dtypes=out_dtypes)
+
+
 def link_exploded_mentions(mentions, catalog_ds, *, max_label_num: int = 3,
                            broadcast_bytes: int | None = None,
                            catalog_bytes_hint: int | None = None,
                            probe_bytes_hint: int | None = None,
-                           num_buckets: int = 256):
+                           num_buckets: int | None = None):
     """Hash-partitioned entity linking over a FLAT mention table (the
     ``explode_mentions`` shape, each row carrying ``surface`` /
     ``norm_key`` / ``label``) against a catalog *Dataset* of
@@ -145,56 +236,67 @@ def link_exploded_mentions(mentions, catalog_ds, *, max_label_num: int = 3,
 
     Scoring is the :class:`LinkScorer` contract verbatim — exact surface
     hit → 1.0, normalized-key hit → 0.9, else NIL 0.0 with the tagger
-    label — realized as two LEFT OUTER lookup joins (surface pass, then
-    norm-key pass) plus one vectorized finalize. Strategy per pass (the
-    ``adaptive_join`` stats discipline):
+    label — computed as two candidate columns (``_s_cands`` exact,
+    ``_nk_cands`` normalized) plus one vectorized finalize. Strategy
+    (the ``adaptive_join`` stats discipline):
 
-    * the aggregated lookup is BROADCAST (``ray.put`` once, zero-copy
-      per task, no shuffle) only when ``catalog_bytes_hint`` — normally
-      the catalog parquet's metadata size, an upper bound since
-      aggregation only shrinks — provably fits ``broadcast_bytes``,
-      re-checked block-by-block while materializing;
+    * the aggregated per-key lookups are BROADCAST (``ray.put`` once,
+      zero-copy per task, no shuffle) only when ``catalog_bytes_hint``
+      — normally the catalog parquet's metadata size, an upper bound
+      since aggregation only shrinks — provably fits
+      ``broadcast_bytes``, re-checked block-by-block while
+      materializing;
     * otherwise (including ``catalog_bytes_hint=None``, the scale-safe
       default, and ``broadcast_bytes=0``, which the parity tests use to
-      force it) a hash-partitioned co-group
-      (``grouping.lookup_join_on``): both sides stay distributed and
-      nothing lands on the driver.
+      force it) ONE hash-partitioned co-group on ``norm_key`` resolves
+      BOTH passes: ``norm_key`` is a pure function of the surface
+      string (:func:`~ccnerx_ray.functions.tokenize.normalize_surface`
+      flattens token-internal whitespace, so the key is
+      tokenization-invariant), hence every catalog row that can match a
+      mention exactly OR by normalized key lives in the mention's
+      ``norm_key`` group. Both sides stay distributed, nothing lands on
+      the driver, and the probe is shuffled once (not once per pass).
 
     Appends ``linked_label, link_score, in_catalog, cand_labels,
     n_cands`` — bit-identical to the broadcast scorer on the same
     catalog (test-enforced)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    from ccnerx_ray.functions.grouping import lookup_join_on
+    from ccnerx_ray.functions import grouping
     from ccnerx_ray.ops import join as joinmod
     from ccnerx_ray.state import metrics
 
     if broadcast_bytes is None:
         broadcast_bytes = joinmod.BROADCAST_BYTES_DEFAULT
-    if probe_bytes_hint:
-        # bytes-derived shuffle width (the repo-wide sizing rule): one
-        # bucket per 64 MiB of probe, floored at the caller's bucket
-        # count, capped so per-partition overhead cannot dominate
-        num_buckets = int(min(max(probe_bytes_hint // (64 << 20),
-                                  num_buckets), 4096))
+    if num_buckets is None:
+        # bytes/CPU-derived shuffle width (the repo-wide sizing rule,
+        # ops/join.py:derive_hash_partitions): clamp(probe/256 MiB,
+        # cpus, 4*cpus). Unknown probe size → one bucket per core —
+        # never a fixed fan-out that launches a task per empty
+        # partition at small scale or under-partitions a 100-TB probe.
+        num_buckets = joinmod.derive_hash_partitions(probe_bytes_hint)
 
-    def one_pass(probe, key: str, out_col: str):
-        lut = catalog_candidates(catalog_ds, key, out_col,
-                                 max_label_num, num_buckets)
-        tbl = None
-        if (broadcast_bytes > 0 and catalog_bytes_hint is not None
+    def broadcast_passes():
+        """Both aggregated lookups as driver tables, or None if the
+        bound is not provably met (never materializes past it)."""
+        if not (broadcast_bytes > 0 and catalog_bytes_hint is not None
                 and catalog_bytes_hint <= broadcast_bytes):
+            return None
+        tbls = []
+        for key, out_col in (("surface", "_s_cands"),
+                             ("norm_key", "_nk_cands")):
+            lut = catalog_candidates(catalog_ds, key, out_col,
+                                     max_label_num, num_buckets)
             tbl = joinmod._materialize_build(lut, broadcast_bytes,
                                              catalog_bytes_hint)
-        if tbl is None:
-            metrics.incr(f"link_catalog_partitioned_{key}")
-            return lookup_join_on(probe, key, lut, out_col,
-                                  num_buckets=num_buckets)
-        import ray
-        ref = ray.put(tbl)
+            if tbl is None:
+                return None
+            tbls.append(tbl)
+        return tbls
 
+    def make_add(ref, key: str, out_col: str):
         def add(batch: pa.Table) -> pa.Table:
-            import numpy as np
             b, _keys, idx = joinmod._prepared_build(ref, key)
             if idx is None:
                 raise ValueError(
@@ -205,11 +307,20 @@ def link_exploded_mentions(mentions, catalog_ds, *, max_label_num: int = 3,
                 pa.array(np.where(matched, indexer, 0), type=pa.int64(),
                          mask=~matched))
             return batch.append_column(out_col, picked)
+        return add
 
-        return probe.map_batches(add, batch_format="pyarrow")
-
-    m = one_pass(mentions, "surface", "_s_cands")
-    m = one_pass(m, "norm_key", "_nk_cands")
+    tbls = broadcast_passes()
+    if tbls is not None:
+        import ray
+        m = mentions
+        for tbl, (key, out_col) in zip(tbls, (("surface", "_s_cands"),
+                                              ("norm_key", "_nk_cands"))):
+            m = m.map_batches(make_add(ray.put(tbl), key, out_col),
+                              batch_format="pyarrow")
+    else:
+        metrics.incr("link_catalog_partitioned")
+        m = _cogroup_link(mentions, catalog_ds, max_label_num,
+                          num_buckets)
 
     def finalize(batch: pa.Table) -> pa.Table:
         s = batch.column("_s_cands")
