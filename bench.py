@@ -86,6 +86,8 @@ EXTRAS = [
                              # fast path (r5)
     "kg_triples_attn",       # multi-layer attention backbone with
                              # mid-stack LEBert fusion (r5)
+    "media_frames",          # real per-frame uncompressed-AVI video
+                             # decode, frame-exact oracle (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

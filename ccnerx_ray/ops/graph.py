@@ -529,16 +529,26 @@ def connected_components(edges, src_col: str = "u", dst_col: str = "v",
     return labels.map_batches(finalize, batch_format="pyarrow")
 
 
-def components_oracle_sql(edge_sql: str, rounds: int = 14) -> str:
+def components_oracle_sql(edge_sql: str, rounds: int = 28) -> str:
     """DuckDB oracle for :func:`connected_components`: the SAME
     pointer-jumping min-label rounds, UNROLLED as CTEs (a recursive-CTE
     reachability closure enumerates every (node, reachable-id) pair —
     quadratic in component size, unusable once a giant component forms;
     this stays linear per round). ``edge_sql`` must yield duplicate-free
-    directed columns ``u, v``. ``rounds`` bounds the solvable component
-    diameter at ~2**rounds — both engines reach the same true fixpoint
-    provided they converge, and a too-small ``rounds`` FAILS LOUDLY as a
-    value mismatch, never silently passes."""
+    directed columns ``u, v``.
+
+    ``rounds`` bounds the solvable topology: min-label + ONE pointer
+    hop per round grows a label's reach by considerably less than the
+    2**rounds a pure pointer-chase would suggest (the min still has to
+    TRAVEL along edges at neighbor speed before chains exist to jump) —
+    measured on the sf0.1 co-purchase graph, the deep giant component
+    needs 22 rounds, where the old default of 14 under-converged and
+    left 6 label groups unmerged (caught by the sf0.1 sweep, exactly
+    the loud-fail contract: a too-small ``rounds`` FAILS as a value
+    mismatch against the true-fixpoint Ray side, never silently
+    passes). 28 keeps headroom at every swept scale; the Ray side
+    always runs to its exact convergence check, so only the ORACLE's
+    depth is ever in question."""
     # AS MATERIALIZED is load-bearing: each round references the previous
     # CTE three times, and DuckDB inlines plain CTEs — the plan tree would
     # grow 3**rounds without it (measured: fd exhaustion at rounds=14)

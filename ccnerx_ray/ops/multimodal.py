@@ -6,9 +6,11 @@ Decode is REAL end to end for every fixture container, pure stdlib:
 * **headers** — PNG IHDR, GIF logical-screen descriptor, WAV RIFF
   fmt/data chunks, and the MP4 box tree (``ftyp``/``moov``/``mvhd``
   timescale+duration, ``tkhd`` 16.16 width/height);
-* **pixels/samples** — PNG scanline decode (zlib inflate + the five
-  PNG filter reconstructions), GIF LZW decompression (variable-width
-  LSB-first codes, clear/EOI handling), WAV PCM int16 samples;
+* **pixels/samples/frames** — PNG scanline decode (zlib inflate + the
+  five PNG filter reconstructions), GIF LZW decompression (variable-
+  width LSB-first codes, clear/EOI handling), WAV PCM int16 samples,
+  and uncompressed-AVI video frames (RIFF walk + raw RGB24 DIB row
+  reconstruction — real per-frame pixel decode, no codec library);
 * **features** — deterministic integer summaries over the decoded
   arrays (luminance mean/std, RMS/zero-crossings), in exact micro
   units so a literal-VALUES SQL oracle can check the whole
@@ -17,9 +19,9 @@ Decode is REAL end to end for every fixture container, pure stdlib:
 The only remaining stub is LEARNED featurization (neural image/audio
 embeddings — the model libraries are not in this environment): the
 ``MediaFeatureExtractor`` actor keeps a deterministic hash-seeded
-stand-in for that path, while video PIXEL decode (a real codec) is out
-of stdlib reach — MP4 rows carry real container metadata but
-``feat_ok=False``.
+stand-in for that path. CODEC-compressed video (MP4/H.26x) stays
+header-only — those rows carry real container metadata but
+``feat_ok=False``; uncompressed AVI decodes for real.
 
 Pattern notes for 100 TB:
 * binary payloads ride ``large_binary`` columns; ``batch_size`` for these
@@ -233,7 +235,8 @@ def probe_media_headers(batch: pa.Table) -> pa.Table:
                 bits, dur = wav["bits_per_sample"], wav["duration_ms"]
                 ok = True
             else:
-                mp4 = parse_mp4_header(payload)
+                avi = parse_avi_header(payload)
+                mp4 = avi or parse_mp4_header(payload)
                 if mp4 is not None:
                     w, h = mp4["width"], mp4["height"]
                     dur = mp4["duration_ms"]
@@ -528,6 +531,135 @@ def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
     return np.frombuffer(payload, "<i2", size // 2, start), int(sr)
 
 
+# ---------------------------------------------------------------------------
+# REAL video decode (pure stdlib): uncompressed AVI with raw RGB24 frames
+# ---------------------------------------------------------------------------
+# AVI-with-DIB is a genuine in-the-wild video format (RIFF 'AVI ' container,
+# 'vids'/'DIB ' stream, BI_RGB BITMAPINFOHEADER) that needs NO codec library:
+# every frame is raw bottom-up BGR rows padded to 4 bytes (AVI RIFF spec /
+# Win32 BITMAPINFOHEADER). This closes the "video pixel decode is out of
+# stdlib reach" gap for uncompressed streams; compressed MP4/H.26x still
+# honestly requires a codec and keeps its header-only treatment.
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _walk_riff(payload: bytes, start: int, end: int):
+    """Yield (tag, data_start, data_end) over a RIFF chunk run; chunks
+    are little-endian sized and word-aligned. Torn chunk → stop."""
+    off = start
+    while off + 8 <= end:
+        tag = payload[off:off + 4]
+        size = struct.unpack("<I", payload[off + 4:off + 8])[0]
+        if off + 8 + size > end:
+            return
+        yield tag, off + 8, off + 8 + size
+        off += 8 + size + (size & 1)
+
+
+def make_video_frames(width: int, height: int, n_frames: int,
+                      seed: int = 0) -> np.ndarray:
+    """Deterministic RGB frame stack ``uint8 [n, h, w, 3]`` — the video
+    fixture's ground truth, generated BEFORE encoding (make_pixels's
+    video sibling)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n_frames, height, width, 3),
+                        dtype=np.uint8)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """REAL AVI encoder for ``uint8 [n, h, w, 3]`` RGB frames: RIFF
+    'AVI ' with a conformant hdrl (avih + strl: 'vids'/'DIB ' strh +
+    BI_RGB BITMAPINFOHEADER strf) and one '00db' movi chunk per frame —
+    bottom-up BGR rows padded to 4-byte stride, the uncompressed DIB
+    layout every AVI reader understands."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_bytes * fps, 0,
+                       0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, fps, 0, n, frame_bytes, 0, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       frame_bytes, 0, 0, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + strl)
+    rows = np.zeros((n, h, stride), dtype=np.uint8)
+    rows[:, :, :w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    movi = b"movi" + b"".join(_riff_chunk(b"00db", rows[i].tobytes())
+                              for i in range(n))
+    payload = b"AVI " + hdrl + _riff_chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def parse_avi_header(payload: bytes) -> dict | None:
+    """AVI RIFF walk → width / height / n_frames / duration_ms from the
+    avih main header; ``None`` when the bytes are not an AVI."""
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "):
+        return None
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    for tag, a, b in _walk_riff(payload, 12, end):
+        if tag == b"LIST" and payload[a:a + 4] == b"hdrl":
+            for t2, c, d in _walk_riff(payload, a + 4, b):
+                if t2 == b"avih" and d - c >= 40:
+                    uspf, _mbs, _pad, _flags, total, _init, _ns, _buf, \
+                        w, h = struct.unpack("<10I", payload[c:c + 40])
+                    return {"width": int(w), "height": int(h),
+                            "n_frames": int(total),
+                            "duration_ms": int(total * uspf // 1000)
+                            if uspf else -1}
+    return None
+
+
+def decode_avi_frames(payload: bytes) -> np.ndarray | None:
+    """REAL AVI frame decode for uncompressed RGB24 streams: hdrl walk
+    for the BITMAPINFOHEADER (only biBitCount=24 / biCompression=BI_RGB
+    supported — anything compressed needs a codec and returns ``None``),
+    then every '00db'/'00dc' movi chunk un-padded, bottom-up-flipped and
+    BGR→RGB swapped → ``uint8 [n, h, w, 3]``."""
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "):
+        return None
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    w = h = -1
+    frames: list[np.ndarray] = []
+    for tag, a, b in _walk_riff(payload, 12, end):
+        if tag != b"LIST":
+            continue
+        kind = payload[a:a + 4]
+        if kind == b"hdrl":
+            for t2, c, d in _walk_riff(payload, a + 4, b):
+                if t2 == b"LIST" and payload[c:c + 4] == b"strl":
+                    for t3, e, f in _walk_riff(payload, c + 4, d):
+                        if t3 == b"strf" and f - e >= 40:
+                            (_sz, bw, bh, _pl, bits,
+                             comp) = struct.unpack("<IiiHHI",
+                                                   payload[e:e + 20])
+                            if bits != 24 or comp != 0 or bh <= 0:
+                                return None
+                            w, h = int(bw), int(bh)
+        elif kind == b"movi":
+            if w <= 0 or h <= 0:
+                return None
+            stride = (w * 3 + 3) & ~3
+            for t2, c, d in _walk_riff(payload, a + 4, b):
+                if t2 in (b"00db", b"00dc") and d - c >= stride * h:
+                    rows = np.frombuffer(payload, np.uint8, stride * h,
+                                         c).reshape(h, stride)
+                    frames.append(rows[::-1, :w * 3]
+                                  .reshape(h, w, 3)[:, :, ::-1])
+    if not frames or w <= 0:
+        return None
+    return np.stack(frames)
+
+
 def _micro(x: float) -> int:
     """floor(x·1e6 + 0.5): half-up micro units, exact int for oracles."""
     return int(np.floor(x * 1e6 + 0.5))
@@ -594,9 +726,19 @@ def summarize_media_features(batch: pa.Table) -> pa.Table:
                 n_units, mean_m, std_m, extra = audio_summary(wav[0])
                 ok = True
             else:
-                mp4 = parse_mp4_header(payload)
-                if mp4 is not None:
-                    n_units = mp4["duration_ms"]   # real metadata, no codec
+                frames = decode_avi_frames(payload)
+                if frames is not None:
+                    # real frame decode: luminance stats over ALL frames
+                    lum = frames.astype(np.float64).mean(axis=3)
+                    n_units = int(lum.size)
+                    mean_m = _micro(float(lum.mean()))
+                    std_m = _micro(float(lum.std()))
+                    extra = int(frames.shape[0])     # n_frames
+                    ok = True
+                else:
+                    mp4 = parse_mp4_header(payload)
+                    if mp4 is not None:
+                        n_units = mp4["duration_ms"]  # metadata, no codec
         for k, v in (("media_id", i), ("kind", kind), ("mime", mime),
                      ("n_units", n_units), ("mean_micro", mean_m),
                      ("std_micro", std_m), ("extra_micro", extra),
@@ -672,8 +814,13 @@ class MediaFeatureExtractor:
             if wav is None:
                 raise ValueError("unparsable WAV payload")
             return pooled_feature(wav[0] / 32768.0, self.dim), 1
+        frames = decode_avi_frames(payload)     # stdlib DIB — real frames
+        if frames is not None:
+            lum = frames.astype(np.float64).mean(axis=3) / 255.0
+            return pooled_feature(lum, self.dim), int(frames.shape[0])
         raise NotImplementedError(
-            "video pixel decode requires a codec (pyav) — not available")
+            "compressed video (MP4/H.26x) requires a codec (pyav) — only "
+            "uncompressed AVI decodes in this environment")
 
     def _decode(self, kind: str, payload: bytes, duration_ms: int) -> tuple[np.ndarray, int]:
         if not self.use_fake:
@@ -710,6 +857,110 @@ def extract_media_features(ds, dim: int = 64, concurrency: int = 4,
                           batch_format="pyarrow",
                           batch_size=media_batch_size,
                           concurrency=(1, concurrency))
+
+
+VIDEO_FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int64()),        # -1 when the payload can't decode
+    ("n_pixels", pa.int64()),
+    ("mean_micro", pa.int64()),       # per-frame luminance mean
+    ("std_micro", pa.int64()),        # per-frame luminance std
+    ("decode_ok", pa.bool_()),
+])
+
+
+def summarize_video_frames(batch: pa.Table) -> pa.Table:
+    """Stateless frame-sample stage over REAL video bytes: uncompressed
+    AVI payloads are fully decoded (RIFF walk + raw DIB frame
+    reconstruction, pure stdlib) and each frame becomes one row of exact
+    integer luminance stats. Codec-compressed / unparsable payloads
+    quarantine as a single ``decode_ok=False`` row (M12) instead of
+    erroring the block."""
+    out = {name: [] for name in VIDEO_FRAME_SCHEMA.names}
+
+    def emit(mid, fidx, npx, mean_m, std_m, ok):
+        for k, v in (("media_id", mid), ("frame_idx", fidx),
+                     ("n_pixels", npx), ("mean_micro", mean_m),
+                     ("std_micro", std_m), ("decode_ok", ok)):
+            out[k].append(v)
+
+    for mid, payload in zip(batch.column("media_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        frames = decode_avi_frames(payload or b"")
+        if frames is None:
+            emit(mid, -1, -1, -1, -1, False)
+            continue
+        lum = frames.astype(np.float64).mean(axis=3)
+        for i in range(frames.shape[0]):
+            emit(mid, i, int(lum[i].size), _micro(float(lum[i].mean())),
+                 _micro(float(lum[i].std())), True)
+    return pa.Table.from_pydict(out, schema=VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_summary(ds, media_batch_size: int = 16):
+    """video table → per-frame exact luminance-stat table (streaming;
+    frame payloads are the biggest rows in the media family, so the
+    default batch is smaller than the header/feature stages')."""
+    return ds.map_batches(summarize_video_frames, batch_format="pyarrow",
+                          batch_size=media_batch_size)
+
+
+def _video_params(n: int, seed: int) -> list[dict]:
+    """Parameter draws for the video fixture, separated from container
+    encoding so ``expected_video_frames`` can state what the decoder MUST
+    recover without touching the payloads (the ``_media_params`` recipe).
+    Widths deliberately include non-multiples of 4 so the DIB row-padding
+    path is always exercised."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        out.append({
+            "media_id": i,
+            "width": int(rng.integers(9, 49)),
+            "height": int(rng.integers(6, 37)),
+            "n_frames": int(rng.integers(2, 6)),
+            "fps": int(rng.choice([5, 10, 25])),
+            "frame_seed": seed * 99991 + i,
+        })
+    return out
+
+
+def synthetic_video_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic video fixture: every payload is a REAL uncompressed
+    AVI over REAL frames (raw RGB24 DIB rows in a conformant RIFF box
+    tree), so the per-frame decoder runs against genuine bytes end to
+    end — the ``synthetic_media_table`` recipe, video edition."""
+    rows = []
+    for p in _video_params(n, seed):
+        frames = make_video_frames(p["width"], p["height"], p["n_frames"],
+                                   seed=p["frame_seed"])
+        rows.append({
+            "media_id": p["media_id"], "kind": "video",
+            "payload": encode_avi(frames, fps=p["fps"]),
+            "mime": "video/x-msvideo",
+            "width": p["width"], "height": p["height"],
+            "duration_ms": p["n_frames"] * (1_000_000 // p["fps"]) // 1000,
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def expected_video_frames(n: int, seed: int = 7) -> pa.Table:
+    """The video fixture's ground truth, computed from the PRE-ENCODE
+    frame arrays (never the payload bytes) — equality with the decode
+    stage's output proves the encode→AVI→decode roundtrip per frame."""
+    out = {name: [] for name in VIDEO_FRAME_SCHEMA.names}
+    for p in _video_params(n, seed):
+        frames = make_video_frames(p["width"], p["height"], p["n_frames"],
+                                   seed=p["frame_seed"])
+        lum = frames.astype(np.float64).mean(axis=3)
+        for i in range(p["n_frames"]):
+            for k, v in (("media_id", p["media_id"]), ("frame_idx", i),
+                         ("n_pixels", int(lum[i].size)),
+                         ("mean_micro", _micro(float(lum[i].mean()))),
+                         ("std_micro", _micro(float(lum[i].std()))),
+                         ("decode_ok", True)):
+                out[k].append(v)
+    return pa.Table.from_pydict(out, schema=VIDEO_FRAME_SCHEMA)
 
 
 def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:

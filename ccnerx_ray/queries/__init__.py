@@ -25,11 +25,12 @@ _PRIORITY = [
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
     "fingerprint",
-    # embeddings / ANN / clustering (ivf_knn is rows-only — its
-    # machinery is gate-checked through the oracle-paired ivf_knn_full,
-    # so it lives in the registry tail rather than spending a slot of
-    # the 50-row gate window)
-    "doc_embeddings", "knn", "ivf_knn_full", "ivf_knn_store",
+    # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
+    # rows-only — their machinery is gate-checked through the
+    # oracle-paired *_full probe-all twins, so both live in the
+    # registry tail rather than spending slots of the 50-row gate
+    # window on no_oracle rows)
+    "doc_embeddings", "knn", "ivf_knn_full",
     "ivf_knn_store_full", "kmeans_clusters", "centroids",
     "embedding_dim_stats",
     # graph
@@ -43,11 +44,13 @@ _PRIORITY = [
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split
     # families below)
+    # (click_last_purchase / events_moving_week were driver-verified in
+    # r3 AND r4 — per the registry-hygiene rule they yield their window
+    # slots to newer first-class ops and join the tail)
     "hll_custkey", "quantile_summary",
-    "profile", "events_global_asof", "click_last_purchase",
-    "events_moving_week", "user_sessions",
-    # multimodal
-    "media_headers", "media_features",
+    "profile", "events_global_asof", "user_sessions",
+    # multimodal (media_frames: real per-frame uncompressed-AVI decode)
+    "media_headers", "media_features", "media_frames",
     # corpus splits / sampling
     "doc_splits",
 ]

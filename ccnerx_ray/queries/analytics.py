@@ -926,6 +926,51 @@ def _media_headers_oracle_sql() -> str:
 ORACLE_MEDIA_HEADERS = _media_headers_oracle_sql()
 
 
+def q_media_frames(sf_dir: str):
+    """REAL per-frame video decode over the synthetic video table: every
+    payload is an uncompressed AVI (raw RGB24 DIB frames in a conformant
+    RIFF box tree) fully decoded by the pure-stdlib frame reconstructor,
+    one row of exact integer luminance stats per frame. Oracle-checked
+    by a literal-VALUES SQL derived from the generator's PRE-ENCODE frame
+    arrays, so the comparison proves the encode→AVI→decode roundtrip
+    frame-for-frame — the video sibling of ``media_features``."""
+    import pyarrow as pa
+    import ray.data
+    from ccnerx_ray.ops.multimodal import (VIDEO_FRAME_SCHEMA,
+                                           synthetic_video_table,
+                                           video_frame_summary)
+    ds = ray.data.from_arrow(synthetic_video_table(_media_n(sf_dir)))
+    return video_frame_summary(ds)
+
+
+def _media_frames_oracle_sql() -> str:
+    """Literal-VALUES oracle for ``media_frames`` (two legs switched on
+    the ``documents`` row count, the media-family recipe)."""
+    from ccnerx_ray.ops.multimodal import expected_video_frames
+
+    def values(n: int) -> str:
+        return ",\n".join(
+            "({media_id}, {frame_idx}, {n_pixels}, {mean_micro}, "
+            "{std_micro}, {ok})".format(
+                **r, ok="TRUE" if r["decode_ok"] else "FALSE")
+            for r in expected_video_frames(n).to_pylist())
+
+    cols = ("media_id, frame_idx, n_pixels, mean_micro, std_micro, "
+            "decode_ok")
+    casts = ", ".join(
+        c if c == "decode_ok" else f"CAST({c} AS BIGINT) AS {c}"
+        for c in cols.split(", "))
+    legs = []
+    for n, guard in ((60, "<"), (120, ">=")):
+        legs.append(
+            f"SELECT {casts} FROM (VALUES\n{values(n)}\n) AS t({cols})\n"
+            f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+    return "\nUNION ALL\n".join(legs)
+
+
+ORACLE_MEDIA_FRAMES = _media_frames_oracle_sql()
+
+
 # ------------------------------------------------------------- KG flagship
 # fixed domain catalog for the documents vocabulary (token tuples → label)
 TESTDATA_CATALOG: list[tuple[tuple[str, ...], str]] = sorted({
@@ -1248,6 +1293,7 @@ ANALYTICS_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
+    "media_frames": q_media_frames,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
@@ -1282,6 +1328,7 @@ ANALYTICS_ORACLE = {
     "kg_aliases": ORACLE_KG_ALIASES,
     "media_headers": ORACLE_MEDIA_HEADERS,
     "media_features": ORACLE_MEDIA_FEATURES,
+    "media_frames": ORACLE_MEDIA_FRAMES,
     # ivf_knn / ivf_knn_store (approximate by construction; their
     # machinery is oracle-checked via ivf_knn_full / ivf_knn_store_full)
     # are the only rows-only queries

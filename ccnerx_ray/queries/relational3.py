@@ -275,7 +275,7 @@ GROUP BY idx
 def q_graph_components(sf_dir: str):
     """Exact connected components over a sparse part–supplier co-purchase
     graph. The filter (quantity-1 lineitems, every 4th part) is chosen so
-    the graph FRACTURES — 18 components at sf0.01, 303 at sf0.1 —
+    the graph FRACTURES — 18 components at sf0.01, 297 at sf0.1 —
     while keeping one giant deep component (~30% of nodes), so the query
     exercises both many-component output and multi-round convergence.
     The missing piece of the dedup family: near-dup PAIRS

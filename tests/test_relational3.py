@@ -127,6 +127,47 @@ def test_connected_components_path_graph(ray_session):
     assert got == {f"x{i:03d}": "x000" for i in range(n)}
 
 
+def test_components_oracle_depth_reaches_true_fixpoint():
+    """Regression for the r5 sf0.1 sweep catch: the ORACLE's unrolled
+    pointer-jumping rounds converge far slower than the old '~2**rounds
+    diameter' claim (the min must still travel along edges; the sf0.1
+    giant co-purchase component needed 22 rounds where the default was
+    14, leaving 6 label groups unmerged — the Ray side, which runs to
+    its exact convergence check, was right). Pin the default-depth
+    oracle against an independent union-find ground truth on the sf0.01
+    fixture, so a future depth regression fails here before any sweep."""
+    import duckdb
+
+    from ccnerx_ray.queries.relational3 import _components_oracle
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    got = con.sql(_components_oracle()).df()
+    edges = con.sql(
+        "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem "
+        "WHERE l_quantity < 2 AND l_partkey % 4 = 0").df()
+    con.close()
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(edges.u, edges.v):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    truth = {n: find(n) for n in parent}
+    assert {r.node: r.component for r in got.itertuples()} == truth
+
+
 def test_connected_components_frontier_mode_exact(ray_session):
     """Force the frontier (active-set) rounds — broadcast the changed
     set, deref fresh pointees — from round 2 onward and require the SAME
