@@ -629,28 +629,44 @@ def decode_avi_frames(payload: bytes) -> np.ndarray | None:
         return None
     end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     w = h = -1
+    stream_idx = -1
     frames: list[np.ndarray] = []
     for tag, a, b in _walk_riff(payload, 12, end):
         if tag != b"LIST":
             continue
         kind = payload[a:a + 4]
         if kind == b"hdrl":
+            n_strl = 0
             for t2, c, d in _walk_riff(payload, a + 4, b):
                 if t2 == b"LIST" and payload[c:c + 4] == b"strl":
+                    # only the 'vids' stream's format header counts — a
+                    # real-world AVI often carries an audio strl too,
+                    # whose strf is a WAVEFORMATEX that must not poison
+                    # (or veto) the video dimensions; movi chunk ids
+                    # carry the stream ORDINAL ('01db' when audio is
+                    # stream 0), so remember which strl is the video
+                    is_vids = False
                     for t3, e, f in _walk_riff(payload, c + 4, d):
-                        if t3 == b"strf" and f - e >= 40:
+                        if t3 == b"strh":
+                            is_vids = payload[e:e + 4] == b"vids"
+                        elif t3 == b"strf" and is_vids:
+                            if f - e < 40:
+                                return None
                             (_sz, bw, bh, _pl, bits,
                              comp) = struct.unpack("<IiiHHI",
                                                    payload[e:e + 20])
                             if bits != 24 or comp != 0 or bh <= 0:
                                 return None
                             w, h = int(bw), int(bh)
+                            stream_idx = n_strl
+                    n_strl += 1
         elif kind == b"movi":
             if w <= 0 or h <= 0:
                 return None
+            vid_tags = (b"%02ddb" % stream_idx, b"%02ddc" % stream_idx)
             stride = (w * 3 + 3) & ~3
             for t2, c, d in _walk_riff(payload, a + 4, b):
-                if t2 in (b"00db", b"00dc") and d - c >= stride * h:
+                if t2 in vid_tags and d - c >= stride * h:
                     rows = np.frombuffer(payload, np.uint8, stride * h,
                                          c).reshape(h, stride)
                     frames.append(rows[::-1, :w * 3]

@@ -251,6 +251,52 @@ def test_avi_encode_decode_roundtrip():
     assert decode_avi_frames(bytes(bad)) is None
 
 
+def test_avi_decode_multi_stream_picks_the_vids_stream():
+    """A real-world AVI often interleaves an AUDIO stream: its strl list
+    carries a WAVEFORMATEX strf that must neither poison the video
+    dimensions nor veto the decode, and when audio is stream 0 the video
+    frames arrive as '01db' chunks, not '00db'. Hand-assemble such a
+    two-stream file and check the decoder still recovers the frames."""
+    import struct
+
+    import numpy as np
+    from ccnerx_ray.ops.multimodal import (_riff_chunk, decode_avi_frames,
+                                           make_video_frames)
+
+    frames = make_video_frames(13, 7, 3, seed=11)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    avih = struct.pack("<14I", 100_000, stride * h * 10, 0, 0x10, n, 0,
+                       2, stride * h, w, h, 0, 0, 0, 0)
+    # stream 0: audio ('auds' strh + a 18-byte WAVEFORMATEX strf —
+    # shorter than a BITMAPINFOHEADER and bits-per-sample = 16)
+    auds_strh = struct.pack("<4s4sIHH8I4h", b"auds", b"\0\0\0\0", 0, 0, 0,
+                            0, 1, 8000, 0, 8000, 16000, 0, 0, 0, 0, 0, 0)
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    vids_strh = struct.pack("<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0,
+                            0, 1, 10, 0, n, stride * h, 0, 0, 0, 0, w, h)
+    vids_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            stride * h, 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", auds_strh)
+                                     + _riff_chunk(b"strf", auds_strf))
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", vids_strh)
+                                     + _riff_chunk(b"strf", vids_strf)))
+    rows = np.zeros((n, h, stride), dtype=np.uint8)
+    rows[:, :, :w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    movi = b"movi"
+    for i in range(n):
+        movi += _riff_chunk(b"00wb", b"\x00" * 64)     # audio = stream 0
+        movi += _riff_chunk(b"01db", rows[i].tobytes())  # video = stream 1
+    payload = b"AVI " + hdrl + _riff_chunk(b"LIST", movi)
+    avi = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    dec = decode_avi_frames(avi)
+    assert dec is not None and dec.shape == frames.shape
+    assert (dec == frames).all()
+
+
 def test_video_frame_stage_matches_pre_encode_truth():
     """The per-frame decode stage reproduces the expected table computed
     from the PRE-ENCODE arrays (never the payloads) — the encode→AVI→
