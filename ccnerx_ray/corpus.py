@@ -12,6 +12,7 @@ exercise the salted canonicalization groupby.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -64,8 +65,23 @@ def _commit(seed: int, repo: str, path: str) -> str:
     return hashlib.sha256(f"{seed}|{repo}|{path}".encode()).hexdigest()[:40]
 
 
+def dotted_surface(surf: tuple[str, ...]) -> str:
+    """Canonical dotted form of a catalog surface: the rendered content
+    joins tokens with single spaces (``lib . func``), the canonical form
+    removes the space padding (``lib.func``). Single-token surfaces are
+    unchanged. This is the module/symbol key the code-analysis operators
+    normalize to (``ops/code.py``)."""
+    return "".join(surf)
+
+
 def _gen_row(seed: int, i: int, surfaces: list[tuple[tuple[str, ...], str]],
-             n_rows: int) -> tuple[dict, list[tuple[tuple[str, ...], str]]]:
+             n_rows: int) -> tuple[dict, list[tuple[tuple[str, ...], str]],
+                                   list[tuple[str, str]]]:
+    """Returns (row, planted mention gold, line events). Line events record
+    GENERATION INTENT — ``(kind, dotted_surface)`` per structural line
+    (kind ∈ import/def/class/call ×2 operands) — so code-analysis oracles
+    can be derived without re-parsing content. Recording consumes no extra
+    rng draws: existing corpora regenerate bit-identical."""
     rng = _rng(seed, "row", i)
     # skew: half the corpus in one monorepo (FIXTURES.md F1)
     if rng.random() < 0.5:
@@ -83,6 +99,7 @@ def _gen_row(seed: int, i: int, surfaces: list[tuple[tuple[str, ...], str]],
 
     lines: list[str] = []
     planted: list[tuple[tuple[str, ...], str]] = []
+    events: list[tuple[str, str]] = []
 
     def pick() -> tuple[str, tuple[str, ...], str]:
         surf, lab = surfaces[int(rng.integers(0, len(surfaces)))]
@@ -92,18 +109,23 @@ def _gen_row(seed: int, i: int, surfaces: list[tuple[tuple[str, ...], str]],
     for _ in range(n_lines):
         t = rng.random()
         if t < 0.25:
-            s, *_ = pick()
+            s, surf, _l = pick()
+            events.append(("import", dotted_surface(surf)))
             lines.append(f"import {s}")
         elif t < 0.45:
-            s, *_ = pick()
+            s, surf, _l = pick()
+            events.append(("def", dotted_surface(surf)))
             v = _FILLER_VARS[int(rng.integers(0, len(_FILLER_VARS)))]
             lines.append(f"def {s} ( {v} ) :")
         elif t < 0.60:
-            s1, *_ = pick()
-            s2, *_ = pick()
+            s1, surf1, _l1 = pick()
+            s2, surf2, _l2 = pick()
+            events.append(("call", dotted_surface(surf1)))
+            events.append(("callarg", dotted_surface(surf2)))
             lines.append(f"{_FILLER_VARS[int(rng.integers(0, 10))]} = {s1} ( {s2} )")
         elif t < 0.70:
-            s, *_ = pick()
+            s, surf, _l = pick()
+            events.append(("class", dotted_surface(surf)))
             lines.append(f"class {s} :")
         else:
             v = _FILLER_VARS[int(rng.integers(0, len(_FILLER_VARS)))]
@@ -111,7 +133,7 @@ def _gen_row(seed: int, i: int, surfaces: list[tuple[tuple[str, ...], str]],
 
     content = "\n".join(lines)
     return ({"repo": repo, "path": path, "commit": _commit(seed, repo, path),
-             "lang": lang, "content": content}, planted)
+             "lang": lang, "content": content}, planted, events)
 
 
 CORPUS_SCHEMA = pa.schema([("repo", pa.string()), ("path", pa.string()),
@@ -127,7 +149,7 @@ def generate_corpus(n_rows: int, seed: int = 42,
     surfaces = sorted(cat.surface2label.items())
     rows, gold = [], []
     for i in range(n_rows):
-        row, planted = _gen_row(seed, i, surfaces, n_rows)
+        row, planted, _events = _gen_row(seed, i, surfaces, n_rows)
         rows.append(row)
         if with_gold:
             for surf, lab in planted:
@@ -136,6 +158,96 @@ def generate_corpus(n_rows: int, seed: int = 42,
     if with_gold:
         return table, gold
     return table
+
+
+@functools.lru_cache(maxsize=8)
+def _lines_gold(n_rows: int, seed: int):
+    """Memoized line-event gold — the three ``expected_code_*`` oracles
+    and both sf legs share one generation per (n, seed)."""
+    _t, gold = generate_corpus_with_lines(n_rows, seed)
+    return tuple(gold)
+
+
+def generate_corpus_with_lines(n_rows: int, seed: int = 42):
+    """Corpus table + per-row LINE-EVENT gold
+    ``[(row_idx, repo, kind, dotted_surface), ...]`` recording generation
+    intent for each structural line (kind ∈ import/def/class/call/callarg).
+    The code-analysis oracles (``expected_code_*``) derive expected outputs
+    from these events — an independent path from the Arrow string-kernel
+    parse the operators perform — so a Ray-vs-oracle match proves the
+    render→parse roundtrip, the media-fixture recipe."""
+    cat = build_catalog(seed)
+    surfaces = sorted(cat.surface2label.items())
+    rows, line_gold = [], []
+    for i in range(n_rows):
+        row, _planted, events = _gen_row(seed, i, surfaces, n_rows)
+        rows.append(row)
+        for kind, dotted in events:
+            line_gold.append((i, row["repo"], kind, dotted))
+    return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA), line_gold
+
+
+def expected_code_imports(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``module_popularity``:
+    (module, n_imports, n_repos) — import-line counts and distinct
+    importing-repo counts per canonical module name."""
+    gold = _lines_gold(n_rows, seed)
+    n_imp: dict[str, int] = {}
+    repos: dict[str, set] = {}
+    for _i, repo, kind, dotted in gold:
+        if kind == "import":
+            n_imp[dotted] = n_imp.get(dotted, 0) + 1
+            repos.setdefault(dotted, set()).add(repo)
+    mods = sorted(n_imp)
+    return pa.table({
+        "module": pa.array(mods, pa.string()),
+        "n_imports": pa.array([n_imp[m] for m in mods], pa.int64()),
+        "n_repos": pa.array([len(repos[m]) for m in mods], pa.int64()),
+    })
+
+
+def expected_code_symbols(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``symbol_stats``:
+    (symbol, kind, n_defs, n_repos) over def/class definition lines."""
+    gold = _lines_gold(n_rows, seed)
+    n_def: dict[tuple[str, str], int] = {}
+    repos: dict[tuple[str, str], set] = {}
+    for _i, repo, kind, dotted in gold:
+        if kind in ("def", "class"):
+            k = (dotted, kind)
+            n_def[k] = n_def.get(k, 0) + 1
+            repos.setdefault(k, set()).add(repo)
+    keys = sorted(n_def)
+    return pa.table({
+        "symbol": pa.array([s for s, _k in keys], pa.string()),
+        "kind": pa.array([k for _s, k in keys], pa.string()),
+        "n_defs": pa.array([n_def[k] for k in keys], pa.int64()),
+        "n_repos": pa.array([len(repos[k]) for k in keys], pa.int64()),
+    })
+
+
+def expected_code_repo_deps(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``repo_dep_edges``:
+    (src_repo, dst_repo, n_links). Every import LINE of module m in repo r
+    contributes one link to EACH DISTINCT repo defining m (def or class
+    line); modules nobody defines contribute nothing. Self-links are kept
+    (a repo importing its own symbol is a real edge)."""
+    gold = _lines_gold(n_rows, seed)
+    defining: dict[str, set] = {}
+    for _i, repo, kind, dotted in gold:
+        if kind in ("def", "class"):
+            defining.setdefault(dotted, set()).add(repo)
+    links: dict[tuple[str, str], int] = {}
+    for _i, repo, kind, dotted in gold:
+        if kind == "import":
+            for dst in defining.get(dotted, ()):
+                links[(repo, dst)] = links.get((repo, dst), 0) + 1
+    keys = sorted(links)
+    return pa.table({
+        "src_repo": pa.array([a for a, _b in keys], pa.string()),
+        "dst_repo": pa.array([b for _a, b in keys], pa.string()),
+        "n_links": pa.array([links[k] for k in keys], pa.int64()),
+    })
 
 
 def write_corpus(path_dir: str, n_rows: int, seed: int = 42,

@@ -36,19 +36,24 @@ _PRIORITY = [
     # graph
     "graph_pagerank", "graph_components", "supplier_triangles",
     "kg_two_hop",
+    # code analysis (the north-star corpus IS source code: import scan,
+    # symbol index, cross-repo dependency edges — ops/code.py)
+    "code_imports", "code_symbols", "code_repo_deps",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
-    "top_words", "heavy_hitters",
+    "heavy_hitters",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split
     # families below)
     # (click_last_purchase / events_moving_week were driver-verified in
     # r3 AND r4 — per the registry-hygiene rule they yield their window
-    # slots to newer first-class ops and join the tail)
-    "hll_custkey", "quantile_summary",
-    "profile", "events_global_asof", "user_sessions",
+    # slots to newer first-class ops and join the tail; this round
+    # top_words / hll_custkey / user_sessions — r3 AND r4 verified,
+    # unchanged since — yield theirs to the code-analysis family)
+    "quantile_summary",
+    "profile", "events_global_asof",
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)
     "media_headers", "media_features", "media_frames",
     # corpus splits / sampling

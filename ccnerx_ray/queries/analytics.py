@@ -971,6 +971,108 @@ def _media_frames_oracle_sql() -> str:
 ORACLE_MEDIA_FRAMES = _media_frames_oracle_sql()
 
 
+# -------------------------------------------------- code analysis (ops/code)
+#
+# The north-star input is a corpus of SOURCE-CODE repositories; these
+# queries run the code-structure extractors (import scanning, symbol
+# indexing, cross-repo dependency edges — ops/code.py) over the
+# deterministic graft-corpus generator at a documents-count-scaled fixture
+# size, the media-fixture recipe. Oracles are literal-VALUES tables derived
+# from GENERATION INTENT (corpus.py records which surfaces each structural
+# line planted, independent of the Arrow string-kernel parse), so a match
+# proves the render→parse→aggregate roundtrip value-for-value.
+
+def _code_n(sf_dir: str) -> int:
+    """Code fixture size — documents row count is the only sf signal a
+    static oracle SQL string can read (the _media_n rationale)."""
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return 720 if n_docs >= 2000 else 240
+
+
+def _code_corpus(sf_dir: str):
+    """Fixture corpus as a multi-block Dataset (8 slices so the extract
+    stages parallelize; generation is row-index-pure — at production scale
+    this is a plain pruned ``read_parquet`` of the real corpus)."""
+    import ray.data
+    from ccnerx_ray.corpus import generate_corpus
+    t = generate_corpus(_code_n(sf_dir), seed=42)
+    k = 8
+    per = (t.num_rows + k - 1) // k
+    return ray.data.from_arrow([t.slice(i * per, per) for i in range(k)])
+
+
+def q_code_imports(sf_dir: str):
+    """Import scan → module popularity (module, n_imports, n_repos):
+    one fused Arrow-kernel extract pass, then a pre-combined coarse
+    reduce — line-scale rows never shuffle."""
+    from ccnerx_ray.ops.code import extract_imports, module_popularity
+    return module_popularity(extract_imports(_code_corpus(sf_dir)))
+
+
+def q_code_symbols(sf_dir: str):
+    """Symbol index → (symbol, kind, n_defs, n_repos) over def/class
+    definition lines."""
+    from ccnerx_ray.ops.code import extract_symbols, symbol_stats
+    return symbol_stats(extract_symbols(_code_corpus(sf_dir)))
+
+
+def q_code_repo_deps(sf_dir: str):
+    """Cross-repo dependency graph (src_repo, dst_repo, n_links): import
+    lines joined to DISTINCT defining repos via one hash-partitioned
+    co-group on the module/symbol key — the structural KG edges a
+    source-code corpus adds on top of the NER mention graph."""
+    from ccnerx_ray.ops.code import (extract_imports, extract_symbols,
+                                     repo_dep_edges)
+    c = _code_corpus(sf_dir)
+    return repo_dep_edges(extract_imports(c), extract_symbols(c))
+
+
+def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
+                     str_cols: frozenset) -> str:
+    """Two-leg literal-VALUES oracle from a generation-intent expected
+    table (legs switched on the documents row count, the media recipe).
+    Values contain only [A-Za-z0-9_./]-safe generator output — no SQL
+    escaping hazards."""
+    def lit(c, v):
+        return f"'{v}'" if c in str_cols else str(v)
+
+    def values(n: int) -> str:
+        return ",\n".join(
+            "(" + ", ".join(lit(c, r[c]) for c in cols) + ")"
+            for r in expected_fn(n, seed=42).to_pylist())
+
+    casts = ", ".join(c if c in str_cols else f"CAST({c} AS BIGINT) AS {c}"
+                      for c in cols)
+    legs = []
+    for n, guard in ((240, "<"), (720, ">=")):
+        legs.append(
+            f"SELECT {casts} FROM (VALUES\n{values(n)}\n) "
+            f"AS t({', '.join(cols)})\n"
+            f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+    return "\nUNION ALL\n".join(legs)
+
+
+def _code_oracles() -> dict[str, str]:
+    from ccnerx_ray.corpus import (expected_code_imports,
+                                   expected_code_repo_deps,
+                                   expected_code_symbols)
+    return {
+        "code_imports": _code_oracle_sql(
+            expected_code_imports, ("module", "n_imports", "n_repos"),
+            frozenset({"module"})),
+        "code_symbols": _code_oracle_sql(
+            expected_code_symbols, ("symbol", "kind", "n_defs", "n_repos"),
+            frozenset({"symbol", "kind"})),
+        "code_repo_deps": _code_oracle_sql(
+            expected_code_repo_deps, ("src_repo", "dst_repo", "n_links"),
+            frozenset({"src_repo", "dst_repo"})),
+    }
+
+
+ORACLE_CODE = _code_oracles()
+
+
 # ------------------------------------------------------------- KG flagship
 # fixed domain catalog for the documents vocabulary (token tuples → label)
 TESTDATA_CATALOG: list[tuple[tuple[str, ...], str]] = sorted({
@@ -1294,6 +1396,9 @@ ANALYTICS_QUERIES = {
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "media_frames": q_media_frames,
+    "code_imports": q_code_imports,
+    "code_symbols": q_code_symbols,
+    "code_repo_deps": q_code_repo_deps,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
@@ -1329,6 +1434,7 @@ ANALYTICS_ORACLE = {
     "media_headers": ORACLE_MEDIA_HEADERS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
+    **ORACLE_CODE,
     # ivf_knn / ivf_knn_store (approximate by construction; their
     # machinery is oracle-checked via ivf_knn_full / ivf_knn_store_full)
     # are the only rows-only queries
