@@ -806,3 +806,72 @@ def _uf_components(edges: list[tuple[int, int]]):
             parent[hi] = lo
     return ray.data.from_items(
         [{"doc_id": n, "component": find(n)} for n in nodes])
+
+
+def shared_ngram_stats(docs, *, n: int = 13, text_col: str = "text",
+                       id_col: str = "doc_id", num_buckets: int = 256):
+    """Per-document repeated-span exposure WITHIN a corpus: of each doc's
+    distinct token n-grams, how many occur verbatim in at least one OTHER
+    document. The per-doc shared fraction is the standard signal for
+    boilerplate/template contamination (the n-gram-windowed form of
+    suffix-array substring dedup — Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" §4 run exact substrings;
+    fixed windows are its shuffle-friendly approximation).
+
+    One corpus scan (the ``ngram_contamination`` skeleton with a
+    distinct-doc-count predicate instead of a split test):
+
+    * explode emits each doc's DISTINCT gram digests once, so (gram,
+      doc) rows are globally unique and the bucket-local "docs per gram"
+      count is exact with no second distinct pass;
+    * shuffle carries ``(gram int64, doc_id int64)`` digests, never gram
+      text; width derives from the input bytes (same 4×-bytes model as
+      decontamination), capped at ``num_buckets``;
+    * docs shorter than ``n`` tokens emit one sentinel row so their
+      ``(n_grams=0, n_shared=0)`` row survives to the output.
+
+    Returns Dataset ``(doc_id, n_grams, n_shared)``, exact integers.
+    """
+    from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
+    from ccnerx_ray.ops.decontaminate import _doc_grams_arr
+
+    out_dtypes = {"doc_id": "int64", "n_grams": "int64", "n_shared": "int64"}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        g_col, d_col = [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            grams = _doc_grams_arr(txt, n)
+            if len(grams) == 0:
+                g_col.append(-1)
+                d_col.append(did)
+                continue
+            g_col.extend(grams.tolist())
+            d_col.extend([did] * len(grams))
+        return pa.table({"gram": pa.array(g_col, pa.int64()),
+                         "doc_id": pa.array(d_col, pa.int64())})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["gram"] >= 0]
+        tot = real.groupby("doc_id", sort=False).size()
+        docs_per_gram = real.groupby("gram", sort=False)["doc_id"] \
+                            .transform("size")
+        hit = real[docs_per_gram >= 2].groupby("doc_id", sort=False).size()
+        out = tot.to_frame(name="n_grams")
+        out["n_shared"] = hit.reindex(tot.index, fill_value=0)
+        out = out.reset_index()
+        zero = g.loc[g["gram"] < 0, ["doc_id"]].drop_duplicates()
+        if len(zero):
+            zero = zero.assign(n_grams=0, n_shared=0)
+            out = pd.concat([out, zero], ignore_index=True)
+        return out[["doc_id", "n_grams", "n_shared"]]
+
+    bytes_est = 4 * (docs.size_bytes() or 0)
+    width = int(min(max(bytes_est // (64 << 20), 8), num_buckets))
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+    stats = coarse_grouped(grams, ["gram"], bucket_stats,
+                           num_buckets=width, out_dtypes=out_dtypes)
+    return grouped_reduce(stats, ["doc_id"],
+                          {"n_grams": "sum", "n_shared": "sum"},
+                          num_buckets=min(64, width),
+                          out_dtypes=out_dtypes, pre_combine=True)

@@ -21,10 +21,12 @@ _PRIORITY = [
     "kg_triples", "kg_mentions", "kg_mentions_join", "kg_entities",
     "kg_entities_store", "kg_label_dist", "kg_aliases", "kg_triples_ckpt",
     "kg_triples_lebert", "kg_triples_attn", "prompt_corpus",
-    # dedup family
+    # dedup family (dup_ngrams NEW r5: within-corpus repeated-span
+    # exposure — heavy_hitters, r3+r4-verified and unchanged, yields
+    # its window slot)
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
-    "fingerprint",
+    "fingerprint", "dup_ngrams",
     # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
     # rows-only — their machinery is gate-checked through the
     # oracle-paired *_full probe-all twins, so both live in the
@@ -42,7 +44,6 @@ _PRIORITY = [
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
-    "heavy_hitters",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split
@@ -50,8 +51,9 @@ _PRIORITY = [
     # (click_last_purchase / events_moving_week were driver-verified in
     # r3 AND r4 — per the registry-hygiene rule they yield their window
     # slots to newer first-class ops and join the tail; this round
-    # top_words / hll_custkey / user_sessions — r3 AND r4 verified,
-    # unchanged since — yield theirs to the code-analysis family)
+    # top_words / hll_custkey / user_sessions / heavy_hitters — r3 AND
+    # r4 verified, unchanged since — yield theirs to the code-analysis
+    # family and dup_ngrams)
     "quantile_summary",
     "profile", "events_global_asof",
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)

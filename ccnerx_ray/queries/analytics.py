@@ -151,6 +151,42 @@ LEFT JOIN cont c USING (doc_id)
 """
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Within-corpus repeated-span exposure: per document, how many of
+    its distinct 3-grams occur verbatim in at least one OTHER document
+    (the n-gram-windowed form of substring dedup; boilerplate/template
+    signal). One corpus scan, digest-only shuffle — ops/dedup.py
+    ``shared_ngram_stats``."""
+    from ccnerx_ray.ops.dedup import shared_ngram_stats
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return shared_ngram_stats(ds, n=3)
+
+
+ORACLE_DUP_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest([ list_aggregate(l[i:i+2], 'string_agg', chr(31))
+                          for i in range(1, len(l) - 1) ]) AS g
+  FROM toks
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), cnt AS (
+  SELECT g, count(*) AS c FROM dg GROUP BY g
+), per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM dg JOIN cnt USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- profiling
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -1370,6 +1406,7 @@ ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
+    "dup_ngrams": q_dup_ngrams,
     "profile": q_profile,
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
@@ -1409,6 +1446,7 @@ ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "dup_ngrams": ORACLE_DUP_NGRAMS,
     "profile": ORACLE_PROFILE,
     "quantiles": ORACLE_QUANTILES,
     "quantiles_cont": ORACLE_QUANTILES_CONT,
