@@ -88,6 +88,12 @@ EXTRAS = [
                              # mid-stack LEBert fusion (r5)
     "media_frames",          # real per-frame uncompressed-AVI video
                              # decode, frame-exact oracle (r5)
+    "code_imports",          # Arrow-kernel import scan + module
+                             # popularity over the code corpus (r5)
+    "code_repo_deps",        # cross-repo dependency edges via one
+                             # hash-partitioned co-group (r5)
+    "dup_ngrams",            # within-corpus repeated-span exposure
+                             # (digest-only gram shuffle) (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

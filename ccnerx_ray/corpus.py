@@ -226,6 +226,46 @@ def expected_code_symbols(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
+def expected_code_calls(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``call_popularity``:
+    (callee, n_calls, n_repos) over call lines."""
+    gold = _lines_gold(n_rows, seed)
+    n_call: dict[str, int] = {}
+    repos: dict[str, set] = {}
+    for _i, repo, kind, dotted in gold:
+        if kind == "call":
+            n_call[dotted] = n_call.get(dotted, 0) + 1
+            repos.setdefault(dotted, set()).add(repo)
+    keys = sorted(n_call)
+    return pa.table({
+        "callee": pa.array(keys, pa.string()),
+        "n_calls": pa.array([n_call[k] for k in keys], pa.int64()),
+        "n_repos": pa.array([len(repos[k]) for k in keys], pa.int64()),
+    })
+
+
+_PRED_OF_KIND = {"import": "imports", "def": "defines_def",
+                 "class": "defines_class", "call": "calls",
+                 "callarg": "uses"}
+
+
+def expected_structure_triples(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``structure_triples``:
+    (subj, pred, obj, n_lines)."""
+    gold = _lines_gold(n_rows, seed)
+    cnt: dict[tuple[str, str, str], int] = {}
+    for _i, repo, kind, dotted in gold:
+        k = (repo, _PRED_OF_KIND[kind], dotted)
+        cnt[k] = cnt.get(k, 0) + 1
+    keys = sorted(cnt)
+    return pa.table({
+        "subj": pa.array([a for a, _p, _o in keys], pa.string()),
+        "pred": pa.array([p for _a, p, _o in keys], pa.string()),
+        "obj": pa.array([o for _a, _p, o in keys], pa.string()),
+        "n_lines": pa.array([cnt[k] for k in keys], pa.int64()),
+    })
+
+
 def expected_code_repo_deps(n_rows: int, seed: int = 42) -> pa.Table:
     """Generation-intent expected table for ``repo_dep_edges``:
     (src_repo, dst_repo, n_links). Every import LINE of module m in repo r

@@ -80,95 +80,212 @@ def _canon(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     return pc.utf8_trim_whitespace(pc.replace_substring(arr, " . ", "."))
 
 
-def _extract_imports_batch(batch: pa.Table) -> pa.Table:
+STRUCTURE_SCHEMA = pa.schema([
+    ("repo", pa.string()), ("path", pa.string()), ("lang", pa.string()),
+    ("kind", pa.string()), ("name", pa.string()),
+])
+
+
+def _kind_rows(t: pa.Table, mask, name, kind: str) -> pa.Table:
+    s = t.filter(mask)
+    name = _canon(name(s)) if callable(name) else name
+    return pa.table({
+        "repo": s.column("repo"), "path": s.column("path"),
+        "lang": s.column("lang"),
+        "kind": pa.nulls(s.num_rows, pa.string()).fill_null(kind),
+        "name": name,
+    })
+
+
+def _extract_structure_batch(batch: pa.Table) -> pa.Table:
+    """ONE pass over the lines: every structural extraction (import /
+    def / class / call / callarg) shares the explode, so downstream
+    consumers that need several kinds cost one corpus scan, not one per
+    kind. All masks/slices are Arrow kernels."""
     t = _explode_lines(batch)
-    t = t.filter(pc.starts_with(t.column("line"), "import "))
-    mod = _canon(pc.utf8_slice_codeunits(t.column("line"), 7))
-    out = pa.table({"repo": t.column("repo"), "path": t.column("path"),
-                    "lang": t.column("lang"), "module": mod})
-    return out.filter(pc.not_equal(out.column("module"), ""))
+    line = t.column("line")
+    is_imp = pc.starts_with(line, "import ")
+    is_def = pc.starts_with(line, "def ")
+    is_cls = pc.starts_with(line, "class ")
+    # call lines: `<var> = <callee> ( <arg> )` — anything not already a
+    # keyword line that contains both ` = ` and ` ( `
+    is_call = pc.and_(
+        pc.and_(pc.match_substring(line, " = "),
+                pc.match_substring(line, " ( ")),
+        pc.invert(pc.or_(pc.or_(is_imp, is_def), is_cls)))
+
+    def after_eq(s: pa.Table):
+        # "<var> = <callee> ( <arg> )" → rhs after first " = "
+        return pc.list_element(
+            pc.split_pattern(s.column("line"), " = ", max_splits=1), 1)
+
+    def callee(s: pa.Table):
+        return pc.list_element(
+            pc.split_pattern(after_eq(s), " (", max_splits=1), 0)
+
+    def callarg(s: pa.Table):
+        # text between the first "( " and the final " )"
+        inner = pc.list_element(
+            pc.split_pattern(after_eq(s), "( ", max_splits=1), 1)
+        return pc.list_element(
+            pc.split_pattern(inner, " )", max_splits=1), 0)
+
+    parts = [
+        _kind_rows(t, is_imp,
+                   lambda s: pc.utf8_slice_codeunits(s.column("line"), 7),
+                   "import"),
+        _kind_rows(t, is_def,
+                   lambda s: pc.list_element(pc.split_pattern(
+                       pc.utf8_slice_codeunits(s.column("line"), 4),
+                       " (", max_splits=1), 0),
+                   "def"),
+        _kind_rows(t, is_cls,
+                   lambda s: pc.list_element(pc.split_pattern(
+                       pc.utf8_slice_codeunits(s.column("line"), 6),
+                       " :", max_splits=1), 0),
+                   "class"),
+        _kind_rows(t, is_call, callee, "call"),
+        _kind_rows(t, is_call, callarg, "callarg"),
+    ]
+    out = pa.concat_tables(parts).combine_chunks()
+    return out.filter(pc.not_equal(out.column("name"), ""))
+
+
+def extract_structure(corpus):
+    """corpus → Dataset[STRUCTURE_SCHEMA]: one row per structural fact
+    (kind ∈ import/def/class/call/callarg, name canonicalized). The
+    single-scan source for every code-analysis aggregate — materialize
+    it when feeding multiple consumers (structure rows carry names only,
+    a small fraction of corpus bytes)."""
+    return corpus.map_batches(_extract_structure_batch,
+                              batch_format="pyarrow")
+
+
+def imports_from_structure(st):
+    """structure → (repo, path, lang, module): zero extra corpus scans."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.filter(pc.equal(batch.column("kind"), "import"))
+        return pa.table({"repo": s.column("repo"), "path": s.column("path"),
+                         "lang": s.column("lang"),
+                         "module": s.column("name")})
+    return st.map_batches(fn, batch_format="pyarrow")
+
+
+def symbols_from_structure(st):
+    """structure → (repo, path, lang, symbol, kind) over def/class."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.filter(pc.is_in(batch.column("kind"),
+                                  value_set=pa.array(["def", "class"])))
+        return pa.table({"repo": s.column("repo"), "path": s.column("path"),
+                         "lang": s.column("lang"),
+                         "symbol": s.column("name"),
+                         "kind": s.column("kind")})
+    return st.map_batches(fn, batch_format="pyarrow")
 
 
 def extract_imports(corpus):
     """corpus → Dataset[(repo, path, lang, module)] — one row per import
-    line, module canonicalized. Single fused pass (explode + filter +
-    slice inside one map_batches)."""
-    return corpus.map_batches(_extract_imports_batch, batch_format="pyarrow")
-
-
-def _extract_symbols_batch(batch: pa.Table) -> pa.Table:
-    t = _explode_lines(batch)
-    parts = []
-    for prefix, terminator, kind in (("def ", " (", "def"),
-                                     ("class ", " :", "class")):
-        s = t.filter(pc.starts_with(t.column("line"), prefix))
-        rest = pc.utf8_slice_codeunits(s.column("line"), len(prefix))
-        # symbol = text before the first terminator (args / colon); split
-        # with max_splits=1 then take element 0 — surfaces never contain
-        # '(' or ':' so the first hit is the boundary
-        sym = _canon(pc.list_element(
-            pc.split_pattern(rest, terminator, max_splits=1), 0))
-        parts.append(pa.table({
-            "repo": s.column("repo"), "path": s.column("path"),
-            "lang": s.column("lang"),
-            "symbol": sym,
-            "kind": pa.nulls(s.num_rows, pa.string()).fill_null(kind),
-        }))
-    out = pa.concat_tables(parts).combine_chunks()
-    return out.filter(pc.not_equal(out.column("symbol"), ""))
+    line, module canonicalized. Single fused pass."""
+    return imports_from_structure(extract_structure(corpus))
 
 
 def extract_symbols(corpus):
     """corpus → Dataset[(repo, path, lang, symbol, kind)] — one row per
     def/class definition line."""
-    return corpus.map_batches(_extract_symbols_batch, batch_format="pyarrow")
+    return symbols_from_structure(extract_structure(corpus))
 
 
 def _width(input_bytes: int | None) -> int:
     return derive_hash_partitions(input_bytes)
 
 
-def module_popularity(imports, input_bytes: int | None = None):
-    """imports → (module, n_imports, n_repos): total import-line count and
-    distinct importing-repo count per module. Two-level reduce: the
-    per-(module,repo) partial rides a pre-combined coarse shuffle (line
-    scale → distinct-pair scale), the per-module rollup is pair-scale."""
+def _ones(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "cnt", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+
+def name_popularity(ds, name_col: str, n_count: str, n_repos: str,
+                    input_bytes: int | None = None):
+    """(name_col, repo) rows → (name_col, <n_count>, <n_repos>): total
+    line count and distinct-repo count per name. Two-level reduce: the
+    per-(name,repo) partial rides a pre-combined coarse shuffle (line
+    scale → distinct-pair scale), the per-name rollup is pair-scale."""
     nb = _width(input_bytes)
-
-    def one(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "cnt", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
-
     pairs = grouped_reduce(
-        imports.select_columns(["module", "repo"]).map_batches(
-            one, batch_format="pyarrow"),
-        ["module", "repo"], {"cnt": "sum"}, num_buckets=nb,
-        out_dtypes={"module": "string", "repo": "string", "cnt": "int64"},
+        ds.select_columns([name_col, "repo"]).map_batches(
+            _ones, batch_format="pyarrow"),
+        [name_col, "repo"], {"cnt": "sum"}, num_buckets=nb,
+        out_dtypes={name_col: "string", "repo": "string", "cnt": "int64"},
         pre_combine=True)
 
     def roll(g):
-        out = (g.groupby("module", sort=False)
-                .agg(n_imports=("cnt", "sum"), n_repos=("repo", "count"))
-                .reset_index())
-        return out
+        return (g.groupby(name_col, sort=False)
+                 .agg(**{n_count: ("cnt", "sum"),
+                         n_repos: ("repo", "count")})
+                 .reset_index())
 
-    return coarse_grouped(pairs, ["module"], roll, num_buckets=nb,
-                          out_dtypes={"module": "string",
-                                      "n_imports": "int64",
-                                      "n_repos": "int64"})
+    return coarse_grouped(pairs, [name_col], roll, num_buckets=nb,
+                          out_dtypes={name_col: "string",
+                                      n_count: "int64", n_repos: "int64"})
+
+
+def module_popularity(imports, input_bytes: int | None = None):
+    """imports → (module, n_imports, n_repos)."""
+    return name_popularity(imports, "module", "n_imports", "n_repos",
+                           input_bytes)
+
+
+def call_popularity(structure, input_bytes: int | None = None):
+    """structure → (callee, n_calls, n_repos) over call lines: which
+    symbols the corpus actually invokes (the usage-weighted side of the
+    dependency KG; definition counts alone miss dead code)."""
+    def calls(batch: pa.Table) -> pa.Table:
+        s = batch.filter(pc.equal(batch.column("kind"), "call"))
+        return pa.table({"repo": s.column("repo"),
+                         "callee": s.column("name")})
+    rows = structure.map_batches(calls, batch_format="pyarrow")
+    return name_popularity(rows, "callee", "n_calls", "n_repos",
+                           input_bytes)
+
+
+_PRED_OF_KIND = {"import": "imports", "def": "defines_def",
+                 "class": "defines_class", "call": "calls",
+                 "callarg": "uses"}
+
+
+def structure_triples(structure, input_bytes: int | None = None):
+    """structure → the structural KG triple table
+    ``(subj, pred, obj, n_lines)``: subj = repo, pred ∈ imports /
+    defines_def / defines_class / calls / uses, obj = canonical name,
+    n_lines = supporting line count. This is the edge set a source-code
+    KG carries ALONGSIDE the NER mention triples (pipelines/kg.py) —
+    same (subj, pred, obj) shape, evidence-counted."""
+    def to_triples(batch: pa.Table) -> pa.Table:
+        # kind → pred as a dictionary lookup (index_in + take; whole-cell
+        # match, immune to 'call' being a prefix of 'callarg')
+        idx = pc.index_in(batch.column("kind"),
+                          value_set=pa.array(list(_PRED_OF_KIND)))
+        pred = pc.take(pa.array(list(_PRED_OF_KIND.values())), idx)
+        return pa.table({"subj": batch.column("repo"), "pred": pred,
+                         "obj": batch.column("name")})
+    rows = structure.map_batches(to_triples, batch_format="pyarrow") \
+                    .map_batches(_ones, batch_format="pyarrow")
+    return grouped_reduce(rows, ["subj", "pred", "obj"],
+                          {"cnt": "sum"}, num_buckets=_width(input_bytes),
+                          out_dtypes={"subj": "string", "pred": "string",
+                                      "obj": "string", "cnt": "int64"},
+                          pre_combine=True).map_batches(
+        lambda t: t.rename_columns(
+            ["n_lines" if c == "cnt" else c for c in t.column_names]),
+        batch_format="pyarrow")
 
 
 def symbol_stats(symbols, input_bytes: int | None = None):
     """symbols → (symbol, kind, n_defs, n_repos) per definition surface."""
     nb = _width(input_bytes)
-
-    def one(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "cnt", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
-
     pairs = grouped_reduce(
         symbols.select_columns(["symbol", "kind", "repo"]).map_batches(
-            one, batch_format="pyarrow"),
+            _ones, batch_format="pyarrow"),
         ["symbol", "kind", "repo"], {"cnt": "sum"}, num_buckets=nb,
         out_dtypes={"symbol": "string", "kind": "string", "repo": "string",
                     "cnt": "int64"},

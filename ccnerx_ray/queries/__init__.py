@@ -34,13 +34,14 @@ _PRIORITY = [
     # window on no_oracle rows)
     "doc_embeddings", "knn", "ivf_knn_full",
     "ivf_knn_store_full", "kmeans_clusters", "centroids",
-    "embedding_dim_stats",
     # graph
     "graph_pagerank", "graph_components", "supplier_triangles",
     "kg_two_hop",
     # code analysis (the north-star corpus IS source code: import scan,
-    # symbol index, cross-repo dependency edges — ops/code.py)
-    "code_imports", "code_symbols", "code_repo_deps",
+    # symbol index, call sites, cross-repo dependency edges —
+    # ops/code.py; embedding_dim_stats — r3+r4-verified, unchanged —
+    # yields the code_calls slot)
+    "code_imports", "code_symbols", "code_calls", "code_repo_deps",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",

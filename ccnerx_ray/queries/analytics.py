@@ -1053,15 +1053,28 @@ def q_code_symbols(sf_dir: str):
     return symbol_stats(extract_symbols(_code_corpus(sf_dir)))
 
 
+def q_code_calls(sf_dir: str):
+    """Call-site scan → (callee, n_calls, n_repos): which symbols the
+    corpus actually invokes — the usage-weighted edge of the code KG."""
+    from ccnerx_ray.ops.code import call_popularity, extract_structure
+    return call_popularity(extract_structure(_code_corpus(sf_dir)))
+
+
 def q_code_repo_deps(sf_dir: str):
     """Cross-repo dependency graph (src_repo, dst_repo, n_links): import
     lines joined to DISTINCT defining repos via one hash-partitioned
     co-group on the module/symbol key — the structural KG edges a
-    source-code corpus adds on top of the NER mention graph."""
-    from ccnerx_ray.ops.code import (extract_imports, extract_symbols,
-                                     repo_dep_edges)
-    c = _code_corpus(sf_dir)
-    return repo_dep_edges(extract_imports(c), extract_symbols(c))
+    source-code corpus adds on top of the NER mention graph. The
+    structure table (one corpus scan) is materialized once because it
+    feeds BOTH join sides (the doc_packs recipe — a lazy Dataset would
+    re-run the scan per consumer)."""
+    from ccnerx_ray.ops.code import (extract_structure,
+                                     imports_from_structure,
+                                     repo_dep_edges,
+                                     symbols_from_structure)
+    st = extract_structure(_code_corpus(sf_dir)).materialize()
+    return repo_dep_edges(imports_from_structure(st),
+                          symbols_from_structure(st))
 
 
 def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
@@ -1090,7 +1103,8 @@ def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
 
 
 def _code_oracles() -> dict[str, str]:
-    from ccnerx_ray.corpus import (expected_code_imports,
+    from ccnerx_ray.corpus import (expected_code_calls,
+                                   expected_code_imports,
                                    expected_code_repo_deps,
                                    expected_code_symbols)
     return {
@@ -1100,6 +1114,9 @@ def _code_oracles() -> dict[str, str]:
         "code_symbols": _code_oracle_sql(
             expected_code_symbols, ("symbol", "kind", "n_defs", "n_repos"),
             frozenset({"symbol", "kind"})),
+        "code_calls": _code_oracle_sql(
+            expected_code_calls, ("callee", "n_calls", "n_repos"),
+            frozenset({"callee"})),
         "code_repo_deps": _code_oracle_sql(
             expected_code_repo_deps, ("src_repo", "dst_repo", "n_links"),
             frozenset({"src_repo", "dst_repo"})),
@@ -1435,6 +1452,7 @@ ANALYTICS_QUERIES = {
     "media_frames": q_media_frames,
     "code_imports": q_code_imports,
     "code_symbols": q_code_symbols,
+    "code_calls": q_code_calls,
     "code_repo_deps": q_code_repo_deps,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,

@@ -5,11 +5,14 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from ccnerx_ray.corpus import (expected_code_imports, expected_code_repo_deps,
-                               expected_code_symbols, generate_corpus)
-from ccnerx_ray.ops.code import (corpus_lines, extract_imports,
+from ccnerx_ray.corpus import (expected_code_calls, expected_code_imports,
+                               expected_code_repo_deps, expected_code_symbols,
+                               expected_structure_triples, generate_corpus)
+from ccnerx_ray.ops.code import (call_popularity, corpus_lines,
+                                 extract_imports, extract_structure,
                                  extract_symbols, module_popularity,
-                                 repo_dep_edges, symbol_stats)
+                                 repo_dep_edges, structure_triples,
+                                 symbol_stats)
 
 
 def _corpus(rows):
@@ -84,11 +87,38 @@ def test_repo_dep_edges_hand_worked():
     ]
 
 
+def test_call_extraction_hand_worked():
+    ds = _corpus([("R", "x.py",
+                   "buf = fetch_da ( KE_LU )\nimport m\nv = v + 3")])
+    st = _sorted_pylist(extract_structure(ds), ["kind", "name"])
+    assert [(r["kind"], r["name"]) for r in st] == [
+        ("call", "fetch_da"), ("callarg", "KE_LU"), ("import", "m")]
+    pop = _sorted_pylist(call_popularity(extract_structure(ds)), ["callee"])
+    assert pop == [{"callee": "fetch_da", "n_calls": 1, "n_repos": 1}]
+
+
+def test_structure_triples_hand_worked():
+    out = _sorted_pylist(structure_triples(extract_structure(FIX)),
+                         ["subj", "pred", "obj"])
+    assert {"subj": "A", "pred": "imports", "obj": "m1",
+            "n_lines": 2} in out
+    assert {"subj": "B", "pred": "calls", "obj": "foo",
+            "n_lines": 1} in out
+    assert {"subj": "B", "pred": "uses", "obj": "bar",
+            "n_lines": 1} in out
+    assert {"subj": "A", "pred": "defines_class", "obj": "C1",
+            "n_lines": 1} in out
+
+
 @pytest.mark.parametrize("op,expected_fn,keys", [
     (lambda c: module_popularity(extract_imports(c)),
      expected_code_imports, ["module"]),
     (lambda c: symbol_stats(extract_symbols(c)),
      expected_code_symbols, ["symbol", "kind"]),
+    (lambda c: call_popularity(extract_structure(c)),
+     expected_code_calls, ["callee"]),
+    (lambda c: structure_triples(extract_structure(c)),
+     expected_structure_triples, ["subj", "pred", "obj"]),
     (lambda c: repo_dep_edges(extract_imports(c), extract_symbols(c)),
      expected_code_repo_deps, ["src_repo", "dst_repo"]),
 ])
