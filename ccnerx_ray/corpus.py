@@ -266,6 +266,29 @@ def expected_structure_triples(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
+def expected_structure_store(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``structure_store_stats`` over
+    ``file_structure_triples``: (subj, pred, n_facts, n_objs) where facts
+    are DISTINCT per file — distinct (row_idx, kind, dotted) events —
+    matching the store's once-per-distinct-fact-per-file emission rule."""
+    gold = _lines_gold(n_rows, seed)
+    facts = {(i, repo, _PRED_OF_KIND[kind], dotted)
+             for i, repo, kind, dotted in gold}
+    n_facts: dict[tuple[str, str], int] = {}
+    objs: dict[tuple[str, str], set] = {}
+    for _i, repo, pred, dotted in facts:
+        k = (repo, pred)
+        n_facts[k] = n_facts.get(k, 0) + 1
+        objs.setdefault(k, set()).add(dotted)
+    keys = sorted(n_facts)
+    return pa.table({
+        "subj": pa.array([s for s, _p in keys], pa.string()),
+        "pred": pa.array([p for _s, p in keys], pa.string()),
+        "n_facts": pa.array([n_facts[k] for k in keys], pa.int64()),
+        "n_objs": pa.array([len(objs[k]) for k in keys], pa.int64()),
+    })
+
+
 def expected_code_repo_deps(n_rows: int, seed: int = 42) -> pa.Table:
     """Generation-intent expected table for ``repo_dep_edges``:
     (src_repo, dst_repo, n_links). Every import LINE of module m in repo r

@@ -47,8 +47,12 @@ LINE_SCHEMA = pa.schema([
 ])
 
 
-def _explode_lines(batch: pa.Table) -> pa.Table:
-    """content → one row per line, carrying (repo, path, lang, line_no).
+_CARRY_DEFAULT = ("repo", "path", "lang")
+
+
+def _explode_lines(batch: pa.Table,
+                   carry: tuple[str, ...] = _CARRY_DEFAULT) -> pa.Table:
+    """content → one row per line, carrying ``carry`` columns + line_no.
     Pure Arrow: split_pattern / list_flatten / list_parent_indices; line
     numbers are offset arithmetic (numpy on the list offsets)."""
     la = pc.split_pattern(batch.column("content"), "\n").combine_chunks()
@@ -58,13 +62,10 @@ def _explode_lines(batch: pa.Table) -> pa.Table:
     starts = la.offsets.to_numpy(zero_copy_only=False)[:-1]
     line_no = np.arange(len(flat), dtype=np.int64) - starts[pidx] \
         if len(flat) else np.zeros(0, dtype=np.int64)
-    return pa.table({
-        "repo": pc.take(batch.column("repo"), parent),
-        "path": pc.take(batch.column("path"), parent),
-        "lang": pc.take(batch.column("lang"), parent),
-        "line_no": pa.array(line_no, pa.int64()),
-        "line": flat,
-    })
+    cols = {c: pc.take(batch.column(c), parent) for c in carry}
+    cols["line_no"] = pa.array(line_no, pa.int64())
+    cols["line"] = flat
+    return pa.table(cols)
 
 
 def corpus_lines(corpus):
@@ -86,23 +87,24 @@ STRUCTURE_SCHEMA = pa.schema([
 ])
 
 
-def _kind_rows(t: pa.Table, mask, name, kind: str) -> pa.Table:
+def _kind_rows(t: pa.Table, mask, name, kind: str,
+               carry: tuple[str, ...] = _CARRY_DEFAULT) -> pa.Table:
     s = t.filter(mask)
     name = _canon(name(s)) if callable(name) else name
-    return pa.table({
-        "repo": s.column("repo"), "path": s.column("path"),
-        "lang": s.column("lang"),
-        "kind": pa.nulls(s.num_rows, pa.string()).fill_null(kind),
-        "name": name,
-    })
+    cols = {c: s.column(c) for c in carry}
+    cols["kind"] = pa.nulls(s.num_rows, pa.string()).fill_null(kind)
+    cols["name"] = name
+    return pa.table(cols)
 
 
-def _extract_structure_batch(batch: pa.Table) -> pa.Table:
+def _extract_structure_batch(batch: pa.Table,
+                             carry: tuple[str, ...] = _CARRY_DEFAULT
+                             ) -> pa.Table:
     """ONE pass over the lines: every structural extraction (import /
     def / class / call / callarg) shares the explode, so downstream
     consumers that need several kinds cost one corpus scan, not one per
     kind. All masks/slices are Arrow kernels."""
-    t = _explode_lines(batch)
+    t = _explode_lines(batch, carry)
     line = t.column("line")
     is_imp = pc.starts_with(line, "import ")
     is_def = pc.starts_with(line, "def ")
@@ -133,19 +135,19 @@ def _extract_structure_batch(batch: pa.Table) -> pa.Table:
     parts = [
         _kind_rows(t, is_imp,
                    lambda s: pc.utf8_slice_codeunits(s.column("line"), 7),
-                   "import"),
+                   "import", carry),
         _kind_rows(t, is_def,
                    lambda s: pc.list_element(pc.split_pattern(
                        pc.utf8_slice_codeunits(s.column("line"), 4),
                        " (", max_splits=1), 0),
-                   "def"),
+                   "def", carry),
         _kind_rows(t, is_cls,
                    lambda s: pc.list_element(pc.split_pattern(
                        pc.utf8_slice_codeunits(s.column("line"), 6),
                        " :", max_splits=1), 0),
-                   "class"),
-        _kind_rows(t, is_call, callee, "call"),
-        _kind_rows(t, is_call, callarg, "callarg"),
+                   "class", carry),
+        _kind_rows(t, is_call, callee, "call", carry),
+        _kind_rows(t, is_call, callarg, "callarg", carry),
     ]
     out = pa.concat_tables(parts).combine_chunks()
     return out.filter(pc.not_equal(out.column("name"), ""))
@@ -278,6 +280,77 @@ def structure_triples(structure, input_bytes: int | None = None):
         lambda t: t.rename_columns(
             ["n_lines" if c == "cnt" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def _file_structure_triples_batch(batch: pa.Table) -> pa.Table:
+    """corpus batch → TRIPLE_SCHEMA rows: one row per DISTINCT structural
+    fact per FILE (subj = repo, pred via ``_PRED_OF_KIND``, obj = canonical
+    name) with full provenance (repo, path, commit, content_sha256) — the
+    same "once per distinct fact per unit" emission rule the mention
+    triples use (``stages/triples.py``: instance_of is distinct per
+    segment). A file never spans batches (one corpus row = one file), so
+    the per-batch ``group_by`` distinct is per-file exact. surface /
+    norm_key / label are empty, like every non-``mentioned_in`` triple."""
+    from ccnerx_ray.functions.hashing import sha256_column
+    from ccnerx_ray.stages.triples import TRIPLE_SCHEMA
+
+    b = batch.append_column("content_sha256",
+                            sha256_column(batch.column("content")))
+    st = _extract_structure_batch(
+        b, carry=("repo", "path", "commit", "content_sha256"))
+    idx = pc.index_in(st.column("kind"),
+                      value_set=pa.array(list(_PRED_OF_KIND)))
+    pred = pc.take(pa.array(list(_PRED_OF_KIND.values())), idx)
+    t = pa.table({
+        "subj": st.column("repo"), "pred": pred, "obj": st.column("name"),
+        "repo": st.column("repo"), "path": st.column("path"),
+        "commit": st.column("commit"),
+        "content_sha256": st.column("content_sha256"),
+    })
+    t = t.group_by(t.column_names).aggregate([])  # distinct rows
+    fill = pa.nulls(t.num_rows, pa.string()).fill_null("")
+    for c in ("surface", "norm_key", "label"):
+        t = t.append_column(c, fill)
+    return t.select(TRIPLE_SCHEMA.names).cast(TRIPLE_SCHEMA)
+
+
+def file_structure_triples(corpus):
+    """corpus → Dataset[``stages.triples.TRIPLE_SCHEMA``] of per-file
+    structural facts — the structural edge set the unified KG store
+    carries ALONGSIDE the NER mention triples (``pipelines/kg.py``
+    ``run_kg(include_structure=True)``). Stateless single pass, never
+    shuffles; provenance columns make the rows first-class citizens of
+    the incremental-update doc-key semi join (``update_kg``)."""
+    return corpus.map_batches(_file_structure_triples_batch,
+                              batch_format="pyarrow")
+
+
+def structure_store_stats(triples, input_bytes: int | None = None):
+    """file-distinct structural triple rows → ``(subj, pred, n_facts,
+    n_objs)``: per (repo, pred), how many file-distinct facts exist and
+    how many distinct objects they mention — the repo-level profile a KG
+    store serves ("how import-heavy is this repo, over how many distinct
+    modules?"). Two-level reduce (the ``name_popularity`` shape): the
+    (subj, pred, obj) distinct-fact partial rides a pre-combined coarse
+    shuffle, the rollup is obj-scale."""
+    nb = _width(input_bytes)
+    keyed = grouped_reduce(
+        triples.select_columns(["subj", "pred", "obj"]).map_batches(
+            _ones, batch_format="pyarrow"),
+        ["subj", "pred", "obj"], {"cnt": "sum"}, num_buckets=nb,
+        out_dtypes={"subj": "string", "pred": "string", "obj": "string",
+                    "cnt": "int64"},
+        pre_combine=True)
+
+    def roll(g):
+        return (g.groupby(["subj", "pred"], sort=False)
+                 .agg(n_facts=("cnt", "sum"), n_objs=("obj", "count"))
+                 .reset_index())
+
+    return coarse_grouped(keyed, ["subj", "pred"], roll, num_buckets=nb,
+                          out_dtypes={"subj": "string", "pred": "string",
+                                      "n_facts": "int64",
+                                      "n_objs": "int64"})
 
 
 def symbol_stats(symbols, input_bytes: int | None = None):

@@ -151,6 +151,19 @@ def mentions_dataset(corpus, catalog_pairs, cfg: PipelineConfig = PipelineConfig
     return linked.map_batches(explode_mentions, batch_format="pyarrow")
 
 
+def structural_triples_dataset(corpus):
+    """corpus → TRIPLE_SCHEMA structural facts (file-distinct import /
+    def / class / call / callarg edges, subj = repo — ``ops/code.py``).
+    The code-native edge set ``run_kg(include_structure=True)`` unions
+    into the SAME partitioned store as the NER mention triples: one
+    (subj, pred, obj) graph carrying both what the corpus *mentions* and
+    what it *structurally declares*, with identical provenance columns
+    so the incremental update's doc-key semi join carries both forward."""
+    from ccnerx_ray.ops.code import file_structure_triples
+
+    return file_structure_triples(corpus)
+
+
 def input_fingerprint(paths) -> dict:
     """Lineage input fingerprint (SURVEY §4): source paths + per-file size
     and mtime digest — enough to detect a changed input on resume without
@@ -180,14 +193,25 @@ def input_fingerprint(paths) -> dict:
 
 def run_kg(corpus_paths, catalog_pairs, out_dir: str,
            cfg: PipelineConfig = PipelineConfig(),
-           build_entities: bool = True) -> dict:
+           build_entities: bool = True,
+           include_structure: bool = False) -> dict:
     """End-to-end: corpus Parquet → partitioned triple store (+ lineage)
     → canonical entity table derived from the store. Returns lineage
-    summary + entity count."""
+    summary + entity count.
+
+    ``include_structure=True`` additionally streams the code-structure
+    edges (``structural_triples_dataset``) into the SAME store — the
+    corpus Parquet is read a second time for that branch (the
+    ``update_kg`` precedent: re-reading beats holding 10^12 files'
+    content in the object store as a union input), and both branches
+    stream independently under the executor."""
     from ccnerx_ray.io.store import read_triple_store, write_triple_store
 
     corpus = read_corpus(corpus_paths, cfg)
     triples = triples_dataset(corpus, catalog_pairs, cfg)
+    if include_structure:
+        triples = triples.union(
+            structural_triples_dataset(read_corpus(corpus_paths, cfg)))
     summary = write_triple_store(triples, out_dir, cfg.output_partitions,
                                  lineage_extra=input_fingerprint(corpus_paths))
     if summary["rows"] == 0:
@@ -232,7 +256,8 @@ def _doc_key_batch(cols: list[str], sha_col: str | None = None):
 
 def update_kg(corpus_paths, catalog_pairs, old_store_dir: str,
               out_dir: str, cfg: PipelineConfig = PipelineConfig(),
-              build_entities: bool = True) -> dict:
+              build_entities: bool = True,
+              include_structure: bool = False) -> dict:
     """INCREMENTAL KG update (the north rule's resumability taken to its
     10^12-file conclusion: a daily corpus drop must not re-tag the
     world). Documents are identified by the exact key (repo, path,
@@ -296,6 +321,13 @@ def update_kg(corpus_paths, catalog_pairs, old_store_dir: str,
     docs_retagged = fresh_corpus.count()
 
     fresh = triples_dataset(fresh_corpus, catalog_pairs, cfg)
+    if include_structure:
+        # structural edges of unchanged docs carry forward through the
+        # same semi join above (they live in the old store with the same
+        # doc-key columns); only the delta re-extracts. fresh_corpus is
+        # lazy — this second consumer re-runs the anti join rather than
+        # materializing the delta (delta content can itself be huge).
+        fresh = fresh.union(structural_triples_dataset(fresh_corpus))
     extra = dict(input_fingerprint(corpus_paths),
                  updated_from=old_store_dir,
                  docs_total=docs_total, docs_retagged=docs_retagged)

@@ -40,8 +40,12 @@ _PRIORITY = [
     # code analysis (the north-star corpus IS source code: import scan,
     # symbol index, call sites, cross-repo dependency edges —
     # ops/code.py; embedding_dim_stats — r3+r4-verified, unchanged —
-    # yields the code_calls slot)
+    # yields the code_calls slot; kg_structure NEW r5: the unified
+    # store's per-file structural triple rows, repo-level aggregate —
+    # events_global_asof, r3+r4-verified and unchanged since its r4
+    # gate run, yields its slot)
     "code_imports", "code_symbols", "code_calls", "code_repo_deps",
+    "kg_structure",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
@@ -56,7 +60,7 @@ _PRIORITY = [
     # r4 verified, unchanged since — yield theirs to the code-analysis
     # family and dup_ngrams)
     "quantile_summary",
-    "profile", "events_global_asof",
+    "profile",
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)
     "media_headers", "media_features", "media_frames",
     # corpus splits / sampling

@@ -1077,6 +1077,21 @@ def q_code_repo_deps(sf_dir: str):
                           symbols_from_structure(st))
 
 
+def q_kg_structure(sf_dir: str):
+    """Structural edge rows of the unified KG store (per-file-distinct
+    (subj=repo, pred, obj) facts with full provenance —
+    ``ops/code.py:file_structure_triples``, the triples
+    ``run_kg(include_structure=True)`` streams into the same partitioned
+    store as the NER mention triples) aggregated to the repo-level
+    profile ``(subj, pred, n_facts, n_objs)``. The store write/read
+    roundtrip and the update-path carry-forward are pytest-pinned
+    (tests/test_structure_store.py); this query oracle-checks the
+    emission + aggregation values against generation intent."""
+    from ccnerx_ray.ops.code import (file_structure_triples,
+                                     structure_store_stats)
+    return structure_store_stats(file_structure_triples(_code_corpus(sf_dir)))
+
+
 def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
                      str_cols: frozenset) -> str:
     """Two-leg literal-VALUES oracle from a generation-intent expected
@@ -1106,7 +1121,8 @@ def _code_oracles() -> dict[str, str]:
     from ccnerx_ray.corpus import (expected_code_calls,
                                    expected_code_imports,
                                    expected_code_repo_deps,
-                                   expected_code_symbols)
+                                   expected_code_symbols,
+                                   expected_structure_store)
     return {
         "code_imports": _code_oracle_sql(
             expected_code_imports, ("module", "n_imports", "n_repos"),
@@ -1120,6 +1136,9 @@ def _code_oracles() -> dict[str, str]:
         "code_repo_deps": _code_oracle_sql(
             expected_code_repo_deps, ("src_repo", "dst_repo", "n_links"),
             frozenset({"src_repo", "dst_repo"})),
+        "kg_structure": _code_oracle_sql(
+            expected_structure_store, ("subj", "pred", "n_facts", "n_objs"),
+            frozenset({"subj", "pred"})),
     }
 
 
@@ -1454,6 +1473,7 @@ ANALYTICS_QUERIES = {
     "code_symbols": q_code_symbols,
     "code_calls": q_code_calls,
     "code_repo_deps": q_code_repo_deps,
+    "kg_structure": q_kg_structure,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
