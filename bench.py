@@ -94,6 +94,10 @@ EXTRAS = [
                              # hash-partitioned co-group (r5)
     "dup_ngrams",            # within-corpus repeated-span exposure
                              # (digest-only gram shuffle) (r5)
+    "kg_structure",          # unified-store structural triple rows,
+                             # repo-level aggregate (r5)
+    "bpe_merges",            # distributed BPE tokenizer training
+                             # (word-frequency regime) (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -313,6 +313,58 @@ def expected_code_repo_deps(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
+def expected_bpe_merges(n_rows: int, seed: int = 42,
+                        num_merges: int = 40) -> pa.Table:
+    """Independent reference BPE for the ``bpe_merges`` oracle: textbook
+    Sennrich merge learning over the generated corpus, written against
+    the shared contract (whitespace words, char symbols + ``</w>``,
+    highest-count pair wins with lexicographic tie-break, greedy-left
+    in-word merge, stop when best count < 2) with none of the operator's
+    code — Counter-based, recomputing pair counts from scratch each
+    round."""
+    from collections import Counter
+
+    table = generate_corpus(n_rows, seed)
+    words = Counter()
+    for content in table.column("content").to_pylist():
+        words.update(content.split())
+    freq = Counter()
+    for w, c in words.items():
+        freq[tuple(w) + ("</w>",)] += c
+    out = []
+    for rank in range(num_merges):
+        pairs = Counter()
+        for syms, c in freq.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        out.append((rank, left, right, cnt))
+        nxt = Counter()
+        for syms, c in freq.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nxt[tuple(merged)] += c
+        freq = nxt
+    return pa.table({
+        "merge_rank": pa.array([r for r, _l, _r, _c in out], pa.int64()),
+        "left_sym": pa.array([l for _r, l, _rr, _c in out], pa.string()),
+        "right_sym": pa.array([r for _rk, _l, r, _c in out], pa.string()),
+        "pair_count": pa.array([c for _r, _l, _rr, c in out], pa.int64()),
+    })
+
+
 def write_corpus(path_dir: str, n_rows: int, seed: int = 42,
                  num_files: int = 8) -> str:
     """Write the corpus as a directory of Parquet shards (the multi-file

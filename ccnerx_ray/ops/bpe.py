@@ -1,0 +1,289 @@
+"""Distributed BPE tokenizer training over a text corpus.
+
+A 100-TB training-data pipeline needs its tokenizer TRAINED on the corpus
+it will tokenize; classic byte-pair encoding (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+algorithm) learns a merge table by repeatedly fusing the most frequent
+adjacent symbol pair. The standard production regime — and the only one
+that scales — trains on the WORD-FREQUENCY table, not the raw corpus:
+
+* **one corpus-scale pass** builds ``(word, cnt)`` via a pre-combined
+  coarse reduce (``grouped_reduce``) — corpus bytes are touched exactly
+  once, the shuffle carries distinct words;
+* the **merge loop runs over the word table** (distinct-word scale,
+  ~10^8-10^9 rows at 100 TB — big enough to stay distributed, orders of
+  magnitude below corpus scale). Each iteration: vectorized adjacent-pair
+  counting (Arrow list-offset arithmetic + a per-batch ``group_by``
+  pre-combine), one pair-scale reduce, a width-bounded local-argmax
+  collect (the top-k×blocks merge shape), then the winning merge applied
+  via ``map_batches`` — only rows actually containing the pair are
+  rebuilt.
+
+Contract (shared with the independent reference implementation in
+``corpus.py:expected_bpe_merges`` and the VALUES oracle):
+
+* words are whitespace-split tokens of ``text_col`` (empties dropped);
+* a word's initial symbols are its characters plus a trailing ``</w>``
+  end-of-word marker symbol;
+* each round merges the pair with the highest total count, ties broken
+  by lexicographically smallest ``(left, right)``; merging within a word
+  is greedy left-to-right; training stops early when the best pair's
+  count is < 2.
+
+Driver fast path (the ``kmeans``/``dup_components`` bounded-collect
+precedent): when the distinct-word table has ≤ ``max_driver_words`` rows
+it is collected and the loop runs in-process — exactly the regime
+single-node BPE trainers use — with the distributed path taking over
+beyond the bound. Both paths are pinned bit-identical by a forced-bound
+parity test.
+
+No reference counterpart (the reference consumes pre-trained BERT
+vocabularies, ``vocab.txt`` readers only); this operator is part of the
+LLM-data-pipeline family the brief adds on top of SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ccnerx_ray.functions.grouping import grouped_reduce
+from ccnerx_ray.ops.join import derive_hash_partitions
+
+_SEP = "\x1f"  # joins pair keys; below every corpus char, so joined-key
+               # lexicographic order == (left, right) tuple order
+
+MERGE_SCHEMA = pa.schema([
+    ("merge_rank", pa.int64()), ("left_sym", pa.string()),
+    ("right_sym", pa.string()), ("pair_count", pa.int64()),
+])
+
+
+def _word_rows(text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        la = pc.utf8_split_whitespace(
+            batch.column(text_col).combine_chunks())
+        flat = pc.list_flatten(la)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({
+            "word": flat,
+            "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+        })
+    return fn
+
+
+def word_frequencies(corpus, text_col: str = "text",
+                     input_bytes: int | None = None):
+    """corpus → distributed ``(word, cnt)`` table: the ONE corpus-scale
+    pass of BPE training. Pre-combined coarse reduce — the shuffle
+    carries distinct words per bucket, never corpus-scale token rows."""
+    rows = corpus.map_batches(_word_rows(text_col), batch_format="pyarrow")
+    return grouped_reduce(rows, ["word"], {"cnt": "sum"},
+                          num_buckets=derive_hash_partitions(input_bytes),
+                          out_dtypes={"word": "string", "cnt": "int64"},
+                          pre_combine=True)
+
+
+def _symbolize(batch: pa.Table) -> pa.Table:
+    # one-time pass at DISTINCT-WORD scale (not corpus scale): the
+    # char-split has no Arrow kernel, and each distinct word is touched
+    # exactly once here.
+    syms = [list(w) + ["</w>"] for w in batch.column("word").to_pylist()]
+    return pa.table({
+        "syms": pa.array(syms, pa.list_(pa.string())),
+        "cnt": batch.column("cnt"),
+    })
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Vectorized adjacent-pair counting: list-offset arithmetic finds
+    in-word adjacencies, a per-batch group_by pre-combines — rows leaving
+    the batch are (pair, partial count), pair-scale not symbol-scale."""
+    la = batch.column("syms").combine_chunks()
+    flat = pc.list_flatten(la)
+    n = len(flat)
+    if n < 2:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    parent = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+    valid = parent[:-1] == parent[1:]
+    left = flat.slice(0, n - 1).filter(pa.array(valid))
+    right = flat.slice(1, n - 1).filter(pa.array(valid))
+    pair = pc.binary_join_element_wise(left, right, _SEP)
+    w = pc.take(batch.column("cnt"),
+                pa.array(parent[:-1][valid], pa.int64()))
+    t = pa.table({"pair": pair, "c": w})
+    return t.group_by(["pair"]).aggregate([("c", "sum")]) \
+            .rename_columns(["pair", "c"])
+
+
+def _local_best(batch: pa.Table) -> pa.Table:
+    """pair-scale reduce output → one local champion row per block."""
+    if batch.num_rows == 0:
+        return batch
+    cmax = pc.max(batch.column("c"))
+    t = batch.filter(pc.equal(batch.column("c"), cmax))
+    best = pc.min(t.column("pair"))
+    return t.filter(pc.equal(t.column("pair"), best)).slice(0, 1)
+
+
+def _merge_word(syms: list, left: str, right: str, fused: str) -> list:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge(left: str, right: str):
+    fused = left + right
+
+    def fn(batch: pa.Table) -> pa.Table:
+        la = batch.column("syms").combine_chunks()
+        flat = pc.list_flatten(la)
+        n = len(flat)
+        if n < 2:
+            return batch
+        parent = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+        adj = parent[:-1] == parent[1:]
+        hit = adj & pc.and_(
+            pc.equal(flat.slice(0, n - 1), left),
+            pc.equal(flat.slice(1, n - 1), right)).to_numpy(
+                zero_copy_only=False).astype(bool)
+        if not hit.any():
+            return batch
+        # rebuild ONLY the rows that contain the pair (Python, but the
+        # affected-row fraction collapses after the first few merges and
+        # the table is distinct-word scale to begin with); row order is
+        # irrelevant downstream (pair counting is order-free), so the
+        # untouched majority passes through zero-copy
+        sel = np.zeros(batch.num_rows, dtype=bool)
+        sel[np.unique(parent[:-1][hit])] = True
+        keep = batch.filter(pa.array(~sel))
+        aff = batch.filter(pa.array(sel))
+        fixed = [_merge_word(s, left, right, fused)
+                 for s in aff.column("syms").to_pylist()]
+        aff = pa.table({"syms": pa.array(fixed, pa.list_(pa.string())),
+                        "cnt": aff.column("cnt")})
+        return pa.concat_tables([keep, aff]).combine_chunks()
+    return fn
+
+
+def _train_driver(words: list[tuple[str, int]], num_merges: int):
+    """In-process merge loop over a collected (word, cnt) list — the
+    bounded fast path. Same contract as the distributed loop."""
+    freq = {}
+    for w, c in words:
+        k = tuple(list(w) + ["</w>"])
+        freq[k] = freq.get(k, 0) + c
+    merges = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in freq.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append((rank, best[0], best[1], counts[best]))
+        fused = best[0] + best[1]
+        nxt = {}
+        for syms, c in freq.items():
+            ns = tuple(_merge_word(list(syms), best[0], best[1], fused))
+            nxt[ns] = nxt.get(ns, 0) + c
+        freq = nxt
+    return merges
+
+
+def train_bpe(corpus, text_col: str = "text", num_merges: int = 50,
+              input_bytes: int | None = None,
+              max_driver_words: int = 2_000_000) -> pa.Table:
+    """corpus → BPE merge table ``(merge_rank, left, right, pair_count)``.
+
+    The corpus-scale work (word counting) is always distributed; the
+    merge loop collects the distinct-word table when it fits under
+    ``max_driver_words`` rows (single-node trainer regime) and otherwise
+    iterates distributed: per round one pair-scale pre-combined reduce,
+    a width-bounded local-argmax collect, and a broadcast-free merge map
+    (the winning pair travels in the task closure — two strings)."""
+    wf = word_frequencies(corpus, text_col, input_bytes)
+    n_words = wf.count()
+    if n_words == 0:
+        return pa.table({"merge_rank": pa.array([], pa.int64()),
+                         "left_sym": pa.array([], pa.string()),
+                         "right_sym": pa.array([], pa.string()),
+                         "pair_count": pa.array([], pa.int64())})
+    if n_words <= max_driver_words:
+        rows = [(r["word"], r["cnt"]) for r in wf.take_all()]
+        merges = _train_driver(rows, num_merges)
+    else:
+        merges = []
+        words = wf.map_batches(_symbolize, batch_format="pyarrow") \
+                  .materialize()
+        nb = derive_hash_partitions(input_bytes)
+        for rank in range(num_merges):
+            pairs = grouped_reduce(
+                words.map_batches(_pair_partials, batch_format="pyarrow"),
+                ["pair"], {"c": "sum"}, num_buckets=nb,
+                out_dtypes={"pair": "string", "c": "int64"},
+                pre_combine=True)
+            champs = [r for r in
+                      pairs.map_batches(_local_best,
+                                        batch_format="pyarrow").take_all()]
+            if not champs:
+                break
+            best = min(champs, key=lambda r: (-r["c"], r["pair"]))
+            if best["c"] < 2:
+                break
+            left, right = best["pair"].split(_SEP)
+            merges.append((rank, left, right, best["c"]))
+            words = words.map_batches(_apply_merge(left, right),
+                                      batch_format="pyarrow").materialize()
+    return pa.table({
+        "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left_sym": pa.array([m[1] for m in merges], pa.string()),
+        "right_sym": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
+def apply_bpe(corpus, merges: pa.Table, text_col: str = "text",
+              out_col: str = "bpe_tokens"):
+    """Tokenize a corpus with a trained merge table: one stateless
+    ``map_batches`` pass; the merge list rides the task closure (it is
+    vocab-scale — tens of thousands of rows — not data-scale). Merges
+    apply in rank order per word, the greedy-left contract."""
+    ranked = sorted(zip(merges.column("merge_rank").to_pylist(),
+                        merges.column("left_sym").to_pylist(),
+                        merges.column("right_sym").to_pylist()))
+
+    def encode_word(w: str, cache: dict) -> list:
+        got = cache.get(w)
+        if got is None:
+            syms = list(w) + ["</w>"]
+            for _r, l, r, in ranked:
+                if len(syms) < 2:
+                    break
+                syms = _merge_word(syms, l, r, l + r)
+            got = cache[w] = syms
+        return got
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        toks = []
+        for text in batch.column(text_col).to_pylist():
+            out: list = []
+            for w in (text or "").split():
+                out.extend(encode_word(w, cache))
+            toks.append(out)
+        return batch.append_column(out_col,
+                                   pa.array(toks, pa.list_(pa.string())))
+    return corpus.map_batches(fn, batch_format="pyarrow")

@@ -46,6 +46,11 @@ _PRIORITY = [
     # gate run, yields its slot)
     "code_imports", "code_symbols", "code_calls", "code_repo_deps",
     "kg_structure",
+    # tokenizer training (bpe_merges NEW r5: distributed BPE merge
+    # learning, ops/bpe.py — quantile_summary, r4-gate-verified and
+    # unchanged since, yields its slot and joins its quantiles /
+    # quantiles_cont siblings in the tail)
+    "bpe_merges",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
@@ -59,7 +64,6 @@ _PRIORITY = [
     # top_words / hll_custkey / user_sessions / heavy_hitters — r3 AND
     # r4 verified, unchanged since — yield theirs to the code-analysis
     # family and dup_ngrams)
-    "quantile_summary",
     "profile",
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)
     "media_headers", "media_features", "media_frames",

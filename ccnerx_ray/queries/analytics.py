@@ -1092,6 +1092,19 @@ def q_kg_structure(sf_dir: str):
     return structure_store_stats(file_structure_triples(_code_corpus(sf_dir)))
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (``ops/bpe.py:train_bpe``) over
+    the code fixture corpus: the corpus-scale word count is a
+    pre-combined coarse reduce, the merge loop runs on the distinct-word
+    table (driver fast path under the bounded-collect rule here; the
+    distributed loop is pinned bit-identical by a forced-bound parity
+    test). Oracle: an independent Counter-based textbook implementation
+    (``corpus.py:expected_bpe_merges``) rendered as literal VALUES."""
+    from ccnerx_ray.ops.bpe import train_bpe
+    return train_bpe(_code_corpus(sf_dir), text_col="content",
+                     num_merges=40)
+
+
 def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
                      str_cols: frozenset) -> str:
     """Two-leg literal-VALUES oracle from a generation-intent expected
@@ -1118,7 +1131,8 @@ def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
 
 
 def _code_oracles() -> dict[str, str]:
-    from ccnerx_ray.corpus import (expected_code_calls,
+    from ccnerx_ray.corpus import (expected_bpe_merges,
+                                   expected_code_calls,
                                    expected_code_imports,
                                    expected_code_repo_deps,
                                    expected_code_symbols,
@@ -1139,6 +1153,10 @@ def _code_oracles() -> dict[str, str]:
         "kg_structure": _code_oracle_sql(
             expected_structure_store, ("subj", "pred", "n_facts", "n_objs"),
             frozenset({"subj", "pred"})),
+        "bpe_merges": _code_oracle_sql(
+            lambda n, seed=42: expected_bpe_merges(n, seed, num_merges=40),
+            ("merge_rank", "left_sym", "right_sym", "pair_count"),
+            frozenset({"left_sym", "right_sym"})),
     }
 
 
@@ -1474,6 +1492,7 @@ ANALYTICS_QUERIES = {
     "code_calls": q_code_calls,
     "code_repo_deps": q_code_repo_deps,
     "kg_structure": q_kg_structure,
+    "bpe_merges": q_bpe_merges,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
