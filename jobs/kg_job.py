@@ -47,6 +47,11 @@ def main() -> int:
                     "of unchanged (repo,path,commit,content_sha256) docs "
                     "from OLD_STORE and re-tag ONLY new/changed docs "
                     "(pipelines/kg.py:update_kg); output must be fresh")
+    ap.add_argument("--include-structure", action="store_true",
+                    help="also stream the code-structure edges (import/"
+                    "def/class/call/callarg, file-distinct, full "
+                    "provenance) into the same store — ops/code.py:"
+                    "file_structure_triples")
     ap.add_argument("--compact", action="store_true",
                     help="after a chunked run, compact the store into one "
                     "file per partition (streaming row-group copy) at "
@@ -92,9 +97,11 @@ def main() -> int:
     if args.update_from:
         from ccnerx_ray.pipelines.kg import update_kg
         summary = update_kg(args.input, catalog, args.update_from,
-                            args.output, cfg)
+                            args.output, cfg,
+                            include_structure=args.include_structure)
     elif args.no_resume:
-        summary = run_kg(args.input, catalog, args.output, cfg)
+        summary = run_kg(args.input, catalog, args.output, cfg,
+                         include_structure=args.include_structure)
     else:
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
         if not files:
@@ -102,7 +109,8 @@ def main() -> int:
             return 2
 
         def run_chunk(chunk_files, tmp_dir):
-            run_kg(chunk_files, catalog, tmp_dir, cfg, build_entities=False)
+            run_kg(chunk_files, catalog, tmp_dir, cfg, build_entities=False,
+                   include_structure=args.include_structure)
 
         summary = run_resumable(files, args.output, run_chunk,
                                 chunk_size=args.chunk_size)
