@@ -313,6 +313,24 @@ def expected_code_repo_deps(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
+def expected_structure_names(n_rows: int, seed: int = 42) -> pa.Table:
+    """Generation-intent expected table for ``structure_names``:
+    (pred, obj, n_lines) — corpus-level line counts per distinct
+    structural name. Feeds the ``kg_resolve`` oracle, where the
+    entity-resolution join itself runs in SQL."""
+    gold = _lines_gold(n_rows, seed)
+    cnt: dict[tuple[str, str], int] = {}
+    for _i, _repo, kind, dotted in gold:
+        k = (_PRED_OF_KIND[kind], dotted)
+        cnt[k] = cnt.get(k, 0) + 1
+    keys = sorted(cnt)
+    return pa.table({
+        "pred": pa.array([p for p, _o in keys], pa.string()),
+        "obj": pa.array([o for _p, o in keys], pa.string()),
+        "n_lines": pa.array([cnt[k] for k in keys], pa.int64()),
+    })
+
+
 def expected_bpe_merges(n_rows: int, seed: int = 42,
                         num_merges: int = 40) -> pa.Table:
     """Independent reference BPE for the ``bpe_merges`` oracle: textbook

@@ -353,6 +353,128 @@ def structure_store_stats(triples, input_bytes: int | None = None):
                                       "n_objs": "int64"})
 
 
+def add_norm_key(ds, col: str = "obj", out_col: str = "norm_key"):
+    """Append the canonical-entity norm key of a NAME column: the SAME
+    ``tokenize → normalize_surface`` contract the mention pipeline keys
+    its canonicalization groupby on (``stages/canonical.py``), so a
+    structural name like ``libqa.parse_it`` lands on the identical key as
+    NER mentions of the spaced surface ``libqa . parse_it``. Per-batch
+    memo over distinct names; the input is name-scale (distinct
+    structural facts), never corpus-scale."""
+    from ccnerx_ray.functions.tokenize import normalize_surface, tokenize
+
+    def fn(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        out = []
+        for v in batch.column(col).to_pylist():
+            k = memo.get(v)
+            if k is None:
+                k = memo[v] = normalize_surface(tokenize(v or ""))
+            out.append(k)
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def entities_from_catalog(catalog_pairs) -> pa.Table:
+    """catalog ``[(surface_tokens, label), ...]`` → the entity node table
+    ``(norm_key, entity_id, label)`` with ``entity_id =
+    sha256(norm_key)[:16]`` — the same id contract as the mention
+    pipeline, so catalog-derived nodes and mention-derived nodes
+    coincide. Surfaces colliding on norm_key dedupe deterministically to
+    the smallest ``(label, spaced_surface)``. Driver-side build is
+    catalog-scale; a 10^8-surface deployment reads its entity table from
+    Parquet instead and feeds it to
+    :func:`resolve_structure_entities` as a Dataset."""
+    from ccnerx_ray.functions.hashing import entity_id
+    from ccnerx_ray.functions.tokenize import normalize_surface
+
+    best: dict[str, tuple[str, str]] = {}
+    for surf, label in catalog_pairs:
+        nk = normalize_surface(surf)
+        key = (label, " ".join(surf))
+        if nk not in best or key < best[nk]:
+            best[nk] = key
+    nks = sorted(best)
+    return pa.table({
+        "norm_key": pa.array(nks, pa.string()),
+        "entity_id": pa.array([entity_id(nk) for nk in nks], pa.string()),
+        "label": pa.array([best[nk][0] for nk in nks], pa.string()),
+    })
+
+
+def resolve_structure_entities(names, entities,
+                               num_buckets: int | None = None,
+                               input_bytes: int | None = None):
+    """Entity resolution for STRUCTURAL edges: rows carrying an ``obj``
+    name column (e.g. the ``structure_triples`` aggregate) are LEFT OUTER
+    joined against an entity node table ``(norm_key, entity_id, label)``
+    on ``norm_key(obj)`` — unifying the code-structure graph and the NER
+    mention graph at the NODE level (a ``calls parse_foo`` edge now
+    points at the same ``entity_id`` as every mention of ``parse_foo``).
+    One hash-partitioned co-group (``lookup_join_on``): both sides stay
+    distributed, nothing broadcasts. Unresolved names keep their rows
+    with empty ``entity_id`` / ``label`` (NIL link, the ``LinkScorer``
+    convention)."""
+    from ccnerx_ray.functions.grouping import lookup_join_on
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        val = pc.binary_join_element_wise(
+            batch.column("entity_id"), batch.column("label"), "\x1f")
+        return pa.table({"norm_key": batch.column("norm_key"),
+                         "_ent": val})
+
+    lut = entities.map_batches(fuse, batch_format="pyarrow")
+    keyed = add_norm_key(names)
+    joined = lookup_join_on(keyed, "norm_key", lut, "_ent",
+                            num_buckets=num_buckets
+                            or _width(input_bytes))
+
+    def split(batch: pa.Table) -> pa.Table:
+        ent = batch.column("_ent").combine_chunks()
+        filled = pc.fill_null(ent, "\x1f")
+        parts = pc.split_pattern(filled, "\x1f", max_splits=1)
+        return batch.drop_columns(["_ent"]) \
+                    .append_column("entity_id", pc.list_element(parts, 0)) \
+                    .append_column("label", pc.list_element(parts, 1))
+
+    return joined.map_batches(split, batch_format="pyarrow")
+
+
+def structure_names(structure_triples_ds, input_bytes: int | None = None):
+    """(subj, pred, obj, n_lines) structural triples → the corpus-level
+    distinct-name table ``(pred, obj, n_lines)`` (line counts summed over
+    repos) — the natural resolution unit: each distinct name resolves
+    once, not once per repo edge."""
+    return grouped_reduce(
+        structure_triples_ds.select_columns(["pred", "obj", "n_lines"]),
+        ["pred", "obj"], {"n_lines": "sum"},
+        num_buckets=_width(input_bytes),
+        out_dtypes={"pred": "string", "obj": "string", "n_lines": "int64"},
+        pre_combine=True)
+
+
+def structure_name_counts(structure, input_bytes: int | None = None):
+    """structure → ``(pred, obj, n_lines)`` directly: ONE pre-combined
+    reduce from the extraction scan (skips the per-repo triple
+    intermediate when only corpus-level name counts are needed)."""
+    def rows(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("kind"),
+                          value_set=pa.array(list(_PRED_OF_KIND)))
+        return pa.table({
+            "pred": pc.take(pa.array(list(_PRED_OF_KIND.values())), idx),
+            "obj": batch.column("name"),
+            "n_lines": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_reduce(
+        structure.map_batches(rows, batch_format="pyarrow"),
+        ["pred", "obj"], {"n_lines": "sum"},
+        num_buckets=_width(input_bytes),
+        out_dtypes={"pred": "string", "obj": "string", "n_lines": "int64"},
+        pre_combine=True)
+
+
 def symbol_stats(symbols, input_bytes: int | None = None):
     """symbols → (symbol, kind, n_defs, n_repos) per definition surface."""
     nb = _width(input_bytes)

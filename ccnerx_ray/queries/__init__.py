@@ -51,6 +51,11 @@ _PRIORITY = [
     # unchanged since, yields its slot and joins its quantiles /
     # quantiles_cont siblings in the tail)
     "bpe_merges",
+    # structural entity resolution (kg_resolve NEW r5: structural names
+    # joined to canonical entity nodes, the node-level unification of
+    # the code graph and the mention graph — profile, r4-gate-verified
+    # and unchanged since, yields its slot)
+    "kg_resolve",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
     "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
@@ -64,7 +69,6 @@ _PRIORITY = [
     # top_words / hll_custkey / user_sessions / heavy_hitters — r3 AND
     # r4 verified, unchanged since — yield theirs to the code-analysis
     # family and dup_ngrams)
-    "profile",
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)
     "media_headers", "media_features", "media_frames",
     # corpus splits / sampling

@@ -1105,6 +1105,80 @@ def q_bpe_merges(sf_dir: str):
                      num_merges=40)
 
 
+def q_kg_resolve(sf_dir: str):
+    """Entity resolution for structural edges: distinct structural names
+    of the code corpus (``structure_names``) LEFT OUTER joined against
+    the catalog-derived entity node table on the canonical norm key —
+    one hash-partitioned co-group, both sides distributed
+    (``ops/code.py:resolve_structure_entities``). The oracle re-runs the
+    ENTIRE resolution in SQL: intent VALUES for the names, raw catalog
+    VALUES for the nodes, the norm-key pipeline as DuckDB regexes, the
+    entity id as ``substr(sha256(norm_key),1,16)`` and the join itself —
+    an end-to-end independent path."""
+    import ray.data
+
+    from ccnerx_ray.corpus import build_catalog
+    from ccnerx_ray.ops.code import (entities_from_catalog,
+                                     extract_structure,
+                                     resolve_structure_entities,
+                                     structure_name_counts)
+
+    names = structure_name_counts(extract_structure(_code_corpus(sf_dir)))
+    ents = ray.data.from_arrow(entities_from_catalog(
+        sorted(build_catalog(42).surface2label.items())))
+    return resolve_structure_entities(names, ents)
+
+
+def _sql_norm(expr: str) -> str:
+    """DuckDB rendering of the ``tokenize → normalize_surface`` norm-key
+    pipeline, exact on the generator's ASCII name domain (verified
+    value-for-value against the Python normalizer over every catalog
+    surface and dotted form): isolate dots, split underscores, split
+    camelCase / ACRONYMWord boundaries, casefold, collapse spaces."""
+    return (f"lower(trim(regexp_replace(regexp_replace(regexp_replace("
+            f"replace(replace({expr}, '.', ' . '), '_', ' '), "
+            f"'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+            f"'([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'), ' +', ' ', 'g')))")
+
+
+def _kg_resolve_oracle_sql() -> str:
+    from ccnerx_ray.corpus import build_catalog, expected_structure_names
+
+    def name_values(n: int) -> str:
+        return ",\n".join(
+            f"('{r['pred']}', '{r['obj']}', {r['n_lines']})"
+            for r in expected_structure_names(n, seed=42).to_pylist())
+
+    legs = []
+    for n, guard in ((240, "<"), (720, ">=")):
+        legs.append(
+            f"SELECT pred, obj, CAST(n_lines AS BIGINT) AS n_lines "
+            f"FROM (VALUES\n{name_values(n)}\n) AS t(pred, obj, n_lines)\n"
+            f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+    cat_vals = ",\n".join(sorted(
+        f"('{' '.join(surf)}', '{label}')"
+        for surf, label in build_catalog(42).surface2label.items()))
+    return f"""
+WITH struct AS (
+{" UNION ALL ".join(legs)}
+), cat(surface, label) AS (VALUES
+{cat_vals}
+), catn AS (
+  SELECT {_sql_norm('surface')} AS norm_key, label, surface FROM cat
+), catd AS (
+  SELECT norm_key, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_key
+               ORDER BY label, surface) AS rn FROM catn) WHERE rn = 1
+), named AS (
+  SELECT pred, obj, {_sql_norm('obj')} AS norm_key, n_lines FROM struct
+)
+SELECT n.pred, n.obj, n.norm_key, n.n_lines,
+       COALESCE(substr(sha256(c.norm_key), 1, 16), '') AS entity_id,
+       COALESCE(c.label, '') AS label
+FROM named n LEFT JOIN catd c USING (norm_key)
+"""
+
+
 def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
                      str_cols: frozenset) -> str:
     """Two-leg literal-VALUES oracle from a generation-intent expected
@@ -1157,6 +1231,7 @@ def _code_oracles() -> dict[str, str]:
             lambda n, seed=42: expected_bpe_merges(n, seed, num_merges=40),
             ("merge_rank", "left_sym", "right_sym", "pair_count"),
             frozenset({"left_sym", "right_sym"})),
+        "kg_resolve": _kg_resolve_oracle_sql(),
     }
 
 
@@ -1493,6 +1568,7 @@ ANALYTICS_QUERIES = {
     "code_repo_deps": q_code_repo_deps,
     "kg_structure": q_kg_structure,
     "bpe_merges": q_bpe_merges,
+    "kg_resolve": q_kg_resolve,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
