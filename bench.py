@@ -98,6 +98,9 @@ EXTRAS = [
                              # repo-level aggregate (r5)
     "bpe_merges",            # distributed BPE tokenizer training
                              # (word-frequency regime) (r5)
+    "kg_resolve",            # structural-name -> entity-node resolution
+                             # (norm-key co-group) (r5)
+    "doc_mixture",           # deterministic domain-mixture sampling (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -107,3 +107,51 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
 
     keyed = ds.map_batches(add_rank_key, batch_format="pyarrow")
     return coarse_grouped(keyed, [key_col], local, num_buckets=num_buckets)
+
+
+def mixture_sample(ds, rates_pm: dict[str, int], domain_col: str = "lang",
+                   id_col: str = "doc_id", salt: str = "mix",
+                   default_pm: int = 0):
+    """Deterministic DOMAIN-MIXTURE sampling: keep a row iff its per-mille
+    hash bucket — the same 60-bit sha256 prefix arithmetic as
+    :func:`hash_split` — is below its domain's target rate
+    (``rates_pm[domain]``, per-mille; unknown domains fall back to
+    ``default_pm``). This is how a training mix is rebalanced at corpus
+    scale (down-sample the dominant web domain, keep all of the scarce
+    ones): a PURE MAP + filter with no shuffle and no state, stable
+    across runs, retries and partitionings, and composable with
+    ``hash_split`` (different salts → independent buckets). Appends
+    ``bucket_pm`` and ``rate_pm``. DuckDB mirror: ``('0x' ||
+    substr(sha256(salt || ':' || id), 1, 15))::UBIGINT % 1000 <
+    rate``."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    pre = f"{salt}:".encode("utf-8")
+    domains = sorted(rates_pm)
+    dom_arr = np.array(domains, dtype=object)
+    rate_arr = np.array([rates_pm[d] for d in domains], dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        pms = np.fromiter(
+            ((int.from_bytes(
+                hashlib.sha256(pre + str(i).encode("utf-8")).digest()[:8],
+                "big") >> 4) % 1000 for i in ids),
+            dtype=np.int64, count=len(ids))
+        doms = np.asarray(batch.column(domain_col).to_pylist(),
+                          dtype=object)
+        idx = np.searchsorted(dom_arr, doms)
+        idx_c = np.clip(idx, 0, len(dom_arr) - 1)
+        known = (idx < len(dom_arr)) & (dom_arr[idx_c] == doms) \
+            if len(dom_arr) else np.zeros(len(doms), dtype=bool)
+        rates = np.where(known, rate_arr[idx_c] if len(dom_arr) else 0,
+                         default_pm)
+        out = (batch
+               .append_column("bucket_pm", pa.array(pms, pa.int64()))
+               .append_column("rate_pm", pa.array(rates, pa.int64())))
+        return out.filter(pa.array(pms < rates))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -58,7 +58,7 @@ _PRIORITY = [
     "kg_resolve",
     # text analysis / retrieval / hygiene
     "token_stats", "quality", "langid", "repetition", "decontaminate",
-    "pii_redact", "tfidf_top_terms", "bm25_topk", "doc_packs",
+    "pii_redact", "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split
@@ -71,8 +71,11 @@ _PRIORITY = [
     # family and dup_ngrams)
     # multimodal (media_frames: real per-frame uncompressed-AVI decode)
     "media_headers", "media_features", "media_frames",
-    # corpus splits / sampling
-    "doc_splits",
+    # corpus splits / sampling (doc_mixture NEW r5: deterministic
+    # domain-mixture rebalancing on the hash_split bucket arithmetic —
+    # tfidf_top_terms, r4-gate-verified and unchanged since, yields its
+    # slot)
+    "doc_splits", "doc_mixture",
 ]
 
 

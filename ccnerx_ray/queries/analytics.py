@@ -1766,6 +1766,40 @@ FROM (SELECT doc_id,
 ANALYTICS_QUERIES["doc_splits"] = q_doc_splits
 ANALYTICS_ORACLE["doc_splits"] = ORACLE_DOC_SPLITS
 
+
+_MIXTURE_RATES = {"en": 300, "zh": 1000, "es": 1000, "de": 1000,
+                  "fr": 1000}
+
+
+def q_doc_mixture(sf_dir: str):
+    """Deterministic domain-mixture sampling
+    (``ops/sampling.py:mixture_sample``): rebalance the training mix by
+    down-sampling the dominant language (en → 30%) while keeping every
+    scarce-language doc — a pure map + filter on the hash_split bucket
+    arithmetic, no shuffle, stable across runs/retries/partitionings."""
+    from ccnerx_ray.ops.sampling import mixture_sample
+
+    return mixture_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                          _MIXTURE_RATES)
+
+
+ORACLE_DOC_MIXTURE = f"""
+SELECT doc_id, lang, CAST(pm AS BIGINT) AS bucket_pm,
+       CAST(rate AS BIGINT) AS rate_pm
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::UBIGINT % 1000 AS pm,
+             CASE lang {" ".join(
+                 f"WHEN '{d}' THEN {r}"
+                 for d, r in sorted(_MIXTURE_RATES.items()))}
+                  ELSE 0 END AS rate
+      FROM documents)
+WHERE pm < rate
+"""
+
+ANALYTICS_QUERIES["doc_mixture"] = q_doc_mixture
+ANALYTICS_ORACLE["doc_mixture"] = ORACLE_DOC_MIXTURE
+
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors
