@@ -101,6 +101,8 @@ EXTRAS = [
     "kg_resolve",            # structural-name -> entity-node resolution
                              # (norm-key co-group) (r5)
     "doc_mixture",           # deterministic domain-mixture sampling (r5)
+    "code_pagerank",         # dependency centrality over the cross-repo
+                             # graph (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

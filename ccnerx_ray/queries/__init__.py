@@ -46,6 +46,10 @@ _PRIORITY = [
     # gate run, yields its slot)
     "code_imports", "code_symbols", "code_calls", "code_repo_deps",
     "kg_structure",
+    # code_pagerank NEW r5: dependency centrality over the cross-repo
+    # graph (langid — r4-gate-verified, ops/text.py unchanged all
+    # round — yields its slot)
+    "code_pagerank",
     # tokenizer training (bpe_merges NEW r5: distributed BPE merge
     # learning, ops/bpe.py — quantile_summary, r4-gate-verified and
     # unchanged since, yields its slot and joins its quantiles /
@@ -57,7 +61,7 @@ _PRIORITY = [
     # and unchanged since, yields its slot)
     "kg_resolve",
     # text analysis / retrieval / hygiene
-    "token_stats", "quality", "langid", "repetition", "decontaminate",
+    "token_stats", "quality", "repetition", "decontaminate",
     "pii_redact", "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

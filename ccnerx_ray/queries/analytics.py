@@ -1105,6 +1105,47 @@ def q_bpe_merges(sf_dir: str):
                      num_merges=40)
 
 
+def q_code_pagerank(sf_dir: str):
+    """Dependency centrality: exact integer PageRank (3 iterations) over
+    the cross-repo dependency graph (``repo_dep_edges`` — import lines
+    joined to defining repos) — "which repos does this corpus
+    load-bear on?", the graph query a source-code KG exists to answer.
+    Edges ride the same intent-derived oracle as ``code_repo_deps``;
+    the rank arithmetic reuses the unrolled-CTE integer oracle
+    (``ops/graph.py:pagerank_oracle_sql``)."""
+    from ccnerx_ray.ops.code import (extract_structure,
+                                     imports_from_structure,
+                                     repo_dep_edges,
+                                     symbols_from_structure)
+    from ccnerx_ray.ops.graph import pagerank_int
+
+    st = extract_structure(_code_corpus(sf_dir)).materialize()
+    deps = repo_dep_edges(imports_from_structure(st),
+                          symbols_from_structure(st))
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("src_repo"),
+                         "v": batch.column("dst_repo")})
+
+    return pagerank_int(deps.map_batches(to_uv, batch_format="pyarrow"),
+                        iterations=3, num_buckets=16)
+
+
+def _code_pagerank_oracle() -> str:
+    from ccnerx_ray.corpus import expected_code_repo_deps
+    from ccnerx_ray.ops.graph import pagerank_oracle_sql
+
+    def leg(n: int, guard: str) -> str:
+        vals = ",\n".join(
+            f"('{r['src_repo']}', '{r['dst_repo']}')"
+            for r in expected_code_repo_deps(n, seed=42).to_pylist())
+        return (f"SELECT u, v FROM (VALUES\n{vals}\n) AS t(u, v)\n"
+                f"WHERE (SELECT count(*) FROM documents) {guard} 2000")
+
+    return pagerank_oracle_sql(
+        leg(240, "<") + "\nUNION ALL\n" + leg(720, ">="), iterations=3)
+
+
 def q_kg_resolve(sf_dir: str):
     """Entity resolution for structural edges: distinct structural names
     of the code corpus (``structure_names``) LEFT OUTER joined against
@@ -1232,6 +1273,7 @@ def _code_oracles() -> dict[str, str]:
             ("merge_rank", "left_sym", "right_sym", "pair_count"),
             frozenset({"left_sym", "right_sym"})),
         "kg_resolve": _kg_resolve_oracle_sql(),
+        "code_pagerank": _code_pagerank_oracle(),
     }
 
 
@@ -1569,6 +1611,7 @@ ANALYTICS_QUERIES = {
     "kg_structure": q_kg_structure,
     "bpe_merges": q_bpe_merges,
     "kg_resolve": q_kg_resolve,
+    "code_pagerank": q_code_pagerank,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
