@@ -103,6 +103,7 @@ EXTRAS = [
     "doc_mixture",           # deterministic domain-mixture sampling (r5)
     "code_pagerank",         # dependency centrality over the cross-repo
                              # graph (r5)
+    "bpe_vocab",             # learned ordered-vocabulary artifact (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -383,6 +383,31 @@ def expected_bpe_merges(n_rows: int, seed: int = 42,
     })
 
 
+def expected_bpe_vocab(n_rows: int, seed: int = 42,
+                       num_merges: int = 40) -> pa.Table:
+    """Independent reference for the ``bpe_vocab`` oracle: sorted distinct
+    word characters + ``</w>``, then the reference merges' fused strings
+    in rank order, duplicates keeping the smallest id."""
+    table = generate_corpus(n_rows, seed)
+    alphabet: set[str] = set()
+    for content in table.column("content").to_pylist():
+        for w in content.split():
+            alphabet.update(w)
+    merges = expected_bpe_merges(n_rows, seed, num_merges)
+    toks = [(t, "base") for t in sorted(alphabet)] + [("</w>", "base")]
+    toks += [(l + r, "merged")
+             for l, r in zip(merges.column("left_sym").to_pylist(),
+                             merges.column("right_sym").to_pylist())]
+    seen: set = set()
+    rows = [(t, k) for t, k in toks
+            if not (t in seen or seen.add(t))]
+    return pa.table({
+        "token_id": pa.array(range(len(rows)), pa.int64()),
+        "token": pa.array([t for t, _k in rows], pa.string()),
+        "kind": pa.array([k for _t, k in rows], pa.string()),
+    })
+
+
 def write_corpus(path_dir: str, n_rows: int, seed: int = 42,
                  num_files: int = 8) -> str:
     """Write the corpus as a directory of Parquet shards (the multi-file

@@ -203,25 +203,14 @@ def _train_driver(words: list[tuple[str, int]], num_merges: int):
     return merges
 
 
-def train_bpe(corpus, text_col: str = "text", num_merges: int = 50,
-              input_bytes: int | None = None,
-              max_driver_words: int = 2_000_000) -> pa.Table:
-    """corpus → BPE merge table ``(merge_rank, left, right, pair_count)``.
-
-    The corpus-scale work (word counting) is always distributed; the
-    merge loop collects the distinct-word table when it fits under
-    ``max_driver_words`` rows (single-node trainer regime) and otherwise
-    iterates distributed: per round one pair-scale pre-combined reduce,
-    a width-bounded local-argmax collect, and a broadcast-free merge map
-    (the winning pair travels in the task closure — two strings)."""
-    wf = word_frequencies(corpus, text_col, input_bytes)
+def _merges_from_wf(wf, num_merges: int, input_bytes: int | None,
+                    max_driver_words: int) -> list:
+    """(word, cnt) Dataset → merge list — the loop shared by
+    :func:`train_bpe` and :func:`bpe_vocab`."""
     n_words = wf.count()
     if n_words == 0:
-        return pa.table({"merge_rank": pa.array([], pa.int64()),
-                         "left_sym": pa.array([], pa.string()),
-                         "right_sym": pa.array([], pa.string()),
-                         "pair_count": pa.array([], pa.int64())})
-    if n_words <= max_driver_words:
+        merges: list = []
+    elif n_words <= max_driver_words:
         rows = [(r["word"], r["cnt"]) for r in wf.take_all()]
         merges = _train_driver(rows, num_merges)
     else:
@@ -247,11 +236,76 @@ def train_bpe(corpus, text_col: str = "text", num_merges: int = 50,
             merges.append((rank, left, right, best["c"]))
             words = words.map_batches(_apply_merge(left, right),
                                       batch_format="pyarrow").materialize()
+    return merges
+
+
+def _merge_table(merges: list) -> pa.Table:
     return pa.table({
         "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
         "left_sym": pa.array([m[1] for m in merges], pa.string()),
         "right_sym": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
+def train_bpe(corpus, text_col: str = "text", num_merges: int = 50,
+              input_bytes: int | None = None,
+              max_driver_words: int = 2_000_000) -> pa.Table:
+    """corpus → BPE merge table ``(merge_rank, left_sym, right_sym,
+    pair_count)``.
+
+    The corpus-scale work (word counting) is always distributed; the
+    merge loop collects the distinct-word table when it fits under
+    ``max_driver_words`` rows (single-node trainer regime) and otherwise
+    iterates distributed: per round one pair-scale pre-combined reduce,
+    a width-bounded local-argmax collect, and a broadcast-free merge map
+    (the winning pair travels in the task closure — two strings)."""
+    wf = word_frequencies(corpus, text_col, input_bytes)
+    return _merge_table(
+        _merges_from_wf(wf, num_merges, input_bytes, max_driver_words))
+
+
+def bpe_vocab(corpus, text_col: str = "text", num_merges: int = 50,
+              input_bytes: int | None = None,
+              max_driver_words: int = 2_000_000) -> pa.Table:
+    """corpus → the trained vocabulary table ``(token_id, token, kind)``:
+    base symbols first (every distinct character of the corpus words,
+    sorted, plus ``</w>``), then merged symbols in rank order; duplicate
+    strings (two merge paths fusing to the same text) dedupe keeping the
+    smallest id. The Ray-native analogue of the reference's ordered
+    ``vocab.txt`` artifact (``vocab.py`` readers, SURVEY §2 S4/K2) with
+    the vocabulary LEARNED from the corpus instead of shipped. The word
+    table is materialized once and feeds both the alphabet scan and the
+    merge loop."""
+    wf = word_frequencies(corpus, text_col, input_bytes).materialize()
+
+    def chars(batch: pa.Table) -> pa.Table:
+        seen = sorted({ch for w in batch.column("word").to_pylist()
+                       for ch in w})
+        return pa.table({"token": pa.array(seen, pa.string())})
+
+    alpha_ds = grouped_reduce(
+        wf.map_batches(chars, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["token"], {"one": "sum"}, num_buckets=8,
+        out_dtypes={"token": "string", "one": "int64"}, pre_combine=True)
+    # alphabet-scale collect (distinct characters — bounded by the
+    # corpus's script repertoire, thousands at most)
+    alphabet = sorted(r["token"] for r in alpha_ds.take_all())
+    merges = _merges_from_wf(wf, num_merges, input_bytes,
+                             max_driver_words)
+    toks: list[tuple[str, str]] = [(t, "base") for t in alphabet]
+    toks.append(("</w>", "base"))
+    toks.extend((l + r, "merged") for _rank, l, r, _c in merges)
+    seen: dict[str, None] = {}
+    rows = [(t, k) for t, k in toks
+            if t not in seen and seen.setdefault(t) is None]
+    return pa.table({
+        "token_id": pa.array(range(len(rows)), pa.int64()),
+        "token": pa.array([t for t, _k in rows], pa.string()),
+        "kind": pa.array([k for _t, k in rows], pa.string()),
     })
 
 

@@ -55,13 +55,17 @@ _PRIORITY = [
     # unchanged since, yields its slot and joins its quantiles /
     # quantiles_cont siblings in the tail)
     "bpe_merges",
+    # bpe_vocab NEW r5: the learned ordered-vocabulary artifact
+    # (repetition — r4-gate-verified, ops/text.py unchanged all round —
+    # yields its slot)
+    "bpe_vocab",
     # structural entity resolution (kg_resolve NEW r5: structural names
     # joined to canonical entity nodes, the node-level unification of
     # the code graph and the mention graph — profile, r4-gate-verified
     # and unchanged since, yields its slot)
     "kg_resolve",
     # text analysis / retrieval / hygiene
-    "token_stats", "quality", "repetition", "decontaminate",
+    "token_stats", "quality", "decontaminate",
     "pii_redact", "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

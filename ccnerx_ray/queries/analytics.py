@@ -1105,6 +1105,15 @@ def q_bpe_merges(sf_dir: str):
                      num_merges=40)
 
 
+def q_bpe_vocab(sf_dir: str):
+    """Trained BPE vocabulary table (base alphabet + merged symbols in
+    rank order — ``ops/bpe.py:bpe_vocab``): the Ray-native, learned
+    analogue of the reference's ordered ``vocab.txt`` artifact."""
+    from ccnerx_ray.ops.bpe import bpe_vocab
+    return bpe_vocab(_code_corpus(sf_dir), text_col="content",
+                     num_merges=40)
+
+
 def q_code_pagerank(sf_dir: str):
     """Dependency centrality: exact integer PageRank (3 iterations) over
     the cross-repo dependency graph (``repo_dep_edges`` — import lines
@@ -1247,6 +1256,7 @@ def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
 
 def _code_oracles() -> dict[str, str]:
     from ccnerx_ray.corpus import (expected_bpe_merges,
+                                   expected_bpe_vocab,
                                    expected_code_calls,
                                    expected_code_imports,
                                    expected_code_repo_deps,
@@ -1274,6 +1284,10 @@ def _code_oracles() -> dict[str, str]:
             frozenset({"left_sym", "right_sym"})),
         "kg_resolve": _kg_resolve_oracle_sql(),
         "code_pagerank": _code_pagerank_oracle(),
+        "bpe_vocab": _code_oracle_sql(
+            lambda n, seed=42: expected_bpe_vocab(n, seed, num_merges=40),
+            ("token_id", "token", "kind"),
+            frozenset({"token", "kind"})),
     }
 
 
@@ -1612,6 +1626,7 @@ ANALYTICS_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "kg_resolve": q_kg_resolve,
     "code_pagerank": q_code_pagerank,
+    "bpe_vocab": q_bpe_vocab,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,

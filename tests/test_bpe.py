@@ -74,3 +74,24 @@ def test_reference_parity(ray_session):
     got = train_bpe(ds, text_col="content", num_merges=25).to_pylist()
     want = expected_bpe_merges(240, seed=42, num_merges=25).to_pylist()
     assert got == want and len(got) == 25
+
+
+def test_bpe_vocab_hand_worked(ray_session):
+    from ccnerx_ray.ops.bpe import bpe_vocab
+    got = bpe_vocab(_corpus(["low low low", "lower lower"]),
+                    num_merges=3).to_pylist()
+    assert [(r["token_id"], r["token"], r["kind"]) for r in got] == [
+        (0, "e", "base"), (1, "l", "base"), (2, "o", "base"),
+        (3, "r", "base"), (4, "w", "base"), (5, "</w>", "base"),
+        (6, "lo", "merged"), (7, "low", "merged"),
+        (8, "low</w>", "merged")]
+
+
+def test_bpe_vocab_reference_parity(ray_session):
+    from ccnerx_ray.corpus import expected_bpe_vocab, generate_corpus
+    from ccnerx_ray.ops.bpe import bpe_vocab
+    t = generate_corpus(240, seed=42)
+    ds = ray.data.from_arrow([t.slice(i * 30, 30) for i in range(8)])
+    got = bpe_vocab(ds, text_col="content", num_merges=25).to_pylist()
+    want = expected_bpe_vocab(240, seed=42, num_merges=25).to_pylist()
+    assert got == want
