@@ -51,9 +51,6 @@ import pyarrow.compute as pc
 from ccnerx_ray.functions.grouping import grouped_reduce
 from ccnerx_ray.ops.join import derive_hash_partitions
 
-_SEP = "\x1f"  # joins pair keys; below every corpus char, so joined-key
-               # lexicographic order == (left, right) tuple order
-
 MERGE_SCHEMA = pa.schema([
     ("merge_rank", pa.int64()), ("left_sym", pa.string()),
     ("right_sym", pa.string()), ("pair_count", pa.int64()),
@@ -99,33 +96,37 @@ def _symbolize(batch: pa.Table) -> pa.Table:
 def _pair_partials(batch: pa.Table) -> pa.Table:
     """Vectorized adjacent-pair counting: list-offset arithmetic finds
     in-word adjacencies, a per-batch group_by pre-combines — rows leaving
-    the batch are (pair, partial count), pair-scale not symbol-scale."""
+    the batch are (left, right, partial count), pair-scale not
+    symbol-scale. The pair stays TWO columns end to end: a joined key
+    would be ambiguous for symbols containing the delimiter (the graph
+    pair-key lesson), and tuple order is the tie-break contract."""
     la = batch.column("syms").combine_chunks()
     flat = pc.list_flatten(la)
     n = len(flat)
     if n < 2:
-        return pa.table({"pair": pa.array([], pa.string()),
+        return pa.table({"l": pa.array([], pa.string()),
+                         "r": pa.array([], pa.string()),
                          "c": pa.array([], pa.int64())})
     parent = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
     valid = parent[:-1] == parent[1:]
     left = flat.slice(0, n - 1).filter(pa.array(valid))
     right = flat.slice(1, n - 1).filter(pa.array(valid))
-    pair = pc.binary_join_element_wise(left, right, _SEP)
     w = pc.take(batch.column("cnt"),
                 pa.array(parent[:-1][valid], pa.int64()))
-    t = pa.table({"pair": pair, "c": w})
-    return t.group_by(["pair"]).aggregate([("c", "sum")]) \
-            .rename_columns(["pair", "c"])
+    t = pa.table({"l": left, "r": right, "c": w})
+    return t.group_by(["l", "r"]).aggregate([("c", "sum")]) \
+            .rename_columns(["l", "r", "c"])
 
 
 def _local_best(batch: pa.Table) -> pa.Table:
-    """pair-scale reduce output → one local champion row per block."""
+    """pair-scale reduce output → one local champion row per block:
+    max count, then lexicographically smallest (left, right) tuple."""
     if batch.num_rows == 0:
         return batch
-    cmax = pc.max(batch.column("c"))
-    t = batch.filter(pc.equal(batch.column("c"), cmax))
-    best = pc.min(t.column("pair"))
-    return t.filter(pc.equal(t.column("pair"), best)).slice(0, 1)
+    t = batch.filter(pc.equal(batch.column("c"), pc.max(batch.column("c"))))
+    t = t.filter(pc.equal(t.column("l"), pc.min(t.column("l"))))
+    return t.filter(pc.equal(t.column("r"),
+                             pc.min(t.column("r")))).slice(0, 1)
 
 
 def _merge_word(syms: list, left: str, right: str, fused: str) -> list:
@@ -221,18 +222,19 @@ def _merges_from_wf(wf, num_merges: int, input_bytes: int | None,
         for rank in range(num_merges):
             pairs = grouped_reduce(
                 words.map_batches(_pair_partials, batch_format="pyarrow"),
-                ["pair"], {"c": "sum"}, num_buckets=nb,
-                out_dtypes={"pair": "string", "c": "int64"},
+                ["l", "r"], {"c": "sum"}, num_buckets=nb,
+                out_dtypes={"l": "string", "r": "string", "c": "int64"},
                 pre_combine=True)
             champs = [r for r in
                       pairs.map_batches(_local_best,
                                         batch_format="pyarrow").take_all()]
             if not champs:
                 break
-            best = min(champs, key=lambda r: (-r["c"], r["pair"]))
+            best = min(champs,
+                       key=lambda r: (-r["c"], (r["l"], r["r"])))
             if best["c"] < 2:
                 break
-            left, right = best["pair"].split(_SEP)
+            left, right = best["l"], best["r"]
             merges.append((rank, left, right, best["c"]))
             words = words.map_batches(_apply_merge(left, right),
                                       batch_format="pyarrow").materialize()

@@ -95,3 +95,14 @@ def test_bpe_vocab_reference_parity(ray_session):
     got = bpe_vocab(ds, text_col="content", num_merges=25).to_pylist()
     want = expected_bpe_vocab(240, seed=42, num_merges=25).to_pylist()
     assert got == want
+
+
+def test_driver_distributed_parity_hostile_symbols(ray_session):
+    # words containing control characters (incl. \x1f) — pair identity
+    # must stay exact with no joined-key ambiguity
+    texts = ["a\x1fb a\x1fb a\x1fb", "ab ab a\x1f a\x1f \x1fb \x1fb"]
+    a = train_bpe(_corpus(texts), num_merges=6,
+                  max_driver_words=2_000_000).to_pylist()
+    b = train_bpe(_corpus(texts), num_merges=6,
+                  max_driver_words=0).to_pylist()
+    assert a == b and len(a) > 2
