@@ -419,6 +419,13 @@ def resolve_structure_entities(names, entities,
     from ccnerx_ray.functions.grouping import lookup_join_on
 
     def fuse(batch: pa.Table) -> pa.Table:
+        # entity_id rides left of the \x1f separator and the split takes
+        # the FIRST separator, so the fusion is unambiguous iff
+        # entity_id never contains \x1f — true by the sha256-hex id
+        # contract; enforced loudly for arbitrary caller tables
+        if bool(pc.any(pc.match_substring(
+                batch.column("entity_id"), "\x1f")).as_py()):
+            raise ValueError("entity_id values must not contain \\x1f")
         val = pc.binary_join_element_wise(
             batch.column("entity_id"), batch.column("label"), "\x1f")
         return pa.table({"norm_key": batch.column("norm_key"),

@@ -77,3 +77,13 @@ def test_structure_name_counts_equals_names_via_triples(ray_session):
     b = sorted((r["pred"], r["obj"], r["n_lines"])
                for r in _rows(structure_names(structure_triples(st))))
     assert a == b and len(a) > 50
+
+
+def test_resolve_rejects_separator_in_entity_id(ray_session):
+    import pytest
+    names = ray.data.from_arrow(pa.table({
+        "pred": ["calls"], "obj": ["x"], "n_lines": [1]}))
+    bad = ray.data.from_arrow(pa.table({
+        "norm_key": ["x"], "entity_id": ["a\x1fb"], "label": ["L"]}))
+    with pytest.raises(Exception, match="x1f"):
+        resolve_structure_entities(names, bad, num_buckets=2).take_all()
