@@ -104,6 +104,8 @@ EXTRAS = [
     "code_pagerank",         # dependency centrality over the cross-repo
                              # graph (r5)
     "bpe_vocab",             # learned ordered-vocabulary artifact (r5)
+    "bpe_token_stats",       # corpus encoded under its own learned
+                             # tokenizer, per-lang budgets (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -408,6 +408,50 @@ def expected_bpe_vocab(n_rows: int, seed: int = 42,
     })
 
 
+def expected_bpe_token_stats(n_rows: int, seed: int = 42,
+                             num_merges: int = 40) -> pa.Table:
+    """Independent reference for the ``bpe_token_stats`` oracle: encode
+    every document with the reference merge table (each rule applied
+    once in rank order, greedy left-to-right — the shared contract) and
+    aggregate (lang, n_docs, n_tokens)."""
+    merges = expected_bpe_merges(n_rows, seed, num_merges)
+    rules = list(zip(merges.column("left_sym").to_pylist(),
+                     merges.column("right_sym").to_pylist()))
+    cache: dict[str, int] = {}
+
+    def n_word_tokens(w: str) -> int:
+        got = cache.get(w)
+        if got is None:
+            syms = list(w) + ["</w>"]
+            for left, right in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            got = cache[w] = len(syms)
+        return got
+
+    table = generate_corpus(n_rows, seed)
+    stats: dict[str, list[int]] = {}
+    for lang, content in zip(table.column("lang").to_pylist(),
+                             table.column("content").to_pylist()):
+        s = stats.setdefault(lang, [0, 0])
+        s[0] += 1
+        s[1] += sum(n_word_tokens(w) for w in content.split())
+    langs = sorted(stats)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([stats[g][0] for g in langs], pa.int64()),
+        "n_tokens": pa.array([stats[g][1] for g in langs], pa.int64()),
+    })
+
+
 def write_corpus(path_dir: str, n_rows: int, seed: int = 42,
                  num_files: int = 8) -> str:
     """Write the corpus as a directory of Parquet shards (the multi-file

@@ -59,13 +59,17 @@ _PRIORITY = [
     # (repetition — r4-gate-verified, ops/text.py unchanged all round —
     # yields its slot)
     "bpe_vocab",
+    # bpe_token_stats NEW r5: the corpus encoded under its own learned
+    # tokenizer, per-lang token budgets (token_stats — r4-gate-verified,
+    # ops/text.py unchanged all round — yields its slot)
+    "bpe_token_stats",
     # structural entity resolution (kg_resolve NEW r5: structural names
     # joined to canonical entity nodes, the node-level unification of
     # the code graph and the mention graph — profile, r4-gate-verified
     # and unchanged since, yields its slot)
     "kg_resolve",
     # text analysis / retrieval / hygiene
-    "token_stats", "quality", "decontaminate",
+    "quality", "decontaminate",
     "pii_redact", "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

@@ -1114,6 +1114,37 @@ def q_bpe_vocab(sf_dir: str):
                      num_merges=40)
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """Corpus ENCODED with its own trained tokenizer: train the merge
+    table, then one stateless ``apply_bpe`` pass (merge rules ride the
+    task closure — vocab-scale, not data-scale) and a pre-combined
+    per-language reduce of (n_docs, n_tokens). The end-use composition
+    the tokenizer family exists for: token budgets under the learned
+    vocabulary."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops.bpe import apply_bpe, train_bpe
+
+    corpus = _code_corpus(sf_dir)
+    merges = train_bpe(corpus, text_col="content", num_merges=40)
+    enc = apply_bpe(_code_corpus(sf_dir), merges, text_col="content")
+
+    def rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.list_value_length(batch.column("bpe_tokens")).cast(pa.int64())
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_tokens": n,
+        })
+
+    return grouped_reduce(enc.map_batches(rows, batch_format="pyarrow"),
+                          ["lang"], {"n_docs": "sum", "n_tokens": "sum"},
+                          num_buckets=8,
+                          out_dtypes={"lang": "string", "n_docs": "int64",
+                                      "n_tokens": "int64"},
+                          pre_combine=True)
+
+
 def q_code_pagerank(sf_dir: str):
     """Dependency centrality: exact integer PageRank (3 iterations) over
     the cross-repo dependency graph (``repo_dep_edges`` — import lines
@@ -1256,6 +1287,7 @@ def _code_oracle_sql(expected_fn, cols: tuple[str, ...],
 
 def _code_oracles() -> dict[str, str]:
     from ccnerx_ray.corpus import (expected_bpe_merges,
+                                   expected_bpe_token_stats,
                                    expected_bpe_vocab,
                                    expected_code_calls,
                                    expected_code_imports,
@@ -1288,6 +1320,10 @@ def _code_oracles() -> dict[str, str]:
             lambda n, seed=42: expected_bpe_vocab(n, seed, num_merges=40),
             ("token_id", "token", "kind"),
             frozenset({"token", "kind"})),
+        "bpe_token_stats": _code_oracle_sql(
+            lambda n, seed=42: expected_bpe_token_stats(
+                n, seed, num_merges=40),
+            ("lang", "n_docs", "n_tokens"), frozenset({"lang"})),
     }
 
 
@@ -1627,6 +1663,7 @@ ANALYTICS_QUERIES = {
     "kg_resolve": q_kg_resolve,
     "code_pagerank": q_code_pagerank,
     "bpe_vocab": q_bpe_vocab,
+    "bpe_token_stats": q_bpe_token_stats,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_entities": q_kg_entities,
