@@ -68,8 +68,11 @@ _PRIORITY = [
     # the code graph and the mention graph — profile, r4-gate-verified
     # and unchanged since, yields its slot)
     "kg_resolve",
-    # text analysis / retrieval / hygiene
-    "quality", "decontaminate",
+    # text analysis / retrieval / hygiene (doc_lm_score NEW r5:
+    # trained-unigram exact-integer surprisal scoring, ops/lm.py —
+    # quality, r4-gate-verified, ops/text.py unchanged all round,
+    # yields its slot)
+    "doc_lm_score", "decontaminate",
     "pii_redact", "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

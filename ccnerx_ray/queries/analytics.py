@@ -76,6 +76,48 @@ FROM t
 """
 
 
+# ------------------------------------------------- unigram LM quality score
+def q_doc_lm_score(sf_dir: str):
+    """CCNet/KenLM-style perplexity quality scoring with the unigram
+    model TRAINED from the corpus itself (ops/lm.py): one combiner
+    wordcount scan lands the vocab-scale model, then every document is
+    scored by its exact-integer surprisal — per-token bits =
+    ``bitlen(N) - bitlen(count)`` (floor-log2, ≥0) — so the whole
+    train→score loop value-hashes against SQL (``length(bin(x))`` is the
+    DuckDB twin of ``int.bit_length``). Model broadcasts under the
+    asserted byte bound; the forced-partitioned co-group path is pinned
+    bit-equal by `tests/test_lm.py`."""
+    from ccnerx_ray.ops.lm import score_documents, train_unigram
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    model = train_unigram(ds)
+    return score_documents(ds, model)
+
+
+ORACLE_DOC_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    w -> w <> '')) AS w
+  FROM documents
+),
+model AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM model),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin(nt.n)) - length(bin(m.c))) AS BIGINT)
+             AS surprisal_bits
+  FROM toks t JOIN model m ON t.w = m.w CROSS JOIN nt
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.surprisal_bits, 0) AS surprisal_bits,
+       CASE WHEN s.n_tokens IS NULL OR s.n_tokens = 0 THEN 0
+            ELSE CAST((100 * s.surprisal_bits) // s.n_tokens AS BIGINT)
+       END AS mean_surprisal_x100
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 # ------------------------------------------------------- repetition signals
 def q_repetition(sf_dir: str):
     """Gopher-style within-document duplicate-n-gram signals (quality
@@ -1625,6 +1667,7 @@ WHERE len(list_intersect(a.grams, b.grams)) > 0
 
 ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
+    "doc_lm_score": q_doc_lm_score,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "dup_ngrams": q_dup_ngrams,
@@ -1672,6 +1715,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
+    "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dup_ngrams": ORACLE_DUP_NGRAMS,
