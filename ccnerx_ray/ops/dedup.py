@@ -875,3 +875,97 @@ def shared_ngram_stats(docs, *, n: int = 13, text_col: str = "text",
                           {"n_grams": "sum", "n_shared": "sum"},
                           num_buckets=min(64, width),
                           out_dtypes=out_dtypes, pre_combine=True)
+
+
+def passage_dedup_stats(docs, *, window: int = 32, text_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 256):
+    """Sub-document EXACT dedup at passage granularity: split each
+    document's token stream into consecutive ``window``-token passages
+    (the tail passage may be shorter) and keep only the globally FIRST
+    occurrence of each passage content, ordered by ``(doc_id,
+    passage_idx)`` — every later identical passage is a duplicate. The
+    per-(doc, position) keeper semantics are the sub-document analogue of
+    :func:`exact_dedup` (RefinedWeb/MassiveText drop repeated boilerplate
+    spans inside otherwise-unique pages, where whole-document dedup sees
+    nothing).
+
+    Returns Dataset ``(doc_id, n_passages, n_dup_passages,
+    n_tokens_dropped)`` — exact integers, one row per input document
+    (zero-token docs ride a per-doc sentinel).
+
+    Scale shape (the :func:`shared_ngram_stats` skeleton):
+
+    * passage identity is the sha256 of the LENGTH-PREFIXED token join
+      (``f"{len(t)}:{t}"`` concatenated) — collision-free for any token
+      content including the join-delimiter hazard class (ADVICE r4), and
+      exactly mirrorable in SQL (``sha256(array_to_string(list_transform(
+      tk, x -> length(x)||':'||x), ''))``), so the oracle shares identity
+      semantics instead of approximating them;
+    * the shuffle carries ``(pkey hex64, doc_id, idx, n_toks)`` — never
+      passage text; width derives from the input bytes, capped at
+      ``num_buckets``;
+    * first-occurrence marking is bucket-local (all rows of a pkey land
+      in one coarse group), per-doc partials ride a pre-combined reduce.
+    """
+    import hashlib
+
+    from ccnerx_ray.functions.grouping import coarse_grouped, grouped_reduce
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    out_dtypes = {"doc_id": "int64", "n_passages": "int64",
+                  "n_dup_passages": "int64", "n_tokens_dropped": "int64"}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k_col: list[str] = []
+        d_col: list[int] = []
+        i_col: list[int] = []
+        t_col: list[int] = []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            toks = ws_tokens(txt)
+            if not toks:
+                # unique per-doc sentinel (\x00 prefix cannot collide with
+                # sha256 hex): keeps the zero-stat row alive, never a dup
+                k_col.append(f"\x00{did}")
+                d_col.append(did)
+                i_col.append(-1)
+                t_col.append(0)
+                continue
+            for start in range(0, len(toks), window):
+                p = toks[start:start + window]
+                key = hashlib.sha256(
+                    "".join(f"{len(t)}:{t}" for t in p)
+                    .encode("utf-8")).hexdigest()
+                k_col.append(key)
+                d_col.append(did)
+                i_col.append(start // window)
+                t_col.append(len(p))
+        return pa.table({"pkey": pa.array(k_col, pa.string()),
+                         "doc_id": pa.array(d_col, pa.int64()),
+                         "idx": pa.array(i_col, pa.int64()),
+                         "n_toks": pa.array(t_col, pa.int64())})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pkey", "doc_id", "idx"], kind="mergesort")
+        first = ~g["pkey"].duplicated()
+        real = g["idx"].to_numpy() >= 0
+        dup = (~first.to_numpy()) & real
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_passages": real.astype(np.int64),
+            "n_dup_passages": dup.astype(np.int64),
+            "n_tokens_dropped": np.where(dup, g["n_toks"].to_numpy(), 0),
+        })
+        return (out.groupby("doc_id", sort=False).sum().reset_index())
+
+    bytes_est = docs.size_bytes() or 0
+    width = int(min(max(bytes_est // (64 << 20), 8), num_buckets))
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    stats = coarse_grouped(rows, ["pkey"], bucket_stats,
+                           num_buckets=width, out_dtypes=out_dtypes)
+    return grouped_reduce(stats, ["doc_id"],
+                          {"n_passages": "sum", "n_dup_passages": "sum",
+                           "n_tokens_dropped": "sum"},
+                          num_buckets=min(64, width),
+                          out_dtypes=out_dtypes, pre_combine=True)

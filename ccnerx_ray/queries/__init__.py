@@ -24,9 +24,12 @@ _PRIORITY = [
     # dedup family (dup_ngrams NEW r5: within-corpus repeated-span
     # exposure — heavy_hitters, r3+r4-verified and unchanged, yields
     # its window slot)
+    # (passage_dedup NEW r5: sub-document first-occurrence keeper dedup —
+    # pii_redact, r4-gate-verified, ops/text.py unchanged all round,
+    # yields its slot)
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
-    "fingerprint", "dup_ngrams",
+    "fingerprint", "dup_ngrams", "passage_dedup",
     # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
     # rows-only — their machinery is gate-checked through the
     # oracle-paired *_full probe-all twins, so both live in the
@@ -73,7 +76,7 @@ _PRIORITY = [
     # quality, r4-gate-verified, ops/text.py unchanged all round,
     # yields its slot)
     "doc_lm_score", "decontaminate",
-    "pii_redact", "bm25_topk", "doc_packs",
+    "bm25_topk", "doc_packs",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split

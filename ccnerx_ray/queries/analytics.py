@@ -118,6 +118,57 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+# ------------------------------------------------- passage-level exact dedup
+def q_passage_dedup(sf_dir: str):
+    """Sub-document exact dedup (ops/dedup.py:passage_dedup_stats):
+    consecutive 4-token passages, keep the global FIRST occurrence by
+    (doc_id, idx), count what later copies would drop. Window 4 so the
+    synthetic corpus actually contains cross-document repeats; passage
+    identity is the sha256 of the length-prefixed token join — mirrored
+    EXACTLY in the oracle, so both sides share identity semantics."""
+    from ccnerx_ray.ops.dedup import passage_dedup_stats
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return passage_dedup_stats(ds, window=4)
+
+
+ORACLE_PASSAGE_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+),
+st AS (
+  SELECT doc_id, tk, unnest([x for x in range(1, len(tk) + 1, 4)]) AS s
+  FROM t WHERE len(tk) > 0
+),
+p AS (
+  SELECT doc_id, CAST((s - 1) // 4 AS BIGINT) AS idx,
+         sha256(array_to_string(list_transform(
+             list_slice(tk, s, least(s + 3, len(tk))),
+             x -> CAST(length(x) AS VARCHAR) || ':' || x), '')) AS pkey,
+         CAST(least(s + 3, len(tk)) - s + 1 AS BIGINT) AS n_toks
+  FROM st
+),
+m AS (
+  SELECT doc_id, n_toks,
+         CASE WHEN row_number() OVER (PARTITION BY pkey
+                                      ORDER BY doc_id, idx) = 1
+              THEN 0 ELSE 1 END AS dup
+  FROM p
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+         CAST(sum(dup) AS BIGINT) AS n_dup_passages,
+         CAST(sum(dup * n_toks) AS BIGINT) AS n_tokens_dropped
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_passages, 0) AS n_passages,
+       COALESCE(a.n_dup_passages, 0) AS n_dup_passages,
+       COALESCE(a.n_tokens_dropped, 0) AS n_tokens_dropped
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+
 # ------------------------------------------------------- repetition signals
 def q_repetition(sf_dir: str):
     """Gopher-style within-document duplicate-n-gram signals (quality
@@ -1668,6 +1719,7 @@ WHERE len(list_intersect(a.grams, b.grams)) > 0
 ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "doc_lm_score": q_doc_lm_score,
+    "passage_dedup": q_passage_dedup,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "dup_ngrams": q_dup_ngrams,
@@ -1716,6 +1768,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dup_ngrams": ORACLE_DUP_NGRAMS,
