@@ -75,8 +75,11 @@ _PRIORITY = [
     # trained-unigram exact-integer surprisal scoring, ops/lm.py —
     # quality, r4-gate-verified, ops/text.py unchanged all round,
     # yields its slot)
+    # (index_lookup NEW r5: partition-pruned exact inverted-index probe,
+    # ops/index.py — doc_packs, r4-gate-verified, ops/text.py unchanged
+    # all round, yields its slot)
     "doc_lm_score", "decontaminate",
-    "bm25_topk", "doc_packs",
+    "bm25_topk", "index_lookup",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split

@@ -169,6 +169,58 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
 
+# ------------------------------------------------------ inverted-index store
+_INDEX_TERMS = ["table", "query", "scan", "zz_no_such_term"]
+
+
+def _index_store_dir(sf_dir: str) -> str:
+    """Build (or reuse) the term-partitioned inverted-index store for
+    this sf_dir under /tmp (the `_ivf_store_dir` recipe: deterministic
+    build, source marker invalidates stale stores)."""
+    import os
+    import shutil
+
+    from ccnerx_ray.ops.index import build_index_store
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = f"{src}|{os.path.getsize(src)}|{os.path.getmtime(src)}"
+    store = os.path.join("/tmp/ccnerx_invidx",
+                         os.path.basename(os.path.normpath(sf_dir)))
+    mfile = os.path.join(store, "_source.txt")
+    if os.path.exists(mfile) and open(mfile).read() == marker:
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    build_index_store(_docs(sf_dir, ["doc_id", "text"]), store,
+                      num_shards=16)
+    with open(mfile, "w") as f:
+        f.write(marker)
+    return store
+
+
+def q_index_lookup(sf_dir: str):
+    """Partition-pruned EXACT retrieval: postings for the probe terms
+    read from ONLY the shards they route to (ops/index.py — the
+    text-side sibling of the IVF store, but exact, so the whole
+    build→shard→prune→probe loop is oracle-paired; `_lineage/probe.json`
+    records bytes_probed < bytes_total). One probe term is deliberately
+    absent from the corpus — absence must be exact too."""
+    from ccnerx_ray.ops.index import lookup_terms
+    return lookup_terms(_index_store_dir(sf_dir), _INDEX_TERMS)
+
+
+ORACLE_INDEX_LOOKUP = r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    w -> w <> '')) AS w
+  FROM documents
+)
+SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM t
+WHERE w IN ('table', 'query', 'scan', 'zz_no_such_term')
+GROUP BY w, doc_id
+"""
+
+
 # ------------------------------------------------------- repetition signals
 def q_repetition(sf_dir: str):
     """Gopher-style within-document duplicate-n-gram signals (quality
@@ -1720,6 +1772,7 @@ ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "doc_lm_score": q_doc_lm_score,
     "passage_dedup": q_passage_dedup,
+    "index_lookup": q_index_lookup,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "dup_ngrams": q_dup_ngrams,
@@ -1769,6 +1822,7 @@ ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "index_lookup": ORACLE_INDEX_LOOKUP,
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dup_ngrams": ORACLE_DUP_NGRAMS,
