@@ -77,9 +77,12 @@ _PRIORITY = [
     # yields its slot)
     # (index_lookup NEW r5: partition-pruned exact inverted-index probe,
     # ops/index.py — doc_packs, r4-gate-verified, ops/text.py unchanged
-    # all round, yields its slot)
+    # all round, yields its slot; index_bm25 NEW r5: BM25 answered from
+    # the pruned index, sharing bm25_topk's oracle — bm25_topk itself,
+    # r4-gate-verified, ops/retrieval.py unchanged all round, yields its
+    # slot to the path that supersedes its scan-2 at point-query scale)
     "doc_lm_score", "decontaminate",
-    "bm25_topk", "index_lookup",
+    "index_lookup", "index_bm25",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry
     # tail so the 50-row gate window reaches the multimodal + split

@@ -183,7 +183,8 @@ def _index_store_dir(sf_dir: str) -> str:
     from ccnerx_ray.ops.index import build_index_store
 
     src = os.path.join(sf_dir, "documents.parquet")
-    marker = f"{src}|{os.path.getsize(src)}|{os.path.getmtime(src)}"
+    # v2: postings carry doc_len; ledger carries n_docs/n_tokens
+    marker = f"v2|{src}|{os.path.getsize(src)}|{os.path.getmtime(src)}"
     store = os.path.join("/tmp/ccnerx_invidx",
                          os.path.basename(os.path.normpath(sf_dir)))
     mfile = os.path.join(store, "_source.txt")
@@ -219,6 +220,17 @@ FROM t
 WHERE w IN ('table', 'query', 'scan', 'zz_no_such_term')
 GROUP BY w, doc_id
 """
+
+
+def q_index_bm25(sf_dir: str):
+    """Exact-integer BM25 answered FROM the inverted-index store: only
+    the shards the query terms route to are read (df pass + score pass
+    over the pruned file list), the corpus is never rescanned — and the
+    result must be BIT-IDENTICAL to `bm25_topk`'s two-corpus-scan path,
+    so it shares that query's oracle (the `ivf_knn_store_full` ≡ exact
+    KNN recipe, but here the index itself is exact)."""
+    from ccnerx_ray.ops.index import index_bm25
+    return index_bm25(_index_store_dir(sf_dir), top_k=10)
 
 
 # ------------------------------------------------------- repetition signals
@@ -1773,6 +1785,7 @@ ANALYTICS_QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "passage_dedup": q_passage_dedup,
     "index_lookup": q_index_lookup,
+    "index_bm25": q_index_bm25,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "dup_ngrams": q_dup_ngrams,
@@ -1823,6 +1836,7 @@ ANALYTICS_ORACLE = {
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "index_lookup": ORACLE_INDEX_LOOKUP,
+    "index_bm25": _oracle_bm25(),   # index path ≡ two-scan bm25_topk
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dup_ngrams": ORACLE_DUP_NGRAMS,

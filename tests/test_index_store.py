@@ -87,3 +87,53 @@ def test_guards(ray_session, tmp_path):
     build_index_store(_ds(ROWS), store, num_shards=4)
     with pytest.raises(ValueError, match="terms"):
         lookup_terms(store, [])
+
+
+def test_index_bm25_equals_corpus_bm25(ray_session, tmp_path):
+    """The index path must be BIT-identical to the two-scan corpus path
+    (same integer formulas, df/N/T from the store instead of scans)."""
+    from ccnerx_ray.ops.index import index_bm25
+    from ccnerx_ray.ops.retrieval import bm25_topk
+
+    rows = [(i, " ".join(w for w in ["red", "blue", "green", "klaxon"]
+                         * ((i % 3) + 1)) + (" rare" if i == 5 else ""))
+            for i in range(12)] + [(12, "")]
+    queries = [(0, ["red", "rare"]), (1, ["blue", "blue"]),  # dup term
+               (2, ["absent_term"])]
+    store = str(tmp_path / "idx")
+    build_index_store(_ds(rows), store, num_shards=8)
+    via_index = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+        for r in index_bm25(store, queries, top_k=5).take_all())
+    via_corpus = sorted(
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+        for r in bm25_topk(_ds(rows), queries, top_k=5).take_all())
+    assert via_index == via_corpus
+    assert via_index  # non-degenerate
+
+
+def test_update_index_store_equals_fresh_rebuild(ray_session, tmp_path):
+    from ccnerx_ray.ops.index import index_bm25, update_index_store
+
+    base = ROWS
+    delta = [(10, "red delta delta"), (11, "blue")]
+    inc = str(tmp_path / "inc")
+    s1 = build_index_store(_ds(base), inc, num_shards=8)
+    s2 = update_index_store(inc, _ds(delta))
+    fresh = str(tmp_path / "fresh")
+    s3 = build_index_store(_ds(base + delta), fresh, num_shards=8)
+    assert (s2["n_docs"], s2["n_tokens"]) == (s3["n_docs"], s3["n_tokens"])
+
+    terms = ["red", "blue", "delta"]
+    a = sorted((r["term"], r["doc_id"], r["tf"])
+               for r in lookup_terms(inc, terms).take_all())
+    b = sorted((r["term"], r["doc_id"], r["tf"])
+               for r in lookup_terms(fresh, terms).take_all())
+    assert a == b and ("delta", 10, 2) in a
+
+    qs = [(0, ["red", "delta"])]
+    x = sorted(tuple(r.values())
+               for r in index_bm25(inc, qs, top_k=10).take_all())
+    y = sorted(tuple(r.values())
+               for r in index_bm25(fresh, qs, top_k=10).take_all())
+    assert x == y
