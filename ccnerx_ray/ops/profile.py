@@ -396,3 +396,60 @@ def exact_quantiles_cont(ds, col: str, qs: list[float],
     return quantile_summary(ds, col, [], qs, num_bins=num_bins,
                             max_collect=max_collect,
                             max_rounds=max_rounds)[1]
+
+
+def key_skew(ds, key_col: str, num_buckets: int | None = None):
+    """Key-skew diagnosis for shuffle planning: one row
+    ``(n_rows, n_keys, max_count, hhi_ppm)`` where ``hhi_ppm`` is the
+    Herfindahl concentration index in parts-per-million —
+    ``(1e6 · Σc²) // (Σc)²`` over per-key counts. HHI is ORDER-FREE
+    (unlike Gini's rank weighting), so every stage is a mergeable sum /
+    max and the whole diagnosis runs without sorting the key table:
+    a skewed groupby shows up as hhi_ppm ≫ 1e6 / n_keys and a hot key as
+    ``max_count`` ≈ ``n_rows`` — the two numbers that decide whether a
+    downstream exchange needs salting.
+
+    Shape: per-key counts via one pre-combined coarse reduce (key-scale
+    rows cross the exchange, never input rows), then per-batch partials
+    of (rows, keys, max, Σc²) — Σc² accumulates as a PYTHON int carried
+    as a string (the ``corr_cents`` arbitrary-precision precedent: at
+    10^12 rows Σc² overflows int64 long before Σc does) — and only
+    blocks-scale partial rows reach the driver, where exact big-int
+    division lands the final ppm."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops import join as joinmod
+
+    if num_buckets is None:
+        num_buckets = joinmod.derive_hash_partitions(ds.size_bytes())
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column(key_col),
+            "c": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    counts = grouped_reduce(ds.map_batches(ones, batch_format="pyarrow"),
+                            [key_col], {"c": "sum"},
+                            num_buckets=num_buckets, pre_combine=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        sq = sum(int(v) * int(v) for v in c)  # key-scale, exact
+        return pa.table({
+            "n_rows": pa.array([int(c.sum())], pa.int64()),
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "max_count": pa.array([int(c.max()) if len(c) else 0],
+                                  pa.int64()),
+            "sum_sq": pa.array([str(sq)], pa.string())})
+
+    rows = counts.map_batches(partial, batch_format="pyarrow").take_all()
+    n_rows = sum(r["n_rows"] for r in rows)
+    n_keys = sum(r["n_keys"] for r in rows)
+    max_count = max((r["max_count"] for r in rows), default=0)
+    sum_sq = sum(int(r["sum_sq"]) for r in rows)
+    hhi = (1_000_000 * sum_sq) // (n_rows * n_rows) if n_rows else 0
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "max_count": pa.array([max_count], pa.int64()),
+        "hhi_ppm": pa.array([hhi], pa.int64())}))

@@ -479,3 +479,82 @@ RELATIONAL4_QUERIES["click_purchase_funnel"] = q_click_purchase_funnel
 RELATIONAL4_ORACLE["click_purchase_funnel"] = ORACLE_CLICK_PURCHASE_FUNNEL
 RELATIONAL4_QUERIES["nation_revenue_share"] = q_nation_revenue_share
 RELATIONAL4_ORACLE["nation_revenue_share"] = ORACLE_NATION_REVENUE_SHARE
+
+
+# ------------------------------------------------- key-skew diagnosis
+def q_key_skew(sf_dir: str):
+    """Shuffle-planning skew profile of the event stream's user key
+    (ops/profile.py:key_skew): order-free integer HHI over per-key
+    counts — mergeable sums only, no key sort, blocks-scale driver
+    traffic."""
+    from ccnerx_ray.ops.profile import key_skew
+    return key_skew(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_count,
+       CAST((1000000 * sum(CAST(c AS HUGEINT) * c)) //
+            (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS hhi_ppm
+FROM c
+"""
+
+
+# ------------------------------------------------- FULL OUTER join
+def q_clicks_purchases_outer(sf_dir: str):
+    """Per-user HIGH-VALUE click vs purchase counts through a native
+    FULL OUTER hash join (`Dataset.join(join_type="full_outer")`) of two
+    natively-aggregated sides — the one join type the §2.5 family didn't
+    yet register. The value>200 filter makes the sides genuinely
+    asymmetric at every sf, so users with only one activity keep their
+    row with a NULL on the other side (the oracle's FULL OUTER NULLs,
+    not COALESCE zeros; both NULL directions occur in the data).
+
+    The sides are Ray-NATIVE ``groupby().count()`` aggregations, not the
+    repo's coarse co-group: ``Dataset.join`` concatenates raw partition
+    blocks into acero and cannot unify the schema-less empty blocks
+    ``coarse_grouped``'s pandas ``map_groups`` leaves behind (the
+    documented hazard ``lookup_join_on`` exists to tolerate) — the
+    native aggregation emits fully-schemed partitions."""
+    from ccnerx_ray.ops.join import derive_hash_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(event_type: str):
+        # the trailing repartition physically rebuilds blocks, which
+        # dissolves the ZERO-COLUMN empty blocks an aggregation over
+        # filtered (partly empty) inputs leaves behind — acero inside
+        # Dataset.join cannot unify those ("No match ... FieldRef")
+        return (ev.filter(expr=f"event_type == '{event_type}' "
+                               f"and value > 200")
+                  .groupby("user_id").count().repartition(8))
+
+    joined = side("click").join(
+        side("purchase"), "full_outer",
+        derive_hash_partitions(ev.size_bytes()),
+        on=("user_id",), left_suffix="_c", right_suffix="_p")
+    return joined.rename_columns({"count()_c": "n_clicks",
+                                  "count()_p": "n_purchases"})
+
+
+ORACLE_CLICKS_PURCHASES_OUTER = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' AND value > 200 GROUP BY 1
+), p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' AND value > 200 GROUP BY 1
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.n_clicks, p.n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+RELATIONAL4_QUERIES["key_skew"] = q_key_skew
+RELATIONAL4_ORACLE["key_skew"] = ORACLE_KEY_SKEW
+RELATIONAL4_QUERIES["clicks_purchases_outer"] = q_clicks_purchases_outer
+RELATIONAL4_ORACLE["clicks_purchases_outer"] = ORACLE_CLICKS_PURCHASES_OUTER

@@ -104,3 +104,29 @@ def test_partitioning_invariance_and_reference(ray_session):
 def test_window_guard():
     with pytest.raises(ValueError, match="window"):
         passage_dedup_stats(None, window=0)
+
+
+# ---------------------------------------------------------- key_skew
+def test_key_skew_hand_worked(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.profile import key_skew
+
+    # counts: a=4, b=2, c=1, d=1 → N=8, Σc²=22, HHI=22/64
+    tbl = pa.table({"k": pa.array(list("aaaabbcd"), pa.string())})
+    out = key_skew(ray.data.from_arrow(tbl), "k").take_all()
+    assert out == [{"n_rows": 8, "n_keys": 4, "max_count": 4,
+                    "hhi_ppm": (1_000_000 * 22) // 64}]
+
+
+def test_key_skew_hot_key_and_uniform(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.profile import key_skew
+
+    hot = pa.table({"k": pa.array(["h"] * 99 + ["x"], pa.string())})
+    r = key_skew(ray.data.from_arrow(hot), "k").take_all()[0]
+    assert r["max_count"] == 99 and r["hhi_ppm"] > 900_000
+
+    uni = pa.table({"k": pa.array([str(i) for i in range(100)],
+                                  pa.string())})
+    r = key_skew(ray.data.from_arrow(uni), "k").take_all()[0]
+    assert r["hhi_ppm"] == 10_000  # 1e6 / n_keys exactly
