@@ -106,6 +106,17 @@ EXTRAS = [
     "bpe_vocab",             # learned ordered-vocabulary artifact (r5)
     "bpe_token_stats",       # corpus encoded under its own learned
                              # tokenizer, per-lang budgets (r5)
+    "doc_lm_score",          # trained-unigram exact-integer surprisal
+                             # quality scoring (r5)
+    "passage_dedup",         # sub-document first-occurrence keeper
+                             # dedup, sha256 passage identity (r5)
+    "index_lookup",          # partition-pruned exact inverted-index
+                             # probe; lineage at
+                             # /tmp/ccnerx_invidx/<sf>/_lineage (r5)
+    "index_bm25",            # BM25 answered FROM the pruned index,
+                             # bit-identical to bm25_topk (r5)
+    "key_skew",              # order-free integer HHI skew profile (r5)
+    "clicks_purchases_outer",  # native FULL OUTER hash join (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -64,8 +64,11 @@ def test_query_matches_oracle(ray_session, name):
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            # equal_nan: NULL ints (e.g. FULL OUTER's missing sides)
+            # surface as NaN after the pandas float conversion on BOTH
+            # sides — the driver's value-hash treats them identically
             assert np.allclose(g.astype(float), w.astype(float),
-                               rtol=0, atol=1e-9), (name, c)
+                               rtol=0, atol=1e-9, equal_nan=True), (name, c)
         else:
             assert (g == w).all(), (name, c, g[:5], w[:5])
 
