@@ -108,9 +108,6 @@ def score_documents(docs, model, *, text_col: str = "text",
     # vocab-scale plan executes once; feeds N, the byte estimate, and
     # whichever join side runs
     model = model.materialize()
-    n_total = int(model.sum("n") or 0)
-    oov_bits = n_total.bit_length()
-    n_bits = n_total.bit_length()
 
     sch = docs.schema()
     id_type = sch.types[list(sch.names).index(id_col)]
@@ -123,8 +120,12 @@ def score_documents(docs, model, *, text_col: str = "text",
             raise ValueError("model exceeds the broadcast byte bound")
 
     if tbl is not None:
-        bits = n_bits - bitlen64(tbl.column("n").to_numpy(
-            zero_copy_only=False))
+        # N comes off the already-pulled table — no extra executor job
+        # (cold-session job count is the composite queries' wall cost)
+        counts = tbl.column("n").to_numpy(zero_copy_only=False)
+        n_total = int(counts.sum())
+        oov_bits = n_bits = n_total.bit_length()
+        bits = n_bits - bitlen64(counts)
         tbl = pa.table({"token": tbl.column("token"),
                         "bits": pa.array(bits, pa.int64())})
         import ray
@@ -166,6 +167,8 @@ def score_documents(docs, model, *, text_col: str = "text",
     # against the model Dataset; zero-token docs ride a tf=0 sentinel
     # (ws_tokens never emits '', so the sentinel token cannot collide —
     # and its tf=0 contributes nothing either way)
+    n_total = int(model.sum("n") or 0)
+    oov_bits = n_bits = n_total.bit_length()
     def pairs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         out_id: list = []

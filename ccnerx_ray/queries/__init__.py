@@ -81,7 +81,11 @@ _PRIORITY = [
     # the pruned index, sharing bm25_topk's oracle — bm25_topk itself,
     # r4-gate-verified, ops/retrieval.py unchanged all round, yields its
     # slot to the path that supersedes its scan-2 at point-query scale)
-    "doc_lm_score", "decontaminate",
+    # (curation_pass NEW r5: the composite keep/drop decision — four
+    # filter families summed into a per-doc reason bitmask;
+    # decontaminate, r4-gate-verified, ops/decontaminate.py unchanged
+    # all round, yields its slot)
+    "doc_lm_score", "curation_pass",
     "index_lookup", "index_bm25",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

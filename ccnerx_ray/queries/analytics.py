@@ -222,6 +222,106 @@ GROUP BY w, doc_id
 """
 
 
+# ------------------------------------------------- composite curation pass
+def q_curation_pass(sf_dir: str):
+    """The end-to-end CURATION decision a training-data pipeline
+    actually ships: every document gets a drop-reason BITMASK from four
+    independent filter families and ``keep = (reasons == 0)`` —
+
+    * bit 1: too short (``n_tokens < 20``),
+    * bit 2: repetitive (duplicate-bigram per-mille > 100 — Gopher §A1.1),
+    * bit 4: boilerplate spans (>25% of its 4-token passages are
+      non-first copies — ``passage_dedup_stats``),
+    * bit 8: off-distribution under the corpus's OWN unigram LM
+      (``mean_surprisal_x100 > 510`` — the CCNet regime).
+
+    Composition shape: three sources each emit exactly ONE ``(doc_id,
+    partial-bitmask)`` row per document (bits are disjoint powers of
+    two), a union + one pre-combined reduce sums them into the mask —
+    no joins, and each family runs its own already-verified scale path.
+    Thresholds chosen to genuinely split the synthetic corpus (each bit
+    fires on some docs at sf0.01). Fully SQL-oracle-paired end to end."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops.dedup import passage_dedup_stats
+    from ccnerx_ray.ops.lm import score_documents, train_unigram
+    from ccnerx_ray.ops.text import add_repetition_stats, add_token_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bits_text(batch: pa.Table) -> pa.Table:
+        b = add_repetition_stats(add_token_stats(batch))
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        ub = b.column("n_uniq_bigrams").to_numpy(zero_copy_only=False)
+        r = (nt < 20) * 1 + ((nb > 0) & (1000 * (nb - ub) > 100 * nb)) * 2
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "r": pa.array(r.astype(np.int64))})
+
+    def bits_passage(batch: pa.Table) -> pa.Table:
+        np_ = batch.column("n_passages").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_dup_passages").to_numpy(zero_copy_only=False)
+        r = ((np_ > 0) & (1000 * nd > 250 * np_)) * 4
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "r": pa.array(r.astype(np.int64))})
+
+    def bits_lm(batch: pa.Table) -> pa.Table:
+        m = batch.column("mean_surprisal_x100").to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "r": pa.array(((m > 510) * 8).astype(np.int64))})
+
+    srcs = (ds.map_batches(bits_text, batch_format="pyarrow")
+            .union(passage_dedup_stats(ds, window=4)
+                   .map_batches(bits_passage, batch_format="pyarrow"))
+            .union(score_documents(ds, train_unigram(ds))
+                   .map_batches(bits_lm, batch_format="pyarrow")))
+    mask = grouped_reduce(srcs, ["doc_id"], {"r": "sum"}, num_buckets=32,
+                          pre_combine=True,
+                          out_dtypes={"doc_id": "int64", "r": "int64"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "reasons": pa.array(r, pa.int64()),
+                         "keep": pa.array((r == 0).astype(np.int64))})
+
+    return mask.map_batches(finish, batch_format="pyarrow")
+
+
+def _curation_oracle_sql() -> str:
+    return rf"""
+WITH p AS ({ORACLE_PASSAGE_DEDUP}),
+s AS ({ORACLE_DOC_LM_SCORE}),
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         greatest(len(tk) - 1, 0) AS nb,
+         len(list_distinct([tk[i] || chr(31) || tk[i+1]
+                            for i in range(1, len(tk))])) AS ub
+  FROM t
+),
+b AS (
+  SELECT r.doc_id,
+         (CASE WHEN r.n_tokens < 20 THEN 1 ELSE 0 END)
+       + (CASE WHEN r.nb > 0 AND 1000 * (r.nb - r.ub) > 100 * r.nb
+               THEN 2 ELSE 0 END)
+       + (CASE WHEN p.n_passages > 0
+                AND 1000 * p.n_dup_passages > 250 * p.n_passages
+               THEN 4 ELSE 0 END)
+       + (CASE WHEN s.mean_surprisal_x100 > 510 THEN 8 ELSE 0 END)
+         AS reasons
+  FROM r JOIN p ON r.doc_id = p.doc_id JOIN s ON r.doc_id = s.doc_id
+)
+SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM b
+"""
+
+
 def q_index_bm25(sf_dir: str):
     """Exact-integer BM25 answered FROM the inverted-index store: only
     the shards the query terms route to are read (df pass + score pass
@@ -1786,6 +1886,7 @@ ANALYTICS_QUERIES = {
     "passage_dedup": q_passage_dedup,
     "index_lookup": q_index_lookup,
     "index_bm25": q_index_bm25,
+    "curation_pass": q_curation_pass,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "dup_ngrams": q_dup_ngrams,
@@ -1837,6 +1938,7 @@ ANALYTICS_ORACLE = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "index_lookup": ORACLE_INDEX_LOOKUP,
     "index_bm25": _oracle_bm25(),   # index path ≡ two-scan bm25_topk
+    "curation_pass": _curation_oracle_sql(),
     "repetition": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dup_ngrams": ORACLE_DUP_NGRAMS,
