@@ -238,54 +238,13 @@ def q_curation_pass(sf_dir: str):
     Composition shape: three sources each emit exactly ONE ``(doc_id,
     partial-bitmask)`` row per document (bits are disjoint powers of
     two), a union + one pre-combined reduce sums them into the mask —
-    no joins, and each family runs its own already-verified scale path.
-    Thresholds chosen to genuinely split the synthetic corpus (each bit
-    fires on some docs at sf0.01). Fully SQL-oracle-paired end to end."""
-    from ccnerx_ray.functions.grouping import grouped_reduce
-    from ccnerx_ray.ops.dedup import passage_dedup_stats
-    from ccnerx_ray.ops.lm import score_documents, train_unigram
-    from ccnerx_ray.ops.text import add_repetition_stats, add_token_stats
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def bits_text(batch: pa.Table) -> pa.Table:
-        b = add_repetition_stats(add_token_stats(batch))
-        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
-        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
-        ub = b.column("n_uniq_bigrams").to_numpy(zero_copy_only=False)
-        r = (nt < 20) * 1 + ((nb > 0) & (1000 * (nb - ub) > 100 * nb)) * 2
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "r": pa.array(r.astype(np.int64))})
-
-    def bits_passage(batch: pa.Table) -> pa.Table:
-        np_ = batch.column("n_passages").to_numpy(zero_copy_only=False)
-        nd = batch.column("n_dup_passages").to_numpy(zero_copy_only=False)
-        r = ((np_ > 0) & (1000 * nd > 250 * np_)) * 4
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "r": pa.array(r.astype(np.int64))})
-
-    def bits_lm(batch: pa.Table) -> pa.Table:
-        m = batch.column("mean_surprisal_x100").to_numpy(
-            zero_copy_only=False)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "r": pa.array(((m > 510) * 8).astype(np.int64))})
-
-    srcs = (ds.map_batches(bits_text, batch_format="pyarrow")
-            .union(passage_dedup_stats(ds, window=4)
-                   .map_batches(bits_passage, batch_format="pyarrow"))
-            .union(score_documents(ds, train_unigram(ds))
-                   .map_batches(bits_lm, batch_format="pyarrow")))
-    mask = grouped_reduce(srcs, ["doc_id"], {"r": "sum"}, num_buckets=32,
-                          pre_combine=True,
-                          out_dtypes={"doc_id": "int64", "r": "int64"})
-
-    def finish(batch: pa.Table) -> pa.Table:
-        r = batch.column("r").to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "reasons": pa.array(r, pa.int64()),
-                         "keep": pa.array((r == 0).astype(np.int64))})
-
-    return mask.map_batches(finish, batch_format="pyarrow")
+    no joins, and each family runs its own already-verified scale path
+    (``ops/curation.py:curation_mask``; the operational form is
+    ``jobs/curate_job.py``). Thresholds chosen to genuinely split the
+    synthetic corpus (each bit fires on some docs at sf0.01). Fully
+    SQL-oracle-paired end to end."""
+    from ccnerx_ray.ops.curation import curation_mask
+    return curation_mask(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _curation_oracle_sql() -> str:
