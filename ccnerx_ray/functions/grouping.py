@@ -305,3 +305,73 @@ def grouped_argextreme(ds, key_cols: Sequence[str],
     pre = ds.map_batches(local, batch_format="pandas")
     return coarse_grouped(pre, key_cols, local, num_buckets,
                           out_dtypes=out_dtypes)
+
+
+def lookup_join_on_keys(ds, key_cols: Sequence[str], lut_ds, value_col: str,
+                        lut_key_cols: Sequence[str] | None = None,
+                        num_buckets: int = 256,
+                        out_dtypes: dict[str, str] | None = None):
+    """Multi-key generalization of :func:`lookup_join_on` (kept separate
+    so the heavily-used single-key path stays untouched): hash-partition
+    LEFT OUTER lookup on a COMPOSITE key — the keys stay separate
+    columns end to end (the delimiter-collision hazard class never gets
+    a chance), one coarse co-group on all of them, value as string (null
+    where no match). Lookup side must be unique per key tuple."""
+    key_cols = list(key_cols)
+    lut_key_cols = list(lut_key_cols) if lut_key_cols else key_cols
+    if len(lut_key_cols) != len(key_cols):
+        raise ValueError("lut_key_cols must pair with key_cols")
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+    if value_col in names:
+        raise ValueError(f"probe side already has column {value_col!r}")
+    if out_dtypes is None:
+        rev = {v: k for k, v in _ARROW_TYPES.items()}
+        derived = {nm: rev.get(tp) for nm, tp in zip(names, types)}
+        if all(v is not None for v in derived.values()):
+            out_dtypes = derived
+    k2lut = dict(zip(key_cols, lut_key_cols))
+
+    def mark_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (batch
+                .append_column(value_col, pa.nulls(n, pa.string()))
+                .append_column("_lu",
+                               pa.array(np.zeros(n, dtype=np.int8))))
+
+    def lut_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for nm, tp in zip(names, types):
+            cols[nm] = (batch.column(k2lut[nm]).cast(tp)
+                        if nm in k2lut else pa.nulls(n, tp))
+        cols[value_col] = batch.column(value_col).cast(pa.string())
+        return pa.table(cols).append_column(
+            "_lu", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = ds.map_batches(mark_rows, batch_format="pyarrow").union(
+        lut_ds.map_batches(lut_rows, batch_format="pyarrow"))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["_lu"] == 1]
+        probe = g[g["_lu"] == 0].drop(columns=["_lu"])
+        if len(lut):
+            if lut.duplicated(subset=key_cols).any():
+                dup = lut[lut.duplicated(subset=key_cols)].iloc[0]
+                raise ValueError(
+                    f"lookup side has duplicate key "
+                    f"{tuple(dup[k] for k in key_cols)!r} — aggregate it "
+                    "to one row per key first")
+            mapping = pd.Series(
+                lut[value_col].to_numpy(),
+                index=pd.MultiIndex.from_frame(lut[key_cols]))
+            looked = (pd.MultiIndex.from_frame(probe[key_cols])
+                      .map(mapping))
+            probe = probe.assign(**{value_col: looked})
+        return probe
+
+    dt = dict(out_dtypes) if out_dtypes else None
+    if dt is not None:
+        dt[value_col] = "string"
+    return coarse_grouped(both, key_cols, local, num_buckets,
+                          out_dtypes=dt)

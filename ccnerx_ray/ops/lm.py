@@ -227,3 +227,265 @@ def score_documents(docs, model, *, text_col: str = "text",
                                    pa.array(mean, pa.int64()))
 
     return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def train_bigram(docs, text_col: str = "text",
+                 num_buckets: int | None = None):
+    """Corpus adjacent-pair counts ``(w1, w2, n)`` — one scan, per-batch
+    combiner, pair-scale coarse reduce. The pair identity stays TWO
+    columns end to end (the delimiter-collision hazard class — same rule
+    as the BPE and graph pair tables)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for t in batch.column(text_col).to_pylist():
+            toks = ws_tokens(t)
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        return pa.table({
+            "w1": pa.array([p[0] for p in counts], pa.string()),
+            "w2": pa.array([p[1] for p in counts], pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    if num_buckets is None:
+        num_buckets = joinmod.derive_hash_partitions(None)
+    return grouped_reduce(partials, ["w1", "w2"], {"n": "sum"},
+                          num_buckets=num_buckets,
+                          out_dtypes={"w1": "string", "w2": "string",
+                                      "n": "int64"})
+
+
+# per-process cache of prepared bigram lookup structures (the
+# ops/join.py:_prepared_build recipe, keyed by object ref)
+_PAIR_BUILDS: dict = {}
+
+
+def _prepared_pair_build(ref):
+    key = ref.hex()
+    got = _PAIR_BUILDS.get(key)
+    if got is None:
+        import ray
+        if len(_PAIR_BUILDS) > 4:
+            _PAIR_BUILDS.clear()
+        tbl = ray.get(ref)
+        idx = pd.MultiIndex.from_arrays(
+            [tbl.column("w1").to_pandas(), tbl.column("w2").to_pandas()])
+        got = (tbl.column("n").to_numpy(zero_copy_only=False), idx)
+        _PAIR_BUILDS[key] = got
+    return got
+
+
+def _uni_bits(cu: np.ndarray, seen: np.ndarray, n_bits: int) -> np.ndarray:
+    """Unigram surprisal: ``bitlen(N) − bitlen(cu)`` where seen, else
+    ``bitlen(N)`` (the c=1/2 OOV convention)."""
+    safe = np.where(seen, cu, 1)
+    return np.where(seen, n_bits - bitlen64(safe), n_bits).astype(np.int64)
+
+
+def _cond_bits(cup: np.ndarray, prev_seen: np.ndarray,
+               cb: np.ndarray, pair_seen: np.ndarray,
+               uni_cur: np.ndarray) -> np.ndarray:
+    """Conditional (bigram) surprisal per position > 0:
+
+    * pair seen:   ``bitlen(cu(prev)) − bitlen(cb(pair))`` (≈ log2 of
+      1/P(cur|prev); cb ≤ cu(prev) so it is ≥ 0);
+    * pair unseen, prev seen: ``bitlen(cu(prev))`` (c=1/2 convention);
+    * prev unseen: back off to the current token's unigram surprisal.
+    """
+    cup_safe = np.where(prev_seen, cup, 1)
+    cb_safe = np.where(pair_seen, cb, 1)
+    seen_bits = bitlen64(cup_safe) - bitlen64(cb_safe)
+    miss_bits = bitlen64(cup_safe)
+    return np.where(prev_seen,
+                    np.where(pair_seen, seen_bits, miss_bits),
+                    uni_cur).astype(np.int64)
+
+
+def score_documents_bigram(docs, uni_model, big_model, *,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           broadcast_bytes: int | None = None,
+                           num_buckets: int | None = None,
+                           mode: str = "auto"):
+    """Per-document integer surprisal under a trained BIGRAM model →
+    ``(id_col, n_tokens, surprisal_bits, mean_surprisal_x100)``.
+
+    Position 0 scores by the unigram model; positions i>0 by the
+    conditional convention of :func:`_cond_bits`. Both models broadcast
+    only under the asserted byte bound (each checked; the bigram table
+    is the one that outgrows it first — vocab², not vocab); beyond it
+    the pass explodes per-doc DISTINCT pair rows plus one first-token
+    row and resolves them through THREE hash-partitioned co-group
+    lookups (pair → cb via the multi-key helper, prev → cu, cur → cu) —
+    keys stay separate columns throughout — and a per-doc pre-combined
+    reduce. Forced-path parity is pinned by test."""
+    from ccnerx_ray.functions.grouping import (grouped_reduce,
+                                               lookup_join_on,
+                                               lookup_join_on_keys)
+
+    if mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if broadcast_bytes is None:
+        broadcast_bytes = joinmod.BROADCAST_BYTES_DEFAULT
+
+    uni_model = uni_model.materialize()
+    big_model = big_model.materialize()
+
+    sch = docs.schema()
+    id_type = sch.types[list(sch.names).index(id_col)]
+
+    u_tbl = b_tbl = None
+    if mode in ("auto", "broadcast"):
+        u_tbl = joinmod._materialize_build(uni_model, broadcast_bytes,
+                                           uni_model.size_bytes())
+        if u_tbl is not None:
+            b_tbl = joinmod._materialize_build(big_model, broadcast_bytes,
+                                               big_model.size_bytes())
+        if (u_tbl is None or b_tbl is None) and mode == "broadcast":
+            raise ValueError("model exceeds the broadcast byte bound")
+
+    if u_tbl is not None and b_tbl is not None:
+        u_counts = u_tbl.column("n").to_numpy(zero_copy_only=False)
+        n_total = int(u_counts.sum())
+        n_bits = n_total.bit_length()
+        import ray
+        u_ref = ray.put(pa.table({"token": u_tbl.column("token"),
+                                  "n": u_tbl.column("n")}))
+        b_ref = ray.put(b_tbl)
+
+        def score(batch: pa.Table) -> pa.Table:
+            ub, _keys, uidx = joinmod._prepared_build(u_ref, "token")
+            if uidx is None:
+                raise ValueError("unigram model has duplicate tokens")
+            bc, bidx = _prepared_pair_build(b_ref)
+            un = ub.column("n").to_numpy(zero_copy_only=False)
+            toks = [ws_tokens(t)
+                    for t in batch.column(text_col).to_pylist()]
+            lens = np.fromiter((len(ts) for ts in toks), np.int64,
+                               len(toks))
+            flat = [w for ts in toks for w in ts]
+            offs = np.concatenate([np.zeros(1, np.int64),
+                                   np.cumsum(lens, dtype=np.int64)])
+            if flat:
+                cur_i = uidx.get_indexer(pd.Index(flat))
+                cur_seen = cur_i >= 0
+                cu_cur = np.where(cur_seen,
+                                  un[np.clip(cur_i, 0, None)], 0)
+                uni_cur = _uni_bits(cu_cur, cur_seen, n_bits)
+                # per-position first-token mask from doc offsets
+                first = np.zeros(len(flat), dtype=bool)
+                first[offs[:-1][lens > 0]] = True
+                prev = np.empty(len(flat), dtype=object)
+                prev[1:] = flat[:-1]
+                prev[first] = ""          # never a real token
+                prev_i = uidx.get_indexer(pd.Index(prev.tolist()))
+                prev_seen = prev_i >= 0
+                cup = np.where(prev_seen,
+                               un[np.clip(prev_i, 0, None)], 0)
+                pair_i = bidx.get_indexer(
+                    pd.MultiIndex.from_arrays([prev.tolist(), flat]))
+                pair_seen = pair_i >= 0
+                cb = np.where(pair_seen, bc[np.clip(pair_i, 0, None)], 0)
+                bits = np.where(
+                    first, uni_cur,
+                    _cond_bits(cup, prev_seen, cb, pair_seen, uni_cur))
+            else:
+                bits = np.zeros(0, np.int64)
+            cs = np.concatenate([np.zeros(1, np.int64),
+                                 np.cumsum(bits, dtype=np.int64)])
+            sums = cs[offs[1:]] - cs[offs[:-1]]
+            mean = np.where(lens > 0,
+                            (100 * sums) // np.maximum(lens, 1), 0)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "surprisal_bits": pa.array(sums, pa.int64()),
+                "mean_surprisal_x100": pa.array(mean, pa.int64())})
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # ---- partitioned path ------------------------------------------------
+    n_total = int(uni_model.sum("n") or 0)
+    n_bits = n_total.bit_length()
+    if num_buckets is None:
+        num_buckets = joinmod.derive_hash_partitions(None)
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        d, w1, w2, tf, first = [], [], [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = ws_tokens(t)
+            if not toks:
+                d.append(did); w1.append(""); w2.append("")
+                tf.append(0); first.append(0)
+                continue
+            d.append(did); w1.append(""); w2.append(toks[0])
+            tf.append(1); first.append(1)
+            counts: dict[tuple[str, str], int] = {}
+            for pr in zip(toks, toks[1:]):
+                counts[pr] = counts.get(pr, 0) + 1
+            for (a, b), c in counts.items():
+                d.append(did); w1.append(a); w2.append(b)
+                tf.append(c); first.append(0)
+        return pa.table({id_col: pa.array(d, id_type),
+                         "w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "tf": pa.array(tf, pa.int64()),
+                         "first": pa.array(first, pa.int64())})
+
+    def renamed(model, key_cols, val_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c) for c in key_cols}
+            cols[val_name] = batch.column("n")
+            return pa.table(cols)
+        return model.map_batches(fn, batch_format="pyarrow")
+
+    rows = docs.map_batches(rows_fn, batch_format="pyarrow")
+    rows = lookup_join_on_keys(rows, ["w1", "w2"],
+                               renamed(big_model, ["w1", "w2"], "cb"),
+                               "cb", num_buckets=num_buckets)
+    rows = lookup_join_on(rows, "w1",
+                          renamed(uni_model, ["token"], "cup"),
+                          "cup", lut_key_col="token",
+                          num_buckets=num_buckets)
+    rows = lookup_join_on(rows, "w2",
+                          renamed(uni_model, ["token"], "cuc"),
+                          "cuc", lut_key_col="token",
+                          num_buckets=num_buckets)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        first = batch.column("first").to_numpy(zero_copy_only=False)
+
+        def num(col):
+            s = pd.to_numeric(batch.column(col).to_pandas())
+            return (s.fillna(-1).astype(np.int64).to_numpy(),
+                    s.notna().to_numpy())
+
+        cb, pair_seen = num("cb")
+        cup, prev_seen = num("cup")
+        cuc, cur_seen = num("cuc")
+        uni_cur = _uni_bits(np.maximum(cuc, 0), cur_seen, n_bits)
+        bits = np.where(first == 1, uni_cur,
+                        _cond_bits(np.maximum(cup, 0), prev_seen,
+                                   np.maximum(cb, 0), pair_seen,
+                                   uni_cur))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": batch.column("tf").cast(pa.int64()),
+            "surprisal_bits": pa.array(tf * bits, pa.int64())})
+
+    per_doc = grouped_reduce(rows.map_batches(weigh,
+                                              batch_format="pyarrow"),
+                             [id_col],
+                             {"n_tokens": "sum", "surprisal_bits": "sum"},
+                             num_buckets=num_buckets, pre_combine=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = batch.column("surprisal_bits").to_numpy(zero_copy_only=False)
+        mean = np.where(n > 0, (100 * s) // np.maximum(n, 1), 0)
+        return batch.append_column("mean_surprisal_x100",
+                                   pa.array(mean, pa.int64()))
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")

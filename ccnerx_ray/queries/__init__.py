@@ -35,8 +35,13 @@ _PRIORITY = [
     # oracle-paired *_full probe-all twins, so both live in the
     # registry tail rather than spending slots of the 50-row gate
     # window on no_oracle rows)
-    "doc_embeddings", "knn", "ivf_knn_full",
+    # (knn — r4-gate-verified, ops/similarity.py unchanged all round,
+    # its arithmetic still gate-checked through ivf_knn_full /
+    # ivf_knn_store_full which share its oracle — yields its slot to
+    # doc_lm2_score, the bigram conditional-surprisal LM)
+    "doc_embeddings", "ivf_knn_full",
     "ivf_knn_store_full", "kmeans_clusters", "centroids",
+    "doc_lm2_score",
     # graph
     "graph_pagerank", "graph_components", "supplier_triangles",
     "kg_two_hop",

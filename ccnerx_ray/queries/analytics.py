@@ -118,6 +118,69 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_doc_lm2_score(sf_dir: str):
+    """Bigram (conditional) LM scoring — the order-2 sibling of
+    `doc_lm_score`: position 0 pays unigram surprisal, position i>0 pays
+    ``bitlen(cu(prev)) − bitlen(cb(prev, cur))`` (≈ log2 1/P(cur|prev)),
+    all exact-integer (ops/lm.py:score_documents_bigram). The bigram
+    table is vocab², so this is the LM whose model OUTGROWS the
+    broadcast bound first — the forced-partitioned path (three co-group
+    lookups, keys as separate columns) is pinned by parity test."""
+    from ccnerx_ray.ops.lm import (score_documents_bigram, train_bigram,
+                                   train_unigram)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return score_documents_bigram(ds, train_unigram(ds), train_bigram(ds))
+
+
+ORACLE_DOC_LM2_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tk, unnest(tk) AS w, generate_subscripts(tk, 1) AS i
+  FROM t WHERE len(tk) > 0
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT tk[i-1] AS w1, w AS w2 FROM toks WHERE i > 1)
+  GROUP BY w1, w2
+),
+pos AS (
+  SELECT p.doc_id,
+         CASE WHEN p.i = 1 THEN
+           CASE WHEN u.c IS NULL THEN length(bin(nt.n))
+                ELSE length(bin(nt.n)) - length(bin(u.c)) END
+         ELSE
+           CASE WHEN up.c IS NULL THEN
+                  CASE WHEN u.c IS NULL THEN length(bin(nt.n))
+                       ELSE length(bin(nt.n)) - length(bin(u.c)) END
+                WHEN b.c IS NULL THEN length(bin(up.c))
+                ELSE length(bin(up.c)) - length(bin(b.c)) END
+         END AS bits
+  FROM toks p CROSS JOIN nt
+  LEFT JOIN uni u ON u.w = p.w
+  LEFT JOIN uni up ON p.i > 1 AND up.w = p.tk[p.i - 1]
+  LEFT JOIN big b ON p.i > 1 AND b.w1 = p.tk[p.i - 1] AND b.w2 = p.w
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(bits) AS BIGINT) AS surprisal_bits
+  FROM pos GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.surprisal_bits, 0) AS surprisal_bits,
+       CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0
+            ELSE CAST((100 * a.surprisal_bits) // a.n_tokens AS BIGINT)
+       END AS mean_surprisal_x100
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # ------------------------------------------------- passage-level exact dedup
 def q_passage_dedup(sf_dir: str):
     """Sub-document exact dedup (ops/dedup.py:passage_dedup_stats):
@@ -1842,6 +1905,7 @@ WHERE len(list_intersect(a.grams, b.grams)) > 0
 ANALYTICS_QUERIES = {
     "token_stats": q_token_stats,
     "doc_lm_score": q_doc_lm_score,
+    "doc_lm2_score": q_doc_lm2_score,
     "passage_dedup": q_passage_dedup,
     "index_lookup": q_index_lookup,
     "index_bm25": q_index_bm25,
@@ -1894,6 +1958,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
+    "doc_lm2_score": ORACLE_DOC_LM2_SCORE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "index_lookup": ORACLE_INDEX_LOOKUP,
     "index_bm25": _oracle_bm25(),   # index path ≡ two-scan bm25_topk

@@ -106,3 +106,92 @@ def test_bitlen64_exact_and_guarded():
         bitlen64([1 << 53])
     with pytest.raises(ValueError, match="non-negative"):
         bitlen64([-1])
+
+
+# ------------------------------------------------------------ bigram LM
+def _hand_scores_bigram(rows, model_rows):
+    """Independent reference: Counter-trained unigram+bigram,
+    int.bit_length conventions (module docstring of ops/lm.py)."""
+    from collections import Counter
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _i, t in model_rows:
+        toks = (t or "").split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    nb = sum(uni.values()).bit_length()
+
+    def u(w):
+        return nb - uni[w].bit_length() if w in uni else nb
+
+    exp = {}
+    for i, t in rows:
+        toks = (t or "").split()
+        bits = 0
+        for j, w in enumerate(toks):
+            if j == 0:
+                bits += u(w)
+            else:
+                prev = toks[j - 1]
+                if prev not in uni:
+                    bits += u(w)
+                elif (prev, w) not in big:
+                    bits += uni[prev].bit_length()
+                else:
+                    bits += uni[prev].bit_length() \
+                        - big[(prev, w)].bit_length()
+        exp[i] = {"doc_id": i, "n_tokens": len(toks),
+                  "surprisal_bits": bits,
+                  "mean_surprisal_x100": (100 * bits) // len(toks)
+                  if toks else 0}
+    return exp
+
+
+def _bigram_scores(score_rows, model_rows, **kw):
+    from ccnerx_ray.ops.lm import (score_documents_bigram, train_bigram,
+                                   train_unigram)
+    m = _docs_ds(model_rows)
+    return _scores(score_documents_bigram(
+        _docs_ds(score_rows), train_unigram(m), train_bigram(m), **kw))
+
+
+def test_bigram_hand_worked(ray_session):
+    # uni: a=3 b=2 c=1 → N=6 (bitlen 3); big: (a,b)=2 (b,a)=1 (a,c)=1
+    rows = [(0, "a b a c"), (1, "a b"), (2, "")]
+    got = _bigram_scores(rows, rows)
+    # doc 0: pos0 a: 3-2=1; (a,b): bitlen(3)-bitlen(2)=2-2=0;
+    #        (b,a): bitlen(2)-bitlen(1)=2-1=1; (a,c): 2-1=1  → 3
+    assert got[0]["surprisal_bits"] == 3
+    # doc 1: pos0 a: 1; (a,b): 0 → 1
+    assert got[1]["surprisal_bits"] == 1
+    assert got[2] == {"doc_id": 2, "n_tokens": 0, "surprisal_bits": 0,
+                      "mean_surprisal_x100": 0}
+    assert got == _hand_scores_bigram(rows, rows)
+
+
+def test_bigram_oov_conventions(ray_session):
+    model_rows = [(100, "x y x y z")]
+    score_rows = [
+        (0, "x y"),       # seen pair
+        (1, "x z"),       # prev seen, pair unseen → bitlen(cu(x))
+        (2, "qq y"),      # prev unseen → unigram of y
+        (3, "qq rr"),     # everything unseen
+    ]
+    got = _bigram_scores(score_rows, model_rows)
+    assert got == _hand_scores_bigram(score_rows, model_rows)
+
+
+def test_bigram_partitioned_matches_broadcast(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 25)))))
+            for i in range(50)]
+    rows.append((50, ""))
+    bcast = _bigram_scores(rows, rows, mode="broadcast")
+    part = _bigram_scores(rows, rows, mode="partitioned", num_buckets=7)
+    assert part == bcast == _hand_scores_bigram(rows, rows)
+    # foreign-model partitioned path exercises every OOV branch
+    model_rows = [(100, "x y x y z w0 w1")]
+    b2 = _bigram_scores(rows, model_rows, mode="broadcast")
+    p2 = _bigram_scores(rows, model_rows, mode="partitioned")
+    assert p2 == b2 == _hand_scores_bigram(rows, model_rows)
