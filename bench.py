@@ -117,6 +117,9 @@ EXTRAS = [
                              # bit-identical to bm25_topk (r5)
     "key_skew",              # order-free integer HHI skew profile (r5)
     "clicks_purchases_outer",  # native FULL OUTER hash join (r5)
+    "curation_pass",         # composite keep/drop bitmask — four filter
+                             # families in one reduce (r5)
+    "doc_lm2_score",         # bigram conditional-surprisal LM (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
