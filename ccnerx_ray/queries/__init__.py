@@ -39,8 +39,13 @@ _PRIORITY = [
     # its arithmetic still gate-checked through ivf_knn_full /
     # ivf_knn_store_full which share its oracle — yields its slot to
     # doc_lm2_score, the bigram conditional-surprisal LM)
+    # (sq_knn / sq_knn_store NEW r5: SQ8 scalar-quantized top-k — the
+    # exact-integer compression loop, direct and answered from the
+    # 1-byte code store; kmeans_clusters and centroids — both
+    # r4-gate-verified, ops/cluster.py and ops/similarity.py unchanged
+    # all round — yield their slots)
     "doc_embeddings", "ivf_knn_full",
-    "ivf_knn_store_full", "kmeans_clusters", "centroids",
+    "ivf_knn_store_full", "sq_knn", "sq_knn_store",
     "doc_lm2_score",
     # graph
     "graph_pagerank", "graph_components", "supplier_triangles",

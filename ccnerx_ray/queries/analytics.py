@@ -18,6 +18,7 @@ from ccnerx_ray.functions.hashing import sha256_hex
 from ccnerx_ray.functions.tokenize import ws_tokens
 from ccnerx_ray.ops.dedup import (embedding_dup_pairs, exact_dedup_groups,
                                   minhash_dedup_pairs, simhash_pairs)
+from ccnerx_ray.ops.quantize import sq_build_store, sq_knn, sq_knn_store
 from ccnerx_ray.ops.similarity import (ivf_build_store, ivf_knn,
                                        ivf_knn_store, knn_bruteforce)
 from ccnerx_ray.ops.text import (add_fingerprint, add_langid,
@@ -951,6 +952,74 @@ def q_ivf_knn_store_full(sf_dir: str):
     out = ivf_knn_store(_ivf_store_dir(sf_dir), Q, query_ids=qids,
                         k=10, nprobe=8)
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ------------------------------------------------- scalar quantization
+def q_sq_knn(sf_dir: str):
+    """SQ8 quantized top-k (``ops/quantize.py``): corpus and queries
+    encode under the corpus's own global symmetric scale and rank by the
+    exact-integer quantized inner product — the FAISS-SQ8 compression
+    loop with every step (amax, floor-codes, int dot, tie-break)
+    mirrored bit-for-bit in the oracle."""
+    Q, qids = _query_matrix(sf_dir)
+    return sq_knn(_emb(sf_dir), Q, query_ids=qids, k=10)
+
+
+def _sq_store_dir(sf_dir: str) -> str:
+    """Build (or reuse) the sharded SQ8 code store for this sf_dir under
+    /tmp (the `_ivf_store_dir` recipe: deterministic build, source
+    marker invalidates stale stores)."""
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    marker = f"{src}|{os.path.getsize(src)}|{os.path.getmtime(src)}"
+    store = os.path.join("/tmp/ccnerx_sq",
+                         os.path.basename(os.path.normpath(sf_dir)))
+    mfile = os.path.join(store, "_source.txt")
+    if os.path.exists(mfile) and open(mfile).read() == marker:
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    sq_build_store(_emb(sf_dir), store, num_shards=8)
+    with open(mfile, "w") as f:
+        f.write(marker)
+    return store
+
+
+def q_sq_knn_store(sf_dir: str):
+    """The same quantized top-k answered FROM the 1-byte code store
+    (4× smaller logical width than the float table, measured bytes in
+    the build ledger): queries quantize under the STORED scale, scoring
+    reads only ``(vec_id, code)`` — bit-identical to ``sq_knn`` over the
+    original vectors, so it shares the oracle."""
+    Q, qids = _query_matrix(sf_dir)
+    return sq_knn_store(_sq_store_dir(sf_dir), Q, query_ids=qids, k=10)
+
+
+# shared by sq_knn (direct) and sq_knn_store (from the code store; the
+# two are bit-identical by construction — pinned by test). Every
+# arithmetic step mirrors ops/quantize.py exactly: amax is a pure max
+# (no rounding), codes are floor(CAST(v AS DOUBLE) * 127.0 / amax) —
+# multiply THEN divide, the same two IEEE-754 double roundings numpy
+# performs — and list_dot_product over BIGINT codes accumulates
+# integer-valued doubles (exact below 2^53; |dot| ≤ 127²·64).
+ORACLE_SQ_KNN = """
+WITH s AS (
+  SELECT max(abs(CAST(v AS DOUBLE))) AS amax
+  FROM embeddings, unnest(embedding) AS t(v)
+), c AS (
+  SELECT vec_id, list_transform(embedding,
+      v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax) AS BIGINT)) AS code
+  FROM embeddings, s
+), q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE vec_id < 4)
+SELECT qid AS query_id, vec_id, rank, qdot FROM (
+  SELECT q.qid, c.vec_id,
+    CAST(list_dot_product(q.qc, c.code) AS BIGINT) AS qdot,
+    row_number() OVER (PARTITION BY q.qid
+        ORDER BY list_dot_product(q.qc, c.code) DESC, c.vec_id) AS rank
+  FROM q CROSS JOIN c
+) WHERE rank <= 10
+"""
 
 
 def q_prompt_corpus(sf_dir: str):
@@ -1931,6 +2000,8 @@ ANALYTICS_QUERIES = {
     "ivf_knn_full": q_ivf_knn_full,
     "ivf_knn_store": q_ivf_knn_store,
     "ivf_knn_store_full": q_ivf_knn_store_full,
+    "sq_knn": q_sq_knn,
+    "sq_knn_store": q_sq_knn_store,
     "doc_embeddings": q_doc_embeddings,
     "prompt_corpus": q_prompt_corpus,
     "centroids": q_centroids,
@@ -1978,6 +2049,9 @@ ANALYTICS_ORACLE = {
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
     "ivf_knn_store_full": ORACLE_KNN,  # store probe of every partition
+    "sq_knn": ORACLE_SQ_KNN,
+    "sq_knn_store": ORACLE_SQ_KNN,    # probe of the code store — bit-
+                                      # identical to sq_knn by construction
     "doc_embeddings": _doc_embeddings_oracle(),
     "prompt_corpus": _prompt_corpus_oracle(),
     "centroids": ORACLE_CENTROIDS,
