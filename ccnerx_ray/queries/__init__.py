@@ -27,9 +27,14 @@ _PRIORITY = [
     # (passage_dedup NEW r5: sub-document first-occurrence keeper dedup —
     # pii_redact, r4-gate-verified, ops/text.py unchanged all round,
     # yields its slot)
+    # (split_drift NEW r5: corpus drift monitor between hash-split
+    # slices, exact-integer cross-entropy gap per token, ops/drift.py —
+    # fingerprint, r4-gate-verified, ops/text.py unchanged all round and
+    # its sha256-prefix-min machinery still exercised by the minhash
+    # oracles, yields its slot)
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
     "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
-    "fingerprint", "dup_ngrams", "passage_dedup",
+    "dup_ngrams", "passage_dedup",
     # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
     # rows-only — their machinery is gate-checked through the
     # oracle-paired *_full probe-all twins, so both live in the
@@ -95,7 +100,7 @@ _PRIORITY = [
     # filter families summed into a per-doc reason bitmask;
     # decontaminate, r4-gate-verified, ops/decontaminate.py unchanged
     # all round, yields its slot)
-    "doc_lm_score", "curation_pass",
+    "doc_lm_score", "curation_pass", "split_drift",
     "index_lookup", "index_bm25",
     # sketches / quantiles / windows / as-of (quantiles/quantiles_cont
     # are thin wrappers of quantile_summary — they live in the registry

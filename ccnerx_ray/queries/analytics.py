@@ -2260,6 +2260,65 @@ WHERE pm < rate
 ANALYTICS_QUERIES["doc_mixture"] = q_doc_mixture
 ANALYTICS_ORACLE["doc_mixture"] = ORACLE_DOC_MIXTURE
 
+
+def q_split_drift(sf_dir: str):
+    """Corpus drift monitor (``ops/drift.py``): the top tokens driving
+    the distribution shift between the hash-split train and val slices,
+    ranked by the exact-integer cross-entropy gap ``gain_bits = c_a ·
+    (bits_b − bits_a)`` — one combiner scan, vocab-scale reduce, lossless
+    per-block top-n partials (the corpus's 31-token vocab means the n=20
+    cut genuinely bites at every sf)."""
+    from ccnerx_ray.ops.drift import split_drift
+
+    return split_drift(_docs(sf_dir, ["doc_id", "text"]), top_n=20)
+
+
+# mirrors ops/drift.py step for step: the hash_split per-mille bucket
+# (doc_splits' 60-bit sha256 prefix), the ws_tokens '\s+' tokenizer, the
+# lm.py bit-length surprisal convention (length(bin(x)) ==
+# int.bit_length for x > 0; OOV pays bitlen(N)), and the (gain desc,
+# token asc) LIMIT — the empty-slice N=0 degenerate (bin(0) = '0')
+# never occurs on the registered tables and is documented in the module.
+ORACLE_SPLIT_DRIFT = r"""
+WITH d AS (
+  SELECT text,
+         ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::UBIGINT % 1000 AS pm
+  FROM documents
+), s AS (
+  SELECT CASE WHEN pm < 900 THEN 'train'
+              WHEN pm < 950 THEN 'val' ELSE 'test' END AS split, text
+  FROM d
+), toks AS (
+  SELECT split, unnest(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')) AS w
+  FROM s WHERE split IN ('train', 'val')
+), counts AS (
+  SELECT w AS token,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS na,
+         CAST(sum(c_b) AS BIGINT) AS nb FROM counts
+), scored AS (
+  SELECT token, c_a, c_b,
+         CAST(CASE WHEN c_a > 0 THEN length(bin(na)) - length(bin(c_a))
+                   ELSE length(bin(na)) END AS BIGINT) AS bits_a,
+         CAST(CASE WHEN c_b > 0 THEN length(bin(nb)) - length(bin(c_b))
+                   ELSE length(bin(nb)) END AS BIGINT) AS bits_b
+  FROM counts, tot
+)
+SELECT token, c_a, c_b, bits_a, bits_b,
+       c_a * (bits_b - bits_a) AS gain_bits
+FROM scored ORDER BY gain_bits DESC, token LIMIT 20
+"""
+
+ANALYTICS_QUERIES["split_drift"] = q_split_drift
+ANALYTICS_ORACLE["split_drift"] = ORACLE_SPLIT_DRIFT
+
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors
