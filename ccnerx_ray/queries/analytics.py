@@ -2319,6 +2319,40 @@ FROM scored ORDER BY gain_bits DESC, token LIMIT 20
 ANALYTICS_QUERIES["split_drift"] = q_split_drift
 ANALYTICS_ORACLE["split_drift"] = ORACLE_SPLIT_DRIFT
 
+
+def q_doc_chunks(sf_dir: str):
+    """RAG/embedding-ingestion chunking (``ops/chunk.py``): overlapping
+    24-token windows at stride 16 — a pure flat map; every token lands
+    in ≥1 chunk, tail chunks run short, the 10-99-token corpus docs
+    yield 1-7 chunks each."""
+    from ccnerx_ray.ops.chunk import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           window=24, stride=16)
+
+
+# mirrors ops/chunk.py: ws_tokens '\s+' tokenizer, starts 0,16,32,…
+# while start < n (DuckDB range(0, n, 16) — empty for n = 0, so
+# zero-token docs yield no chunks), 1-based inclusive list_slice for the
+# window, single-space re-join for chunk identity over tokens.
+ORACLE_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // 16 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(len(sl) AS BIGINT) AS n_tokens,
+       array_to_string(sl, ' ') AS chunk_text
+FROM (SELECT doc_id, s, list_slice(tk, s + 1, least(s + 24, len(tk))) AS sl
+      FROM t, unnest(range(0, len(tk), 16)) AS g(s))
+"""
+
+ANALYTICS_QUERIES["doc_chunks"] = q_doc_chunks
+ANALYTICS_ORACLE["doc_chunks"] = ORACLE_DOC_CHUNKS
+
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors
