@@ -49,7 +49,12 @@ _PRIORITY = [
     # 1-byte code store; kmeans_clusters and centroids — both
     # r4-gate-verified, ops/cluster.py and ops/similarity.py unchanged
     # all round — yield their slots)
-    "doc_embeddings", "ivf_knn_full",
+    # (rag_chunk_knn NEW r5: the composed RAG loop — chunk → embed →
+    # SQ8 → retrieve, end-to-end hash-exact; doc_embeddings,
+    # r4-gate-verified, yields its slot to the composition whose oracle
+    # re-runs the identical encoder arithmetic — the index_bm25 ⊃
+    # bm25_topk supersession pattern)
+    "rag_chunk_knn", "ivf_knn_full",
     "ivf_knn_store_full", "sq_knn", "sq_knn_store",
     "doc_lm2_score",
     # graph

@@ -2353,6 +2353,86 @@ FROM (SELECT doc_id, s, list_slice(tk, s + 1, least(s + 24, len(tk))) AS sl
 ANALYTICS_QUERIES["doc_chunks"] = q_doc_chunks
 ANALYTICS_ORACLE["doc_chunks"] = ORACLE_DOC_CHUNKS
 
+
+_RAG_QUERIES = ["window agg stream", "hash join key",
+                "sort merge order", "vector scan filter"]
+
+
+def q_rag_chunk_knn(sf_dir: str):
+    """The composed RAG loop (``ops/rag.py``): chunk → embed (A5
+    hash-token micro encoder) → SQ8-quantize → quantized-dot top-10 for
+    four fixed text queries. Every stage is already-verified machinery;
+    this registers the COMPOSITION, end-to-end hash-exact (see the
+    module's determinism ledger for why a float pipeline can hash)."""
+    from ccnerx_ray.ops.rag import rag_chunk_knn
+
+    return rag_chunk_knn(_docs(sf_dir, ["doc_id", "text"]), _RAG_QUERIES,
+                         window=24, stride=16, dim=8, k=10)
+
+
+def _rag_oracle() -> str:
+    # re-runs the WHOLE loop in SQL: doc_chunks' windows, the
+    # doc_embeddings HUGEINT double-mod encoder over chunk tokens AND
+    # query tokens (one unified `units` relation, queries flagged), the
+    # one-division float vector, sq_knn's amax/floor-codes (chunk corpus
+    # only — queries quantize under the corpus scale), integer dot via a
+    # per-dimension join, and the (qdot desc, packed cid asc) top-k.
+    qvals = ", ".join(f"({i}, '{t}')"
+                      for i, t in enumerate(_RAG_QUERIES))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '') AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+         list_slice(tk, s + 1, least(s + 24, len(tk))) AS toks
+  FROM t, unnest(range(0, len(tk), 16)) AS g(s)
+), qt AS (SELECT * FROM (VALUES {qvals}) v(qid, qtext)),
+units AS (
+  SELECT FALSE AS is_q, doc_id * 4096 + chunk_id AS uid, toks FROM ch
+  UNION ALL
+  SELECT TRUE, qid,
+         list_filter(string_split_regex(qtext, '\s+'), w -> w <> '')
+  FROM qt
+), th AS (
+  SELECT is_q, uid, ('0x' || substr(sha256(w), 1, 15))::UBIGINT AS h1,
+         ('0x' || substr(sha256(w), 16, 15))::UBIGINT AS h2
+  FROM (SELECT is_q, uid, unnest(toks) AS w FROM units)
+), sums AS (
+  SELECT is_q, uid, d,
+    CAST(sum(CAST((CAST(h1 AS HUGEINT) + d * CAST(h2 AS HUGEINT))
+                  % 18446744073709551616 % 2000001 AS BIGINT)
+             - 1000000) AS BIGINT) AS sum_micro,
+    count(*) AS n_tok
+  FROM th, (SELECT unnest(generate_series(1, 8)) AS d) dims
+  GROUP BY is_q, uid, d
+), vecs AS (
+  SELECT is_q, uid, d, sum_micro / (n_tok * 1000000.0) AS x FROM sums
+), s AS (SELECT max(abs(x)) AS amax FROM vecs WHERE NOT is_q),
+codes AS (
+  SELECT is_q, uid, d,
+         CAST(floor(x * 127.0 / amax) AS BIGINT) AS code
+  FROM vecs, s
+), dots AS (
+  SELECT q.uid AS query_id, c.uid AS cid,
+         CAST(sum(q.code * c.code) AS BIGINT) AS qdot
+  FROM codes q JOIN codes c ON q.d = c.d AND q.is_q AND NOT c.is_q
+  GROUP BY q.uid, c.uid
+)
+SELECT query_id, cid // 4096 AS doc_id, cid % 4096 AS chunk_id,
+       rank, qdot
+FROM (SELECT query_id, cid, qdot,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY qdot DESC, cid) AS rank
+      FROM dots)
+WHERE rank <= 10
+"""
+
+
+ANALYTICS_QUERIES["rag_chunk_knn"] = q_rag_chunk_knn
+ANALYTICS_ORACLE["rag_chunk_knn"] = _rag_oracle()
+
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
     emission path (VERDICT r3 #3; model/fusion.py mirrors

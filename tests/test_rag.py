@@ -1,0 +1,132 @@
+"""RAG composition (``ops/rag.py``): independent driver-side reference
+(own sha256/chunk/quantize code), exact-match retrieval sanity, packing
+guards, and partitioning invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ccnerx_ray.ops.rag import chunk_embeddings, rag_chunk_knn
+
+
+def _ref_vec(text, dim):
+    """Independent encoder: per-token sha256 (offset, stride) slices,
+    component ((h1 + d·h2) mod 2^64) mod 2000001 − 1e6, mean over
+    tokens in micros."""
+    toks = text.split()
+    sums = np.zeros(dim, dtype=object)
+    for w in toks:
+        hx = hashlib.sha256(w.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+        for d in range(1, dim + 1):
+            sums[d - 1] += ((h1 + d * h2) % 2**64) % 2_000_001 - 1_000_000
+    n = max(len(toks), 1)
+    return np.array([float(s) for s in sums]) / (n * 1e6), len(toks)
+
+
+def _ref_rag(docs, queries, window, stride, dim, k):
+    chunks = []
+    for d in docs:
+        toks = d["text"].split()
+        for s in range(0, len(toks), stride):
+            chunks.append((d["doc_id"], s // stride,
+                           " ".join(toks[s:s + window])))
+    V = np.stack([_ref_vec(c[2], dim)[0] for c in chunks])
+    amax = np.abs(V).max()
+    Vc = np.floor(V * 127.0 / amax)
+    rows = []
+    for qi, q in enumerate(queries):
+        qv, _ = _ref_vec(q, dim)
+        qc = np.floor(qv * 127.0 / amax)
+        dots = (Vc @ qc).astype(np.int64)
+        cids = np.array([c[0] * 4096 + c[1] for c in chunks])
+        order = np.lexsort((cids, -dots))[:k]
+        for r, j in enumerate(order):
+            rows.append((qi, chunks[j][0], chunks[j][1], r + 1,
+                         int(dots[j])))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id", "chunk_id",
+                                       "rank", "qdot"])
+
+
+def _corpus():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta"]
+    docs = []
+    for i in range(25):
+        n = int(rng.integers(5, 40))
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, size=n))})
+    return docs
+
+
+def test_rag_matches_independent_reference(ray_session):
+    import ray.data
+
+    docs = _corpus()
+    queries = ["alpha beta", "zeta zeta theta"]
+    got = (rag_chunk_knn(ray.data.from_items(docs), queries, window=8,
+                         stride=5, dim=6, k=7)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    want = _ref_rag(docs, queries, 8, 5, 6, 7)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_rag_partitioning_invariance(ray_session):
+    import ray.data
+
+    docs = _corpus()
+    frames = []
+    for parts in (1, 9):
+        ds = ray.data.from_items(docs).repartition(parts)
+        frames.append(rag_chunk_knn(ds, ["gamma delta"], window=8,
+                                    stride=5, dim=6, k=5)
+                      .to_pandas().sort_values(["query_id", "rank"])
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_rag_exact_chunk_query_ranks_first(ray_session):
+    import ray.data
+
+    # docs over DISJOINT vocabularies; querying one doc's exact text
+    # must put that doc's chunk at rank 1
+    docs = [{"doc_id": 0, "text": "apple apple banana apple"},
+            {"doc_id": 1, "text": "carrot daikon carrot daikon"},
+            {"doc_id": 2, "text": "egg fig egg fig egg"}]
+    got = (rag_chunk_knn(ray.data.from_items(docs),
+                         ["carrot daikon carrot daikon"], window=8,
+                         stride=8, dim=8, k=3)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert got.iloc[0].doc_id == 1 and got.iloc[0].chunk_id == 0
+
+
+def test_rag_guards(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"doc_id": 0, "text": "a b"}])
+    with pytest.raises(ValueError):
+        rag_chunk_knn(ds, ["ok", "   "])  # tokenless query
+
+    neg = ray.data.from_items([{"doc_id": -1, "text": "a b"}])
+    with pytest.raises(Exception):
+        chunk_embeddings(neg).materialize()  # packed id needs id >= 0
+
+
+def test_chunk_embeddings_cid_bijection(ray_session):
+    import ray.data
+
+    docs = _corpus()
+    emb = (chunk_embeddings(ray.data.from_items(docs), window=8,
+                            stride=5, dim=4)
+           .to_pandas())
+    assert (emb.cid == emb.doc_id * 4096 + emb.chunk_id).all()
+    assert emb.cid.is_unique
