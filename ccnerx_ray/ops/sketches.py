@@ -103,6 +103,88 @@ def approx_distinct(ds, col: str, p: int = 12) -> dict:
             "rel_error": 1.04 / np.sqrt(1 << p)}
 
 
+def hll_group_registers(ds, group_col: str, key_col: str, *, p: int = 8,
+                        prefix_bits: int = 60,
+                        num_buckets: int | None = None):
+    """PER-GROUP HyperLogLog register tables → ``(group_col, idx, rho)``
+    — approximate distinct ``key_col`` per group with one mergeable
+    sketch per group (segment-level distinct counts at a scale where
+    ``GROUP BY g, COUNT(DISTINCT k)`` is an all-to-all over raw keys).
+
+    Uses the ORACLE-PAIRED hash contract of
+    ``queries/relational3.py:q_hll_custkey`` — 60-bit sha256 hex prefix,
+    ``idx`` = top ``p`` bits, ``rho`` = 1-based first-set-bit position of
+    the low ``prefix_bits − p`` (saturating when zero) — so the whole
+    grouped register table is SQL-hash-exact, not just the estimates.
+    Per batch: distinct (group, key) pairs → one sha256 per UNIQUE key
+    (factorize), vectorized idx/rho, pandas (group, idx) max — at most
+    ``groups × 2^p`` rows cross the shuffle per batch regardless of
+    input size. Assumes group cardinality ≪ corpus (event types,
+    languages, sources); the register reduce is ``groups × 2^p`` rows
+    total. Estimates come from :func:`hll_estimate_sparse` per group
+    (approximate — METRICS only, per SURVEY §2.6)."""
+    import hashlib
+
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    rest_bits = prefix_bits - p
+    mask = np.uint64((1 << rest_bits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch.column(group_col).to_pylist(),
+            "k": batch.column(key_col).to_pylist(),
+        }).drop_duplicates()
+        if not len(df):
+            # derive the group dtype from the INPUT column — a
+            # hardcoded string here would poison schema unification
+            # for int-keyed groups (the ADVICE r4 empty-frame hazard)
+            g_type = batch.schema.field(group_col).type
+            return pa.table({group_col: pa.array([], g_type),
+                             "idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(df["k"].to_numpy(dtype=object))
+        uh = np.fromiter(
+            (int(hashlib.sha256(str(v).encode()).hexdigest()[:15], 16)
+             for v in uniq), dtype=np.uint64, count=len(uniq))
+        h = uh[codes]
+        idx = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & mask
+        rho = np.where(rest > 0,
+                       rest_bits + 1 - _bit_length_u64(rest),
+                       rest_bits + 1).astype(np.int64)
+        out = (pd.DataFrame({group_col: df["g"].to_numpy(dtype=object),
+                             "idx": idx, "rho": rho})
+               .groupby([group_col, "idx"], sort=False)["rho"].max()
+               .reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    if num_buckets is None:
+        num_buckets = 32
+    sch = ds.schema()
+    g_type = sch.types[list(sch.names).index(group_col)]
+    g_dtype = "string" if pa.types.is_string(g_type) else "int64"
+    return grouped_reduce(parts, [group_col, "idx"], {"rho": "max"},
+                          num_buckets=num_buckets,
+                          out_dtypes={group_col: g_dtype, "idx": "int64",
+                                      "rho": "int64"})
+
+
+def hll_estimate_sparse(registers: dict[int, int], p: int = 8) -> float:
+    """Flajolet estimate (with small-range linear counting) from a
+    sparse ``{idx: rho}`` register table; absent registers are zero."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zsum = (m - len(registers)) * 1.0 + sum(2.0 ** -r
+                                            for r in registers.values())
+    est = alpha * m * m / zsum
+    zeros = m - len(registers)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
 def asof_join(left, right, on: str, by: str | None = None,
               direction: str = "backward", num_buckets: int = 64,
               suffix: str = "_r", broadcast_rows_max: int = 500_000):

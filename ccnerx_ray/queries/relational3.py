@@ -271,6 +271,34 @@ GROUP BY idx
 """
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """PER-GROUP HLL (``ops/sketches.py:hll_group_registers``): one
+    mergeable register sketch per event_type over user_id — segment
+    distinct counts without an all-to-all over raw keys. Same sha256
+    register contract as `hll_custkey`, so the whole grouped register
+    table is hash-exact; per-group estimates are derived from these
+    registers (pytest-pinned within tolerance of the exact counts)."""
+    from ccnerx_ray.ops.sketches import hll_group_registers
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_group_registers(ds, "event_type", "user_id", p=8)
+
+
+ORACLE_HLL_USERS_BY_TYPE = """
+SELECT event_type, CAST(h >> 52 AS BIGINT) AS idx,
+       CAST(max(CASE WHEN p = 0 THEN 53 ELSE p END) AS BIGINT) AS rho
+FROM (
+  SELECT event_type, h,
+         strpos(lpad(bin(h & ((1::UBIGINT << 52) - 1)), 52, '0'),
+                '1') AS p
+  FROM (SELECT DISTINCT event_type,
+          ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+            ::UBIGINT AS h
+        FROM events))
+GROUP BY event_type, idx
+"""
+
+
 # --------------------------------------------- connected components
 def q_graph_components(sf_dir: str):
     """Exact connected components over a sparse part–supplier co-purchase
@@ -322,6 +350,7 @@ RELATIONAL3_QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "similar_part_names": q_similar_part_names,
     "hll_custkey": q_hll_custkey,
+    "hll_users_by_type": q_hll_users_by_type,
     "graph_components": q_graph_components,
 }
 
@@ -331,5 +360,6 @@ RELATIONAL3_ORACLE = {
     "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     "similar_part_names": ORACLE_SIMILAR_PART_NAMES,
     "hll_custkey": ORACLE_HLL_CUSTKEY,
+    "hll_users_by_type": ORACLE_HLL_USERS_BY_TYPE,
     "graph_components": _components_oracle(),
 }
