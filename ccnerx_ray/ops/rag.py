@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from ccnerx_ray.ops.chunk import chunk_documents
-from ccnerx_ray.ops.quantize import sq_knn
+from ccnerx_ray.ops.quantize import sq_build_store, sq_knn
 from ccnerx_ray.stages.encode import _doc_sums
 
 _CHUNK_ID_SPAN = 4096
@@ -115,6 +115,73 @@ def rag_chunk_knn(docs, query_texts: list[str], *, window: int = 24,
             "query_id": batch.column("query_id"),
             "doc_id": pa.array(cid // _CHUNK_ID_SPAN, pa.int64()),
             "chunk_id": pa.array(cid % _CHUNK_ID_SPAN, pa.int64()),
+            "rank": batch.column("rank"),
+            "qdot": batch.column("qdot"),
+        })
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def rag_build_store(docs, store_dir: str, *, window: int = 24,
+                    stride: int = 16, dim: int = 8, num_shards: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> dict:
+    """Persist the ingestion half of the loop: chunk + embed once, then
+    write the SQ8 code store (``ops/quantize.py:sq_build_store`` over
+    the packed ``cid``) — the artifact queries probe WITHOUT touching
+    the corpus again. The chunking/encoder parameters land in
+    ``_lineage/rag.json`` next to the quantizer ledger, so query-time
+    embedding always matches build-time embedding (a dim/window
+    mismatch would silently break retrieval)."""
+    import json
+    import os
+
+    emb = chunk_embeddings(docs, window=window, stride=stride, dim=dim,
+                           text_col=text_col, id_col=id_col)
+    # sq_build_store scans twice (amax + encode) — materialize so
+    # chunk+encode doesn't run twice
+    emb = emb.materialize()
+    summary = sq_build_store(emb, store_dir, vec_col="embedding",
+                             id_col="cid", num_shards=num_shards)
+    params = {"window": window, "stride": stride, "dim": dim,
+              "text_col": text_col, "id_col": id_col,
+              "chunk_id_span": _CHUNK_ID_SPAN}
+    with open(os.path.join(store_dir, "_lineage", "rag.json"), "w") as f:
+        json.dump(params, f, indent=1, sort_keys=True)
+    summary.update(params)
+    return summary
+
+
+def rag_store_knn(store_dir: str, query_texts: list[str], *,
+                  k: int = 10):
+    """Answer text queries FROM a :func:`rag_build_store` store: embed
+    the queries driver-side under the STORED encoder parameters,
+    quantize under the stored scale, and rank against the 1-byte codes
+    — bit-identical to :func:`rag_chunk_knn` over the original corpus
+    (pinned by test)."""
+    import json
+    import os
+
+    from ccnerx_ray.ops.quantize import sq_knn_store
+
+    with open(os.path.join(store_dir, "_lineage", "rag.json")) as f:
+        params = json.load(f)
+    for i, q in enumerate(query_texts):
+        if not q.split():
+            raise ValueError(f"query {i} has no tokens")
+    n_tok, sums = _doc_sums(list(query_texts), params["dim"])
+    Q = sums.astype(np.float64) / (np.maximum(n_tok, 1)[:, None] * 1e6)
+    out = sq_knn_store(store_dir, Q,
+                       query_ids=list(range(len(query_texts))), k=k,
+                       id_col="cid")
+    span = params["chunk_id_span"]
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        cid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": batch.column("query_id"),
+            "doc_id": pa.array(cid // span, pa.int64()),
+            "chunk_id": pa.array(cid % span, pa.int64()),
             "rank": batch.column("rank"),
             "qdot": batch.column("qdot"),
         })

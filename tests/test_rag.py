@@ -10,7 +10,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from ccnerx_ray.ops.rag import chunk_embeddings, rag_chunk_knn
+from ccnerx_ray.ops.rag import (chunk_embeddings, rag_build_store,
+                                rag_chunk_knn, rag_store_knn)
 
 
 def _ref_vec(text, dim):
@@ -119,6 +120,26 @@ def test_rag_guards(ray_session):
     neg = ray.data.from_items([{"doc_id": -1, "text": "a b"}])
     with pytest.raises(Exception):
         chunk_embeddings(neg).materialize()  # packed id needs id >= 0
+
+
+def test_rag_store_probe_equals_direct(ray_session, tmp_path):
+    import ray.data
+
+    docs = _corpus()
+    queries = ["alpha beta", "theta eta zeta"]
+    store = str(tmp_path / "rag")
+    ds = ray.data.from_items(docs)
+    summary = rag_build_store(ds, store, window=8, stride=5, dim=6,
+                              num_shards=4)
+    assert summary["dim"] == 6 and summary["rows"] > len(docs)
+    direct = (rag_chunk_knn(ds, queries, window=8, stride=5, dim=6, k=7)
+              .to_pandas().sort_values(["query_id", "rank"])
+              .reset_index(drop=True))
+    probed = (rag_store_knn(store, queries, k=7)
+              .to_pandas().sort_values(["query_id", "rank"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(direct.astype("int64"),
+                                  probed.astype("int64"))
 
 
 def test_chunk_embeddings_cid_bijection(ray_session):
