@@ -202,14 +202,15 @@ def kmeans_lloyd_int(ds, k: int = 8, n_iter: int = 3,
     return ray.data.from_arrow(out)
 
 
-def kmeans_oracle_sql(k: int, n_iter: int, dim: int,
-                      table: str = "embeddings",
-                      vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> str:
-    """DuckDB oracle for :func:`kmeans_lloyd_int`: identical integer
-    arithmetic with iterations unrolled into chained CTEs. DuckDB ``//``
-    truncates toward zero and ``round`` is half-away-from-zero — both
-    mirrored exactly by the numpy implementation."""
+def kmeans_cte_chain(k: int, n_iter: int, dim: int,
+                     table: str = "embeddings",
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> str:
+    """The WITH-chain shared by :func:`kmeans_oracle_sql` and the
+    SemDeDup oracle: ``pts``/``init``/``c0`` then ``d{t}``/``a{t}``/
+    ``u{t}``/``c{t}`` per unrolled iteration, ending after
+    ``c{n_iter}`` with NO trailing SELECT so callers can append further
+    CTEs (e.g. one more assignment round under the final centroids)."""
     parts = [f"""
 WITH pts AS (
   SELECT {id_col} AS vid,
@@ -252,6 +253,63 @@ c{t} AS (
          COALESCE(u.n, 0) AS n
   FROM c{t - 1} c LEFT JOIN u{t} u USING (cluster, dim)
 )""")
-    parts.append(f"""
-SELECT cluster, dim, c AS c_micro, n AS n_points FROM c{n_iter}""")
     return "".join(parts)
+
+
+def kmeans_oracle_sql(k: int, n_iter: int, dim: int,
+                      table: str = "embeddings",
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`kmeans_lloyd_int`: identical integer
+    arithmetic with iterations unrolled into chained CTEs. DuckDB ``//``
+    truncates toward zero and ``round`` is half-away-from-zero — both
+    mirrored exactly by the numpy implementation."""
+    return kmeans_cte_chain(k, n_iter, dim, table, vec_col, id_col) + f"""
+SELECT cluster, dim, c AS c_micro, n AS n_points FROM c{n_iter}"""
+
+
+def centroid_matrix(cent_ds) -> np.ndarray:
+    """Collect a :func:`kmeans_lloyd_int` result (k×dim LONG-form rows —
+    tiny by construction) into the (k, dim) int64 micro-unit matrix."""
+    rows = cent_ds.take_all()
+    kk = 1 + max(r["cluster"] for r in rows)
+    dim = max(r["dim"] for r in rows)          # dims are 1-based
+    C = np.zeros((kk, dim), dtype=np.int64)
+    for r in rows:
+        C[r["cluster"], r["dim"] - 1] = r["c_micro"]
+    return C
+
+
+def assign_clusters(ds, centroids: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    keep_vec: bool = False):
+    """ONE exact-integer assignment pass under FIXED centroids (micro
+    units, shape (k, dim)): per batch micro-ize the vectors, squared-L2
+    against all k centroids in int64, argmin with ties broken toward the
+    LOWEST cluster index — np.argmin's first-minimum IS the oracle's
+    ``row_number() OVER (ORDER BY dist, cluster)``. A pure map: no
+    shuffle, no state; the k×dim centroid matrix rides the task closure
+    (k≤10⁴ × dim≤10³ is a few MB — broadcast once per worker, never per
+    batch). Overflow ledger: |x|,|c| ≤ ~2e6 micro ⇒ per-dim diff² ≤
+    1.6e13, × dim ≤ 10³ ⇒ ≤ 1.6e16 ≪ 2⁶³."""
+    C = np.ascontiguousarray(centroids, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict = {id_col: batch.column(id_col)}
+        if n == 0:
+            cols["cluster"] = pa.array([], pa.int64())
+            if keep_vec:
+                cols[vec_col] = batch.column(vec_col)
+            return pa.table(cols)
+        flat = batch.column(vec_col).combine_chunks()
+        V = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        Vm = _micro(V).reshape(n, -1)
+        d2 = ((Vm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cols["cluster"] = pa.array(np.argmin(d2, axis=1).astype(np.int64),
+                                   pa.int64())
+        if keep_vec:
+            cols[vec_col] = batch.column(vec_col)
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -734,6 +734,89 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                           out_dtypes={"id_a": "int64", "id_b": "int64"})
 
 
+def semantic_dedup(ds, k: int = 8, n_iter: int = 3,
+                   threshold: float = 0.45,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   num_buckets: int = 64, max_cluster: int = 200_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then dedup WITHIN clusters only — the scale path
+    for embedding-cosine dedup. :func:`embedding_dup_pairs`'s all-pairs
+    matrix is the sf-scale oracle baseline; at 10^12 rows the broadcast
+    matrix is unthinkable, while per-cluster all-pairs with k ∝ corpus
+    size keeps every group a bounded-work unit (the paper's point).
+
+    Keeper rule, deterministic and order-free: a point is DROPPED iff
+    some SMALLER-id point in the SAME final cluster has cosine ≥
+    ``threshold`` — the within-cluster form of :func:`exact_dedup`'s
+    min-id first-wins. (Not a transitive closure: q being itself dropped
+    does not rescue p — one SQL EXISTS, no recursion.)
+
+    Returns ``(vec_id, cluster, kept)`` — one row per input point.
+
+    Exactness ledger (what lets this value-hash against DuckDB): the
+    cluster assignment is the exact-integer kmeans chain
+    (:func:`kmeans_lloyd_int` — micro units, trunc-div centroid updates)
+    plus ONE more integer assignment round under the final centroids
+    (:func:`assign_clusters`, mirrored in SQL by extending
+    :func:`kmeans_cte_chain` with a ``df``/``af`` round); the only float
+    comparison is the cosine ≥ threshold test, the exact formulation the
+    ``embedding_dedup`` oracle has proven hash-stable (numpy float64
+    normalized dot vs DuckDB ``list_cosine_similarity``).
+
+    Scale shape: one kmeans run (n_iter+1 corpus scans, k×dim driver
+    rows), one pure-map assignment pass, one coarse grouped pass whose
+    pairwise work is row-chunked (memory O(chunk × |cluster|)).
+    ``max_cluster`` is a loud guard, not a silent cap: a cluster past it
+    means k is undersized for the corpus — raise k (SemDeDup sizes
+    k ∝ n precisely so clusters stay bounded)."""
+    from ccnerx_ray.ops.cluster import (assign_clusters, centroid_matrix,
+                                        kmeans_lloyd_int)
+
+    cent = kmeans_lloyd_int(ds, k=k, n_iter=n_iter, vec_col=vec_col,
+                            id_col=id_col)
+    C = centroid_matrix(cent)                       # k×dim ints — tiny
+    assigned = assign_clusters(ds.select_columns([id_col, vec_col]), C,
+                               vec_col=vec_col, id_col=id_col,
+                               keep_vec=True)
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, sub in g.groupby("cluster", sort=False):
+            n = len(sub)
+            if n > max_cluster:
+                raise ValueError(
+                    f"cluster {cl} has {n} points > max_cluster="
+                    f"{max_cluster}; raise k — SemDeDup keeps clusters "
+                    "bounded by sizing k to the corpus")
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in sub[vec_col].to_numpy()[order]])
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12)
+            dup = np.zeros(n, dtype=bool)
+            for s in range(0, n, 2048):              # memory O(2048 × n)
+                e = min(n, s + 2048)
+                sims = M[s:e] @ M.T
+                smaller = (np.arange(n)[None, :]
+                           < np.arange(s, e)[:, None])
+                dup[s:e] = ((sims >= threshold) & smaller).any(axis=1)
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "cluster": np.full(n, cl, dtype=np.int64),
+                "kept": (~dup).astype("int64")}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                   "cluster": pd.Series(dtype="int64"),
+                                   "kept": pd.Series(dtype="int64")}))
+
+    return coarse_grouped(assigned, ["cluster"], local,
+                          num_buckets=num_buckets,
+                          out_dtypes={id_col: "int64", "cluster": "int64",
+                                      "kept": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over candidate pairs
 # ---------------------------------------------------------------------------

@@ -32,8 +32,14 @@ _PRIORITY = [
     # fingerprint, r4-gate-verified, ops/text.py unchanged all round and
     # its sha256-prefix-min machinery still exercised by the minhash
     # oracles, yields its slot)
+    # (semantic_dedup NEW r5: SemDeDup — exact-integer kmeans clusters +
+    # within-cluster min-id cosine keeper, the scale path for the
+    # all-pairs matrix; embedding_dedup — r4-gate-verified, its
+    # broadcast-matrix baseline unchanged and its cosine-threshold
+    # formulation still gate-exercised THROUGH semantic_dedup's oracle —
+    # yields its slot and joins the tail)
     "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
-    "winnow_pairs", "minhash_dedup_keepers", "embedding_dedup",
+    "winnow_pairs", "minhash_dedup_keepers", "semantic_dedup",
     "dup_ngrams", "passage_dedup",
     # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
     # rows-only — their machinery is gate-checked through the

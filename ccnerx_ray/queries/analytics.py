@@ -696,6 +696,47 @@ FROM embeddings a JOIN embeddings b
 """
 
 
+# --------------------------------------------------------- semantic dedup
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: exact-integer k-means clusters the embedding space, then
+    min-id-keeper cosine dedup runs WITHIN clusters only — the scale path
+    for ``embedding_dedup``'s all-pairs matrix. Same k/n_iter as
+    ``kmeans_clusters`` and the same cosine threshold formulation as
+    ``embedding_dedup``, so the oracle reuses both proven contracts."""
+    from ccnerx_ray.ops.dedup import semantic_dedup
+    return semantic_dedup(_emb(sf_dir), k=8, n_iter=3, threshold=0.45)
+
+
+def _oracle_semantic_dedup() -> str:
+    """kmeans CTE chain (identical arithmetic to the kmeans_clusters
+    oracle) + one assignment round under the FINAL centroids (df/af) +
+    the within-cluster smaller-id cosine EXISTS."""
+    from ccnerx_ray.ops.cluster import kmeans_cte_chain
+    return kmeans_cte_chain(k=8, n_iter=3, dim=64) + """,
+df AS (
+  SELECT p.vid, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM pts p JOIN c3 c USING (dim) GROUP BY p.vid, c.cluster
+),
+af AS (
+  SELECT vid, cluster FROM (
+    SELECT vid, cluster,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY dist, cluster) AS rn
+    FROM df) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT a.vid
+  FROM af a JOIN af b ON a.cluster = b.cluster AND b.vid < a.vid
+  JOIN embeddings ea ON ea.vec_id = a.vid
+  JOIN embeddings eb ON eb.vec_id = b.vid
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.45
+)
+SELECT a.vid AS vec_id, a.cluster,
+       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM af a LEFT JOIN dup d ON d.vid = a.vid
+"""
+
+
 # ------------------------------------------------------------- langid
 def q_langid(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1990,6 +2031,7 @@ ANALYTICS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "knn": q_knn,
     "embedding_dedup": q_embedding_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
@@ -2045,6 +2087,7 @@ ANALYTICS_ORACLE = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "knn": ORACLE_KNN,
     "embedding_dedup": ORACLE_EMBEDDING_DEDUP,
+    "semantic_dedup": _oracle_semantic_dedup(),
     "langid": ORACLE_LANGID,
     "fingerprint": ORACLE_FINGERPRINT,
     "ivf_knn_full": ORACLE_KNN,       # nprobe=all ⇒ must equal exact KNN
