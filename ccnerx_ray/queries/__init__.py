@@ -60,7 +60,12 @@ _PRIORITY = [
     # r4-gate-verified, yields its slot to the composition whose oracle
     # re-runs the identical encoder arithmetic — the index_bm25 ⊃
     # bm25_topk supersession pattern)
-    "rag_chunk_knn", "ivf_knn_full",
+    # (rag_rerank NEW r5: two-stage retrieve-then-rerank — quantized
+    # top-m then exact-integer rescoring of candidates only;
+    # ivf_knn_full — r4-gate-verified, ops/similarity.py unchanged all
+    # round, its ANN machinery still gate-exercised through
+    # ivf_knn_store_full which shares its oracle — yields its slot)
+    "rag_chunk_knn", "rag_rerank",
     "ivf_knn_store_full", "sq_knn", "sq_knn_store",
     "doc_lm2_score",
     # graph

@@ -2413,13 +2413,14 @@ def q_rag_chunk_knn(sf_dir: str):
                          window=24, stride=16, dim=8, k=10)
 
 
-def _rag_oracle() -> str:
-    # re-runs the WHOLE loop in SQL: doc_chunks' windows, the
-    # doc_embeddings HUGEINT double-mod encoder over chunk tokens AND
-    # query tokens (one unified `units` relation, queries flagged), the
-    # one-division float vector, sq_knn's amax/floor-codes (chunk corpus
-    # only — queries quantize under the corpus scale), integer dot via a
-    # per-dimension join, and the (qdot desc, packed cid asc) top-k.
+def _rag_chain() -> str:
+    # the WHOLE loop in SQL, through the quantized dot: doc_chunks'
+    # windows, the doc_embeddings HUGEINT double-mod encoder over chunk
+    # tokens AND query tokens (one unified `units` relation, queries
+    # flagged), the one-division float vector, sq_knn's amax/floor-codes
+    # (chunk corpus only — queries quantize under the corpus scale), and
+    # the integer dot via a per-dimension join. Shared prefix of the
+    # rag_chunk_knn and rag_rerank oracles — both append their ranking.
     qvals = ", ".join(f"({i}, '{t}')"
                       for i, t in enumerate(_RAG_QUERIES))
     return rf"""
@@ -2462,7 +2463,12 @@ codes AS (
          CAST(sum(q.code * c.code) AS BIGINT) AS qdot
   FROM codes q JOIN codes c ON q.d = c.d AND q.is_q AND NOT c.is_q
   GROUP BY q.uid, c.uid
-)
+)"""
+
+
+def _rag_oracle() -> str:
+    # the quantized (qdot desc, packed cid asc) top-k
+    return _rag_chain() + """
 SELECT query_id, cid // 4096 AS doc_id, cid % 4096 AS chunk_id,
        rank, qdot
 FROM (SELECT query_id, cid, qdot,
@@ -2473,8 +2479,55 @@ WHERE rank <= 10
 """
 
 
+def q_rag_rerank(sf_dir: str):
+    """Two-stage retrieve-then-rerank (``ops/rag.py:rag_rerank``): SQ8
+    quantized top-30 candidates per query, then exact-integer rescoring
+    of ONLY those candidates on the unquantized encoder sums, ranked by
+    the one-division ratio ``rdot / n_tokens`` — the production shape
+    (cheap wide stage, precise narrow stage), end-to-end hash-exact."""
+    from ccnerx_ray.ops.rag import rag_rerank
+
+    return rag_rerank(_docs(sf_dir, ["doc_id", "text"]), _RAG_QUERIES,
+                      window=24, stride=16, dim=8, k=10, m=30)
+
+
+def _rag_rerank_oracle() -> str:
+    # stage 1: quantized rank ≤ m (same tie-break as rag_chunk_knn);
+    # stage 2: exact integer sum_micro dot over the candidates, ranked
+    # by the ONE-division double ratio rdot / n_tokens (|rdot| < 2^53 —
+    # exactly representable; ties on packed cid)
+    return _rag_chain() + """,
+cand AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, cid) AS rank
+    FROM dots) WHERE rank <= 30
+),
+resc AS (
+  SELECT ca.query_id, ca.cid,
+         CAST(sum(q.sum_micro * c.sum_micro) AS BIGINT) AS rdot,
+         CAST(max(c.n_tok) AS BIGINT) AS n_tokens
+  FROM cand ca
+  JOIN sums q ON q.is_q AND q.uid = ca.query_id
+  JOIN sums c ON NOT c.is_q AND c.uid = ca.cid AND c.d = q.d
+  GROUP BY ca.query_id, ca.cid
+)
+SELECT query_id, cid // 4096 AS doc_id, cid % 4096 AS chunk_id,
+       rank, rdot, n_tokens
+FROM (SELECT query_id, cid, rdot, n_tokens,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY CAST(rdot AS DOUBLE) / n_tokens DESC,
+                          cid) AS rank
+      FROM resc)
+WHERE rank <= 10
+"""
+
+
 ANALYTICS_QUERIES["rag_chunk_knn"] = q_rag_chunk_knn
 ANALYTICS_ORACLE["rag_chunk_knn"] = _rag_oracle()
+ANALYTICS_QUERIES["rag_rerank"] = q_rag_rerank
+ANALYTICS_ORACLE["rag_rerank"] = _rag_rerank_oracle()
 
 def q_kg_triples_lebert(sf_dir: str):
     """Flagship KG pipeline through the LEBert word-attention fusion
