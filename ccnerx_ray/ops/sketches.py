@@ -185,6 +185,90 @@ def hll_estimate_sparse(registers: dict[int, int], p: int = 8) -> float:
     return float(est)
 
 
+def cms_registers(ds, key_col: str, *, depth: int = 4, width: int = 512,
+                  tokenize: bool = False, num_buckets: int = 8):
+    """Count-Min sketch register table → ``(row, idx, cnt)`` —
+    approximate per-key FREQUENCIES in ``depth × width`` counters, the
+    frequency sibling of the HLL register family (sum-mergeable where
+    HLL is max-mergeable). At corpus scale the exact token/key frequency
+    table IS the all-to-all (vocab-cardinality keys); the sketch bounds
+    the shuffle at ``depth × width`` rows per batch regardless of input.
+
+    Hash contract (ORACLE-PAIRED, the hll_custkey pattern): row r's
+    counter index for key k is the 60-bit sha256 hex prefix of
+    ``"{r}:{k}"`` mod ``width`` — one sha256 per UNIQUE key per row
+    (factorize), integer counts, so the whole register table is
+    SQL-hash-exact. ``tokenize=True`` treats ``key_col`` as text and
+    counts whitespace tokens (``ws_tokens`` — the proven RE2/DuckDB
+    ``\\s`` contract) instead of whole values.
+
+    Point estimates come from :func:`cms_estimate`: ``min`` over the
+    depth rows — an upper bound on the true count (classic CMS
+    guarantee: overestimate ≤ n/width with prob ≥ 1 − 2^−depth;
+    approximate — METRICS only, per SURVEY §2.6)."""
+    import hashlib
+
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth/width >= 1, got {depth}/{width}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if tokenize:
+            toks: list[str] = []
+            for t in batch.column(key_col).to_pylist():
+                toks.extend(ws_tokens(t or ""))
+            keys = np.asarray(toks, dtype=object)
+        else:
+            keys = np.asarray(
+                ["" if v is None else str(v)
+                 for v in batch.column(key_col).to_pylist()],
+                dtype=object)
+        if not len(keys):
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(keys)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            uh = np.fromiter(
+                (int(hashlib.sha256(f"{r}:{v}".encode())
+                     .hexdigest()[:15], 16) for v in uniq),
+                dtype=np.uint64, count=len(uniq))
+            np.add.at(regs[r], (uh % np.uint64(width)).astype(np.int64),
+                      counts)
+        rr, ii = np.nonzero(regs)
+        return pa.table({"row": pa.array(rr.astype(np.int64), pa.int64()),
+                         "idx": pa.array(ii.astype(np.int64), pa.int64()),
+                         "cnt": pa.array(regs[rr, ii], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(parts, ["row", "idx"], {"cnt": "sum"},
+                          num_buckets=num_buckets,
+                          out_dtypes={"row": "int64", "idx": "int64",
+                                      "cnt": "int64"})
+
+
+def cms_estimate(registers: dict[tuple[int, int], int], keys,
+                 *, depth: int = 4, width: int = 512) -> dict:
+    """Point-frequency estimates from a sparse ``{(row, idx): cnt}``
+    register table: per key, min over the depth rows (absent counter =
+    0). Driver-side — the register table is ``depth × width`` rows."""
+    import hashlib
+
+    out = {}
+    for k in keys:
+        est = None
+        for r in range(depth):
+            h = int(hashlib.sha256(f"{r}:{k}".encode())
+                    .hexdigest()[:15], 16)
+            c = registers.get((r, h % width), 0)
+            est = c if est is None else min(est, c)
+        out[k] = int(est or 0)
+    return out
+
+
 def asof_join(left, right, on: str, by: str | None = None,
               direction: str = "backward", num_buckets: int = 64,
               suffix: str = "_r", broadcast_rows_max: int = 500_000):

@@ -2397,6 +2397,43 @@ ANALYTICS_QUERIES["doc_chunks"] = q_doc_chunks
 ANALYTICS_ORACLE["doc_chunks"] = ORACLE_DOC_CHUNKS
 
 
+# ------------------------------------------------------ count-min sketch
+def q_cms_tokens(sf_dir: str):
+    """Count-Min register table over corpus tokens
+    (``ops/sketches.py:cms_registers``, depth 4 × width 512): mergeable
+    approximate token frequencies where the exact vocab-keyed count
+    table would be the all-to-all. Same sha256-prefix contract as the
+    HLL family, so the whole register table is hash-exact; point
+    estimates (min over rows) are pytest-pinned ≥ exact counts."""
+    from ccnerx_ray.ops.sketches import cms_registers
+
+    return cms_registers(_docs(sf_dir, ["text"]), "text",
+                         depth=4, width=512, tokenize=True)
+
+
+ORACLE_CMS_TOKENS = r"""
+WITH tok AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  w -> w <> '')) AS w
+        FROM documents)
+  GROUP BY w
+), h AS (
+  SELECT r,
+         ('0x' || substr(sha256(CAST(r AS VARCHAR) || ':' || w), 1, 15))
+           ::UBIGINT % 512 AS idx,
+         c
+  FROM tok, (SELECT unnest(generate_series(0, 3)) AS r)
+)
+SELECT CAST(r AS BIGINT) AS row, CAST(idx AS BIGINT) AS idx,
+       CAST(sum(c) AS BIGINT) AS cnt
+FROM h GROUP BY r, idx
+"""
+
+ANALYTICS_QUERIES["cms_tokens"] = q_cms_tokens
+ANALYTICS_ORACLE["cms_tokens"] = ORACLE_CMS_TOKENS
+
+
 _RAG_QUERIES = ["window agg stream", "hash join key",
                 "sort merge order", "vector scan filter"]
 
