@@ -2434,6 +2434,44 @@ ANALYTICS_QUERIES["cms_tokens"] = q_cms_tokens
 ANALYTICS_ORACLE["cms_tokens"] = ORACLE_CMS_TOKENS
 
 
+# ------------------------------------------------------ PMI phrase mining
+def q_pmi_pairs(sf_dir: str):
+    """Top adjacent token pairs by PMI (``ops/pmi.py:pmi_top_pairs``):
+    collocation discovery with the rank-by-exact-ratio contract — counts
+    only in the output (ints + tokens), ratio c_xy/(c_x·c_y) compared as
+    one IEEE double division on both engines, ties on (tok_x, tok_y)."""
+    from ccnerx_ray.ops.pmi import pmi_top_pairs
+
+    return pmi_top_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                         top_n=25, min_count=5)
+
+
+ORACLE_PMI_PAIRS = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '') AS tk
+  FROM documents
+), uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w
+), bi AS (
+  SELECT x, y, count(*) AS c FROM (
+    SELECT tk[i] AS x, tk[i + 1] AS y
+    FROM t, unnest(range(1, len(tk))) AS g(i)
+  ) GROUP BY x, y
+)
+SELECT b.x AS tok_x, b.y AS tok_y, CAST(b.c AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y
+FROM bi b JOIN uni ux ON ux.w = b.x JOIN uni uy ON uy.w = b.y
+WHERE b.c >= 5
+ORDER BY CAST(b.c AS DOUBLE) / (ux.c * uy.c) DESC, b.x, b.y
+LIMIT 25
+"""
+
+ANALYTICS_QUERIES["pmi_pairs"] = q_pmi_pairs
+ANALYTICS_ORACLE["pmi_pairs"] = ORACLE_PMI_PAIRS
+
+
 _RAG_QUERIES = ["window agg stream", "hash join key",
                 "sort merge order", "vector scan filter"]
 
