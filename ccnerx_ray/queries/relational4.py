@@ -558,3 +558,84 @@ RELATIONAL4_QUERIES["key_skew"] = q_key_skew
 RELATIONAL4_ORACLE["key_skew"] = ORACLE_KEY_SKEW
 RELATIONAL4_QUERIES["clicks_purchases_outer"] = q_clicks_purchases_outer
 RELATIONAL4_ORACLE["clicks_purchases_outer"] = ORACLE_CLICKS_PURCHASES_OUTER
+
+
+# ------------------------------------------------- retention cohorts
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix over the event stream: users grouped by
+    their FIRST-event epoch-week, counted distinct in every later week
+    they return → ``(cohort_week, week_offset, n_users)`` — the
+    daily-health table every activity pipeline derives.
+
+    Week grain is pure integer arithmetic (``epoch_us // 604800000000``
+    — no calendar library on either engine). Shape: one combiner scan
+    to distinct ``(user, week)`` pairs (occurrences never cross the
+    shuffle), a user-keyed min-reduce for the cohort, one adaptive join
+    to attach it, and a partial-count reduce per (cohort, offset) —
+    the pair table is globally distinct BEFORE counting, so per-batch
+    partial counts sum exactly."""
+    from ccnerx_ray.ops import join as joinmod
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = us // 604_800_000_000
+        out = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "wk": wk}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = drop_duplicate_rows(
+        ds.map_batches(to_weeks, batch_format="pyarrow"),
+        ["user_id", "wk"], num_buckets=64)
+    pairs = pairs.materialize()      # two consumers: cohort min + join
+    cohort = grouped_reduce(pairs, ["user_id"], {"wk": "min"},
+                            num_buckets=64,
+                            out_dtypes={"user_id": "int64",
+                                        "wk": "int64"})
+    cohort = cohort.map_batches(
+        lambda b: b.rename_columns(["user_id", "cohort_week"]),
+        batch_format="pyarrow")
+    j = joinmod.adaptive_join(pairs, cohort, on="user_id")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cohort_week": batch.column("cohort_week").to_numpy(
+                zero_copy_only=False),
+            "week_offset": (batch.column("wk").to_numpy(
+                zero_copy_only=False)
+                - batch.column("cohort_week").to_numpy(
+                    zero_copy_only=False)),
+        })
+        out = (df.groupby(["cohort_week", "week_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = j.map_batches(partial_counts, batch_format="pyarrow")
+    return grouped_reduce(parts, ["cohort_week", "week_offset"],
+                          {"n_users": "sum"}, num_buckets=16,
+                          out_dtypes={"cohort_week": "int64",
+                                      "week_offset": "int64",
+                                      "n_users": "int64"})
+
+
+ORACLE_USER_RETENTION = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+  FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, e.wk
+  FROM e JOIN f USING (user_id)
+)
+SELECT cohort_week, CAST(wk - cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_week, wk
+"""
+
+RELATIONAL4_QUERIES["user_retention"] = q_user_retention
+RELATIONAL4_ORACLE["user_retention"] = ORACLE_USER_RETENTION

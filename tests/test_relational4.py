@@ -163,3 +163,59 @@ def test_two_hop_pair_key_collision_and_empty_dtype(ray_session):
     sch = res.schema()
     assert pa.types.is_integer(
         dict(zip(sch.names, sch.types))["entity"])
+
+
+def test_user_retention_hand_worked(ray_session):
+    import ray.data
+    import pandas as pd
+
+    from ccnerx_ray.queries.relational4 import q_user_retention
+
+    WK = 604_800_000_000  # µs per epoch-week
+
+    def ts(week, off_us=1):
+        return pd.Timestamp(week * WK + off_us, unit="us")
+
+    # user 1: weeks 100,101,103 · user 2: weeks 100,101 · user 3: week 101
+    rows = [(1, ts(100)), (1, ts(100, 5)), (1, ts(101)), (1, ts(103)),
+            (2, ts(100)), (2, ts(101)), (3, ts(101))]
+    ds = ray.data.from_items(
+        [{"user_id": u, "ts": t} for u, t in rows]).repartition(3)
+
+    # replicate q_user_retention's stages over this fixture dataset
+    # (the query function itself reads from an sf dir)
+    import pyarrow as pa
+    from ccnerx_ray.functions.grouping import (drop_duplicate_rows,
+                                               grouped_reduce)
+    from ccnerx_ray.ops import join as joinmod
+
+    def to_weeks(batch):
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(
+            zero_copy_only=False), "wk": us // WK}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = drop_duplicate_rows(
+        ds.map_batches(to_weeks, batch_format="pyarrow"),
+        ["user_id", "wk"], num_buckets=8).materialize()
+    cohort = grouped_reduce(pairs, ["user_id"], {"wk": "min"},
+                            num_buckets=8,
+                            out_dtypes={"user_id": "int64",
+                                        "wk": "int64"})
+    cohort = cohort.map_batches(
+        lambda b: b.rename_columns(["user_id", "cohort_week"]),
+        batch_format="pyarrow")
+    j = joinmod.adaptive_join(pairs, cohort, on="user_id").to_pandas()
+    j["week_offset"] = j["wk"] - j["cohort_week"]
+    got = (j.groupby(["cohort_week", "week_offset"]).size()
+           .rename("n_users").reset_index()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "cohort_week": [100, 100, 100, 101],
+        "week_offset": [0, 1, 3, 0],
+        "n_users": [2, 2, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
