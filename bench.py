@@ -120,6 +120,19 @@ EXTRAS = [
     "curation_pass",         # composite keep/drop bitmask — four filter
                              # families in one reduce (r5)
     "doc_lm2_score",         # bigram conditional-surprisal LM (r5)
+    "sq_knn",                # SQ8 scalar-quantized exact-int top-k (r5)
+    "rag_chunk_knn",         # composed RAG loop: chunk → embed →
+                             # quantize → retrieve (r5)
+    "rag_rerank",            # two-stage retrieve-then-rerank: quantized
+                             # top-m, exact-int candidate rescore (r5)
+    "split_drift",           # per-token cross-entropy drift between
+                             # hash-split slices (r5)
+    "semantic_dedup",        # SemDeDup: kmeans-clustered within-cluster
+                             # cosine keeper (r5)
+    "cms_tokens",            # Count-Min frequency registers (r5)
+    "pmi_pairs",             # PMI collocation mining (r5)
+    "user_retention",        # cohort retention matrix (r5)
+    "hll_users_by_type",     # per-group HLL register sketches (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
