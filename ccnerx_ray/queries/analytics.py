@@ -2472,6 +2472,41 @@ ANALYTICS_QUERIES["pmi_pairs"] = q_pmi_pairs
 ANALYTICS_ORACLE["pmi_pairs"] = ORACLE_PMI_PAIRS
 
 
+# ------------------------------------------------- embedding covariance
+def q_embedding_cov(sf_dir: str):
+    """Exact integer second-moment table over the embeddings table
+    (``ops/covariance.py``): upper-triangle Σxᵢxⱼ + per-dim sums + count
+    in one scan of d(d+1)/2-row partials — the Gram/covariance primitive
+    behind PCA and whitening, value-hash exact (ints only)."""
+    from ccnerx_ray.ops.covariance import embedding_moment_sums
+
+    return embedding_moment_sums(_emb(sf_dir)
+                                 .select_columns(["embedding"]))
+
+
+ORACLE_EMBEDDING_COV = """
+WITH pts AS (
+  SELECT vec_id,
+         unnest([{'d': i,
+                  'x': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)}
+                 for i in range(1, 65)], recursive := true)
+  FROM embeddings
+)
+SELECT CAST(a.d AS BIGINT) AS dim_i, CAST(b.d AS BIGINT) AS dim_j,
+       CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS BIGINT) AS s
+FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY a.d, b.d
+UNION ALL
+SELECT CAST(d AS BIGINT), 0, CAST(sum(x) AS BIGINT) FROM pts GROUP BY d
+UNION ALL
+SELECT 0, 0, CAST(count(*) AS BIGINT) FROM embeddings
+"""
+
+ANALYTICS_QUERIES["embedding_cov"] = q_embedding_cov
+ANALYTICS_ORACLE["embedding_cov"] = ORACLE_EMBEDDING_COV
+
+
 _RAG_QUERIES = ["window agg stream", "hash join key",
                 "sort merge order", "vector scan filter"]
 
