@@ -30,6 +30,80 @@ from ccnerx_ray.functions.tokenize import ws_tokens
 from ccnerx_ray.ops import join as joinmod
 
 
+def assoc_top_pairs(pairs, marginals, *, top_n: int = 25,
+                    min_count: int = 2,
+                    pair_cols: tuple = ("ea", "eb"),
+                    count_col: str = "c_xy",
+                    marg_key: str = "eid", marg_count: str = "c"):
+    """Generalized PMI ranking over an ARBITRARY pair-count table: given
+    ``pairs(ea, eb, c_xy)`` and a marginal table ``marginals(eid, c)``,
+    rank pairs by ``c_xy / (c_x · c_y)`` (the constant-total-cancelled
+    PMI ratio — same exactness ledger as :func:`pmi_top_pairs`: emitted
+    columns are the INT counts, ordering is ONE IEEE double division of
+    <2⁵³ operands, ties broken by the pair key). This is the KG edge
+    **confidence weighting** step: over document-level entity
+    co-occurrence counts it scores which ``co_occurs_with`` edges are
+    association-driven rather than popularity-driven (reference analogue:
+    the co-occurrence triples its pipeline emits unweighted —
+    `ftloader_v1.py` materializes pairs with no strength signal).
+
+    Scale shape: two :func:`ccnerx_ray.ops.join.adaptive_join` marginal
+    joins (broadcast under the byte bound, hash-partitioned beyond) and
+    per-block lossless top-n partials merged in one single-block cut —
+    the pair table is never globally sorted. Output columns:
+    ``(ea, eb, c_xy, c_x, c_y)`` ordered by ratio desc then pair key."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ca, cb = pair_cols
+    # the marginal table feeds BOTH joins — materialize once (it is
+    # vocab-scale: one row per entity/token)
+    marginals = marginals.materialize()
+
+    def marg_as(key_name: str, val_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([marg_key, marg_count]).rename_columns(
+                [key_name, val_name])
+        return fn
+
+    j = joinmod.adaptive_join(
+        pairs, marginals.map_batches(marg_as(ca, "c_x"),
+                                     batch_format="pyarrow"), on=ca)
+    j = joinmod.adaptive_join(
+        j, marginals.map_batches(marg_as(cb, "c_y"),
+                                 batch_format="pyarrow"), on=cb)
+
+    empty = {ca: pd.Series(dtype="object"), cb: pd.Series(dtype="object"),
+             count_col: pd.Series(dtype="int64"),
+             "c_x": pd.Series(dtype="int64"),
+             "c_y": pd.Series(dtype="int64")}
+
+    def score_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[count_col] >= min_count]
+        if not len(df):
+            return pd.DataFrame(empty)
+        cx = df["c_x"].to_numpy(np.int64)
+        cy = df["c_y"].to_numpy(np.int64)
+        den = cx * cy
+        assert den.max(initial=0) < (1 << 53), \
+            "marginal product exceeds exact-double range — swap the " \
+            "ranking ratio to log-space (documented in the module header)"
+        ratio = df[count_col].to_numpy(np.int64).astype(np.float64) / den
+        out = df.assign(_r=ratio)
+        # per-block lossless top-n partial (scoring is per-row, so the
+        # global top-n is a subset of the union of block top-ns)
+        out = out.sort_values(["_r", ca, cb],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(top_n)
+        return out[[ca, cb, count_col, "c_x", "c_y"]].astype(
+            {count_col: "int64", "c_x": "int64", "c_y": "int64"})
+
+    partials = j.map_batches(score_topn, batch_format="pandas")
+    # final cut: blocks-scale rows (n_blocks × top_n) in ONE block
+    return partials.repartition(1).map_batches(
+        lambda df: score_topn(df).reset_index(drop=True),
+        batch_format="pandas")
+
+
 def token_pair_counts(docs, *, text_col: str = "text",
                       num_buckets: int | None = None):
     """One scan → reduced ``(kind, x, y, c)``: kind 0 = unigram counts

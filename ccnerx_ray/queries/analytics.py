@@ -3117,3 +3117,154 @@ def _pagerank_oracle() -> str:
 
 ANALYTICS_QUERIES["graph_pagerank"] = q_graph_pagerank
 ANALYTICS_ORACLE["graph_pagerank"] = _pagerank_oracle()
+
+
+def _co_pair_counts(triples, num_buckets: int):
+    """Distinct-doc co-occurrence counts per entity pair from the
+    flagship triple stream → ``(ea, eb, c_xy)``. One ``co_occurs_with``
+    row exists per (document, pair) — the per-doc cap applied at triple
+    materialization (``cooccur_cap``) is part of the contract — so the
+    keyed sum counts documents."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    def co(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("pred"), "co_occurs_with"))
+        return pa.table({"ea": b.column("subj"), "eb": b.column("obj"),
+                         "c_xy": pa.array(np.ones(len(b), np.int64))})
+
+    return grouped_reduce(
+        triples.map_batches(co, batch_format="pyarrow"),
+        ["ea", "eb"], {"c_xy": "sum"}, num_buckets=num_buckets,
+        pre_combine=True,
+        out_dtypes={"ea": "string", "eb": "string", "c_xy": "int64"})
+
+
+def q_kg_rel_pmi(sf_dir: str):
+    """KG edge CONFIDENCE weighting — the step between "these entities
+    co-occur" and "this is a relation worth keeping": rank the
+    ``co_occurs_with`` edges by document-level PMI (distinct-doc pair
+    count over the product of the entities' distinct-doc frequencies),
+    so association-driven pairs beat popularity-driven ones. The
+    reference materializes co-occurrence pairs unweighted; a production
+    KG prunes on exactly this signal. Counts are exact ints (the
+    ``pmi_pairs`` hashing ledger: ONE IEEE double division only for
+    ordering); machinery is ``ops/pmi.py:assoc_top_pairs``."""
+    from ccnerx_ray.functions.grouping import (drop_duplicate_rows,
+                                               grouped_reduce)
+    from ccnerx_ray.ops import join as joinmod
+    from ccnerx_ray.ops.pmi import assoc_top_pairs
+
+    nb = joinmod.derive_hash_partitions(None)
+    # the triple stream feeds two consumers (pair scan + marginal scan)
+    # — materialize ONCE (the doc_packs recipe)
+    triples = q_kg_triples(sf_dir).materialize()
+    pairs = _co_pair_counts(triples, nb)
+
+    def ment(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("pred"), "mentioned_in"))
+        return pa.table({"eid": b.column("subj"), "doc": b.column("obj")})
+
+    # (eid, doc) made GLOBALLY distinct → per-batch partial counts sum
+    # exactly (the user_retention recipe)
+    dm = drop_duplicate_rows(
+        triples.map_batches(ment, batch_format="pyarrow"),
+        ["eid", "doc"], num_buckets=nb)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"eid": batch.column("eid"),
+                         "c": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    marg = grouped_reduce(dm.map_batches(ones, batch_format="pyarrow"),
+                          ["eid"], {"c": "sum"}, num_buckets=nb,
+                          pre_combine=True,
+                          out_dtypes={"eid": "string", "c": "int64"})
+    return assoc_top_pairs(pairs, marg, top_n=30, min_count=2)
+
+
+ORACLE_KG_REL_PMI = f"""
+WITH t AS ({ORACLE_KG_TRIPLES}),
+pc_ AS (SELECT subj AS ea, obj AS eb, count(*) AS c_xy FROM t
+        WHERE pred = 'co_occurs_with' GROUP BY 1, 2),
+dm AS (SELECT DISTINCT subj AS eid, obj AS doc FROM t
+       WHERE pred = 'mentioned_in'),
+mg AS (SELECT eid, CAST(count(*) AS BIGINT) AS c FROM dm GROUP BY 1)
+SELECT ea, eb, CAST(c_xy AS BIGINT) AS c_xy,
+       a.c AS c_x, b.c AS c_y
+FROM pc_ JOIN mg a ON pc_.ea = a.eid JOIN mg b ON pc_.eb = b.eid
+WHERE c_xy >= 2
+ORDER BY CAST(c_xy AS DOUBLE) / (a.c * b.c) DESC, ea, eb
+LIMIT 30
+"""
+
+ANALYTICS_QUERIES["kg_rel_pmi"] = q_kg_rel_pmi
+ANALYTICS_ORACLE["kg_rel_pmi"] = ORACLE_KG_REL_PMI
+
+
+def q_kg_negatives(sf_dir: str):
+    """Filtered negative sampling over the materialized co-occurrence
+    edges — the KG-embedding training-data prep (TransE-family): two
+    deterministic corrupted tails per distinct edge, indexed into the
+    sorted entity vocabulary by 60-bit sha256 arithmetic, with
+    corruptions that hit a true edge (either orientation) or the
+    subject itself dropped. Machinery:
+    ``ops/negatives.py:negative_edge_samples`` (pure-map generation +
+    one hash-partitioned anti-join on the collision-free pair key)."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops import join as joinmod
+    from ccnerx_ray.ops.negatives import (collect_vocab,
+                                          negative_edge_samples)
+
+    nb = joinmod.derive_hash_partitions(None)
+    triples = q_kg_triples(sf_dir).materialize()
+
+    def co(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("pred"), "co_occurs_with"))
+        return pa.table({"ea": b.column("subj"), "eb": b.column("obj")})
+
+    edges = drop_duplicate_rows(
+        triples.map_batches(co, batch_format="pyarrow"), ["ea", "eb"],
+        num_buckets=nb)
+
+    def ment_ids(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("pred"), "mentioned_in"))
+        return pa.table({"eid": b.column("subj")})
+
+    vocab_ds = drop_duplicate_rows(
+        triples.map_batches(ment_ids, batch_format="pyarrow"), ["eid"],
+        num_buckets=nb)
+    vocab = collect_vocab(vocab_ds)
+    return negative_edge_samples(edges, vocab, k=2, salt="neg")
+
+
+ORACLE_KG_NEGATIVES = f"""
+WITH t AS ({ORACLE_KG_TRIPLES}),
+e AS (SELECT DISTINCT subj AS ea, obj AS eb FROM t
+      WHERE pred = 'co_occurs_with'),
+vs AS (SELECT DISTINCT subj AS eid FROM t WHERE pred = 'mentioned_in'),
+nv AS (SELECT count(*) AS n FROM vs),
+v AS (SELECT eid, row_number() OVER (ORDER BY eid) - 1 AS idx FROM vs),
+gen AS (
+  SELECT ea, eb, i,
+         CAST(('0x' || substr(sha256(
+               'neg:' || CAST(length(ea) AS VARCHAR) || ':' || ea || ':'
+               || CAST(length(eb) AS VARCHAR) || ':' || eb || ':'
+               || CAST(i AS VARCHAR)), 1, 15))::UBIGINT
+              % CAST(nv.n AS UBIGINT) AS BIGINT) AS idx
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) s, nv
+),
+neg AS (SELECT g.ea AS subj, g.eb AS obj, v.eid AS neg_obj,
+               CAST(g.i AS BIGINT) AS sample_i
+        FROM gen g JOIN v USING (idx)),
+sym AS (SELECT ea, eb FROM e UNION ALL SELECT eb AS ea, ea AS eb FROM e)
+SELECT subj, obj, neg_obj, sample_i FROM neg
+WHERE neg_obj <> subj
+  AND NOT EXISTS (SELECT 1 FROM sym
+                  WHERE sym.ea = neg.subj AND sym.eb = neg.neg_obj)
+"""
+
+ANALYTICS_QUERIES["kg_negatives"] = q_kg_negatives
+ANALYTICS_ORACLE["kg_negatives"] = ORACLE_KG_NEGATIVES
