@@ -3268,3 +3268,44 @@ WHERE neg_obj <> subj
 
 ANALYTICS_QUERIES["kg_negatives"] = q_kg_negatives
 ANALYTICS_ORACLE["kg_negatives"] = ORACLE_KG_NEGATIVES
+
+
+def q_embedding_rp(sf_dir: str):
+    """Signed random projection (JL / Achlioptas ±1) of the embeddings
+    table to 16 integer components (``ops/projection.py:rp_project``) —
+    the dimensionality-reduction pure map that runs before ANN /
+    clustering at corpus scale. Exact int64 arithmetic end to end (the
+    kmeans micro contract + a sha256-derived sign matrix), so the
+    long-form projected table value-hashes."""
+    from ccnerx_ray.ops.projection import rp_project
+
+    return rp_project(_emb(sf_dir).select_columns(["vec_id", "embedding"]),
+                      d_out=16, d_in=64)
+
+
+ORACLE_EMBEDDING_RP = """
+WITH pts AS (
+  SELECT vec_id,
+         unnest([{'d': i,
+                  'x': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)}
+                 for i in range(1, 65)], recursive := true)
+  FROM embeddings
+),
+sm AS (
+  SELECT a.i, b.j,
+         CASE WHEN ('0x' || substr(sha256(
+                    'rp:' || CAST(a.i AS VARCHAR) || ':'
+                    || CAST(b.j AS VARCHAR)), 1, 15))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(1, 64)) AS i) a
+  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) b
+)
+SELECT p.vec_id, CAST(sm.j AS BIGINT) AS dim,
+       CAST(sum(p.x * sm.s) AS BIGINT) AS y
+FROM pts p JOIN sm ON p.d = sm.i
+GROUP BY p.vec_id, sm.j
+"""
+
+ANALYTICS_QUERIES["embedding_rp"] = q_embedding_rp
+ANALYTICS_ORACLE["embedding_rp"] = ORACLE_EMBEDDING_RP
