@@ -89,3 +89,124 @@ def rp_project(ds, *, d_out: int = 16, d_in: int | None = None,
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def rp_knn(ds, queries: np.ndarray, query_ids: list[int] | None = None,
+           *, k: int = 10, m: int = 50, d_out: int = 16,
+           salt: str = "rp", vec_col: str = "embedding",
+           id_col: str = "vec_id"):
+    """Two-stage ANN with random projection as the cheap stage — the
+    JL counterpart of ``ops/rag.py:rag_rerank``'s quantized stage 1:
+    candidate generation ranks the corpus by the EXACT-integer dot of
+    d_out-dim projected vectors (16 ints shipped per row instead of 64
+    floats), cutting to ``m`` candidates per query; stage 2 re-ranks
+    ONLY those candidates by true cosine (the ``knn_bruteforce``
+    normalized-dot contract) to the final ``k`` →
+    ``(query_id, vec_id, rank)``.
+
+    Scale shape: two corpus scans (projected scoring with per-block
+    lossless top-m partials merged per query, then one vectorized pass
+    that extracts candidate embeddings); everything past stage 1 is
+    ≤ |queries|·m rows BY CONSTRUCTION, so the driver-side rerank is
+    bounded the way ``rag_rerank``'s is. Exactness: stage-1 dots are
+    native int64 matmuls (|pdot| ≤ d_out·(d_in·maxmicro)² — checked
+    per batch, raises past 2⁶²; ~3·10¹⁷ for 64-dim unit-scale
+    embeddings); candidate recall vs exact top-k is the two-stage
+    trade-off, identical in both engines, so the result value-hashes."""
+    import pandas as pd
+    import ray
+
+    from ccnerx_ray.ops.similarity import _matrix, _normalize
+
+    if m < k:
+        raise ValueError(f"m={m} candidates < k={k} results")
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("queries must be a 2-D matrix")
+    qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
+    d_in = Q.shape[1]
+    S = rp_sign_matrix(d_in, d_out, salt)
+    Qp = _micro(Q) @ S                                  # (nq, d_out)
+    q_ref = ray.put((Qp, qids))
+
+    def local_topm(batch: pa.Table) -> pa.Table:
+        Qpm, qids_ = ray.get(q_ref)
+        ids = batch.column(id_col).combine_chunks().to_numpy().astype(
+            np.int64)
+        V = _matrix(batch, vec_col)
+        if V.shape[1] != d_in:
+            raise ValueError(
+                f"embedding width {V.shape[1]} != query width {d_in}")
+        Yp = _micro(V) @ S                              # (B, d_out)
+        lim = (max(1, int(np.abs(Yp).max(initial=0)))
+               * max(1, int(np.abs(Qpm).max(initial=0))) * d_out)
+        if lim >= (1 << 62):
+            raise OverflowError(
+                "projected dot may exceed int64 — re-scale inputs or "
+                "reduce d_out (module-header ledger)")
+        sims = Qpm @ Yp.T                               # exact int64
+        oq, ov, od = [], [], []
+        mm = min(m, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.lexsort((ids, -row))[:mm]          # desc, id asc
+            oq.extend([qids_[qi]] * len(idx))
+            ov.extend(ids[idx].tolist())
+            od.extend(row[idx].tolist())
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "vec_id": pa.array(ov, pa.int64()),
+                         "pdot": pa.array(od, pa.int64())})
+
+    def merge_topm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pdot", "vec_id"],
+                          ascending=[False, True]).head(m)
+        return g[["query_id", "vec_id"]]
+
+    cand = (ds.map_batches(local_topm, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge_topm,
+                                            batch_format="pandas"))
+    cand_rows = cand.take_all()        # ≤ nq·m rows BY CONSTRUCTION
+    cand_by_q = {qid: np.sort(np.array(
+        [r["vec_id"] for r in cand_rows if r["query_id"] == qid],
+        dtype=np.int64)) for qid in qids}
+    all_cand = np.unique(np.array(
+        [r["vec_id"] for r in cand_rows], dtype=np.int64))
+    cand_ref = ray.put(all_cand)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        ids = batch.column(id_col).combine_chunks().to_numpy().astype(
+            np.int64)
+        hit = np.isin(ids, want)
+        if not hit.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array(
+                                 [], pa.list_(pa.float64()))})
+        sub = batch.take(pa.array(np.nonzero(hit)[0]))
+        V = _matrix(sub, vec_col)
+        return pa.table({
+            id_col: pa.array(ids[hit], pa.int64()),
+            vec_col: pa.array([list(map(float, r)) for r in V],
+                              pa.list_(pa.float64()))})
+
+    emb_rows = ds.map_batches(extract,
+                              batch_format="pyarrow").take_all()
+    # ≤ |union of candidates| rows — the bounded stage boundary
+    cid = np.array([r[id_col] for r in emb_rows], dtype=np.int64)
+    CV = (np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                    for r in emb_rows])
+          if emb_rows else np.zeros((0, d_in)))
+    CVn = _normalize(CV) if len(CV) else CV
+    Qn = _normalize(Q)
+    out_q, out_v, out_r = [], [], []
+    for qi, qid in enumerate(qids):
+        mine = np.isin(cid, cand_by_q[qid])
+        ids_q = cid[mine]
+        sims = Qn[qi] @ CVn[mine].T if mine.any() else np.array([])
+        idx = np.lexsort((ids_q, -sims))[:k]            # desc, id asc
+        out_q.extend([qid] * len(idx))
+        out_v.extend(ids_q[idx].tolist())
+        out_r.extend(range(1, len(idx) + 1))
+    return pd.DataFrame({"query_id": np.array(out_q, np.int64),
+                         "vec_id": np.array(out_v, np.int64),
+                         "rank": np.array(out_r, np.int64)})

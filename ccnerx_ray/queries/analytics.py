@@ -3309,3 +3309,66 @@ GROUP BY p.vec_id, sm.j
 
 ANALYTICS_QUERIES["embedding_rp"] = q_embedding_rp
 ANALYTICS_ORACLE["embedding_rp"] = ORACLE_EMBEDDING_RP
+
+
+def q_rp_knn(sf_dir: str):
+    """Two-stage ANN with the random projection as stage 1
+    (``ops/projection.py:rp_knn``): exact-integer projected-dot cuts to
+    25 candidates per query, true cosine re-ranks to the final 10 — the
+    JL sibling of ``rag_rerank``'s quantized two-stage shape. The
+    oracle re-runs projection, candidate cut and rerank wholly in SQL."""
+    from ccnerx_ray.ops.projection import rp_knn
+
+    Q, qids = _query_matrix(sf_dir)
+    return rp_knn(_emb(sf_dir).select_columns(["vec_id", "embedding"]),
+                  Q, query_ids=qids, k=10, m=25)
+
+
+ORACLE_RP_KNN = """
+WITH pts AS (
+  SELECT vec_id,
+         unnest([{'d': i,
+                  'x': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)}
+                 for i in range(1, 65)], recursive := true)
+  FROM embeddings
+),
+sm AS (
+  SELECT a.i, b.j,
+         CASE WHEN ('0x' || substr(sha256(
+                    'rp:' || CAST(a.i AS VARCHAR) || ':'
+                    || CAST(b.j AS VARCHAR)), 1, 15))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(1, 64)) AS i) a
+  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) b
+),
+proj AS (
+  SELECT p.vec_id, sm.j, CAST(sum(p.x * sm.s) AS BIGINT) AS y
+  FROM pts p JOIN sm ON p.d = sm.i GROUP BY 1, 2
+),
+qp AS (SELECT vec_id AS qid, j, y FROM proj WHERE vec_id < 4),
+s1 AS (
+  SELECT q.qid, c.vec_id AS cid,
+         sum(CAST(q.y AS HUGEINT) * c.y) AS pdot
+  FROM qp q JOIN proj c ON q.j = c.j GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY pdot DESC, cid) AS rn FROM s1)
+  WHERE rn <= 25
+),
+rer AS (
+  SELECT cand.qid AS query_id, cand.cid AS vec_id,
+         row_number() OVER (PARTITION BY cand.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
+                      DESC, cand.cid) AS rank
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.cid
+)
+SELECT query_id, vec_id, rank FROM rer WHERE rank <= 10
+"""
+
+ANALYTICS_QUERIES["rp_knn"] = q_rp_knn
+ANALYTICS_ORACLE["rp_knn"] = ORACLE_RP_KNN
