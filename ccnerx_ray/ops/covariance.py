@@ -82,3 +82,69 @@ def covariance_from_moments(moments_df) -> np.ndarray:
             c = rows[(i, j)] / n - mu[i - 1] * mu[j - 1]
             C[i - 1, j - 1] = C[j - 1, i - 1] = c
     return C
+
+
+def pca_components(ds, n_components: int = 4,
+                   vec_col: str = "embedding", num_buckets: int = 8):
+    """PCA from the distributed moment table: ONE corpus scan
+    (:func:`embedding_moment_sums` — integer partials, keyed-sum
+    reduce), then a driver-side eigendecomposition of the tiny d×d
+    covariance. Returns ``(components, mean_micro, explained_var)``:
+    ``components`` is d×p (orthonormal, eigenvalue-descending, sign
+    fixed so each component's largest-|entry| coordinate is positive —
+    eigenvectors are sign-ambiguous, the convention makes runs
+    reproducible), ``mean_micro`` the per-dim mean in micro units,
+    ``explained_var`` the top-p eigenvalues (micro² units). The corpus
+    is never materialized; everything past the moment reduce is d×d."""
+    moments = embedding_moment_sums(ds, vec_col=vec_col,
+                                    num_buckets=num_buckets).to_pandas()
+    C = covariance_from_moments(moments)
+    d = C.shape[0]
+    if not 1 <= n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}], "
+                         f"got {n_components}")
+    rows = {(int(a), int(b)): int(c) for a, b, c in
+            zip(moments["dim_i"], moments["dim_j"], moments["s"])}
+    n = rows[(0, 0)]
+    mean = np.array([rows[(i, 0)] / n for i in range(1, d + 1)])
+    w, U = np.linalg.eigh(C)                 # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = U[:, order].copy()
+    for c in range(comps.shape[1]):
+        jmax = int(np.argmax(np.abs(comps[:, c])))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return comps, mean, w[order]
+
+
+def pca_project(ds, components: np.ndarray, mean_micro: np.ndarray, *,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Project the embedding column onto fitted PCA components → long
+    form ``(vec_id, comp, z)`` (1-based comp, float64 scores in micro
+    units). A PURE MAP — the d×p component matrix rides the closure;
+    no shuffle, no state, no driver corpus materialization. Fit with
+    :func:`pca_components` (one scan), project with this (one scan):
+    the classic two-pass PCA at corpus scale."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean_micro, dtype=np.float64)
+    d, p = comps.shape
+
+    def project(batch: pa.Table) -> pa.Table:
+        V = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in batch.column(vec_col).to_pylist()])
+        if batch.num_rows == 0:
+            V = V.reshape(0, d)
+        if V.ndim != 2 or V.shape[1] != d:
+            raise ValueError(
+                f"embedding width {V.shape[1:]} != fitted d {d}")
+        Z = (_micro(V).astype(np.float64) - mu) @ comps
+        ids = batch.column(id_col).combine_chunks()
+        n = len(V)
+        return pa.table({
+            id_col: pa.array(np.repeat(
+                ids.to_numpy(zero_copy_only=False), p)),
+            "comp": pa.array(np.tile(np.arange(1, p + 1), n), pa.int64()),
+            "z": pa.array(Z.reshape(-1), pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

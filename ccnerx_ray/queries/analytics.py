@@ -3372,3 +3372,24 @@ SELECT query_id, vec_id, rank FROM rer WHERE rank <= 10
 
 ANALYTICS_QUERIES["rp_knn"] = q_rp_knn
 ANALYTICS_ORACLE["rp_knn"] = ORACLE_RP_KNN
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Two-pass corpus PCA (``ops/covariance.py``): fit from the
+    exact-integer moment table (the ``embedding_cov`` scan + a tiny
+    driver eigendecomposition), then project every embedding onto the
+    top-4 components in a pure map. ROWS-ONLY: eigendecomposition has
+    no SQL mirror — the fit arithmetic is covered through the
+    hash-exact ``embedding_cov`` oracle (same scan, same moments) and
+    the pytest suite pins component recovery against ``np.cov``/
+    ``np.linalg.eigh`` and projection equality."""
+    from ccnerx_ray.ops.covariance import pca_components, pca_project
+
+    emb = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+    comps, mean, _ = pca_components(emb, n_components=4)
+    return pca_project(emb, comps, mean)
+
+
+ANALYTICS_QUERIES["pca_embeddings"] = q_pca_embeddings
+# no ORACLE entry: rows-only by construction (driver records the weaker
+# check; fit arithmetic is oracle-exact via embedding_cov)

@@ -64,3 +64,43 @@ def test_covariance_recovers_planted_correlation(ray_session):
     # numpy's own covariance agrees to micro precision
     ref = np.cov(vecs.T, bias=True)
     assert np.allclose(C, ref, atol=1e-4)
+
+
+# ------------------------------------------------------------------- PCA
+def test_pca_matches_numpy_reference(ray_session):
+    import ray.data
+
+    from ccnerx_ray.ops.cluster import _micro
+    from ccnerx_ray.ops.covariance import pca_components, pca_project
+
+    rng = np.random.default_rng(17)
+    # planted dominant direction: component 1 must recover it
+    u = rng.normal(size=6)
+    u /= np.linalg.norm(u)
+    X = rng.normal(size=(80, 6)) * 0.1 + np.outer(
+        rng.normal(size=80) * 3.0, u)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(map(float, X[i]))}
+         for i in range(len(X))]).repartition(5)
+    comps, mean, var = pca_components(ds, n_components=3)
+    M = _micro(X).astype(np.float64)
+    C = np.cov(M, rowvar=False, bias=True)
+    w, U = np.linalg.eigh(C)
+    # eigenvalues match numpy's on the same micro data (descending)
+    np.testing.assert_allclose(var, w[::-1][:3], rtol=1e-9)
+    # top component recovers the planted direction (sign-free)
+    assert abs(comps[:, 0] @ u) > 0.99
+    # orthonormal
+    np.testing.assert_allclose(comps.T @ comps, np.eye(3), atol=1e-12)
+    # deterministic sign convention: largest-|entry| coordinate positive
+    for c in range(3):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        assert comps[j, c] > 0
+    # projection equals the direct computation, any partitioning
+    got = (pca_project(ds, comps, mean).to_pandas()
+           .sort_values(["vec_id", "comp"]).reset_index(drop=True))
+    Z = (M - mean) @ comps
+    np.testing.assert_array_equal(
+        got["z"].to_numpy().reshape(len(X), 3), Z)
+    with pytest.raises(ValueError, match="n_components"):
+        pca_components(ds, n_components=7)
