@@ -1,0 +1,365 @@
+"""Graph traversal primitives over an undirected edge Dataset: seeded
+deterministic random walks (the DeepWalk/node2vec training-corpus
+generator — the skip-gram-over-walks prep that pairs with
+``ops/negatives.py``'s TransE-style negative sampling to complete the
+KG-embedding data story), multi-source BFS hop distances (the
+"neighborhood radius" query a KG store serves), and common-neighbor
+link prediction (the classic KG-completion candidate scorer).
+
+Every op is built from the proven distributed pieces — ``adaptive_join``
+(broadcast under the byte bound, hash-partitioned beyond),
+``coarse_grouped`` / ``grouped_reduce`` keyed shuffles, per-block
+lossless top-n partials — and every choice is derandomized through the
+repo's sha256-prefix arithmetic so the SQL oracle can replicate it
+EXACTLY (the ``hash_split`` / ``kg_negatives`` contract: the hex prefix
+of ``sha256(salt:…)`` compares identically as a string in Python and
+DuckDB).
+
+Scale notes (100 TB framing):
+* walk state is ``|V| × (walk_id, node)`` — node-scale, never
+  corpus-scale; each step is ONE join against the symmetrized edge
+  table (probe side, streaming) with the frontier as the build side
+  (broadcast under the byte bound, hash join beyond) plus one keyed
+  argmin shuffle whose volume is Σ deg(frontier) rows of small ids.
+* BFS frontiers shrink monotonically (visited anti-join); rounds are
+  capped by ``max_depth``, and the per-round ``count()`` is a scalar on
+  an already-materialized node-scale Dataset, not a corpus collect.
+* common-neighbor wedge volume is Σ deg(m)² — the same explicit-skew
+  surface as ``two_hop_counts``; the ``max_degree`` hub cap (counted
+  into the run metrics, never silent) bounds it on hub-heavy graphs.
+
+Reference anchor: the reference repo has no graph ops at all (a PyTorch
+NER codebase); these exist because the north star is a KG store and
+walks/distances/link-prediction are the downstream workloads such a
+store feeds (DeepWalk: Perozzi et al. 2014; common-neighbors:
+Liben-Nowell & Kleinberg 2007 baseline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ccnerx_ray.ops.graph import encode_pair_key, symmetrize
+
+
+def _node_dtype(ds, col: str) -> str:
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types)).get(col)
+    if isinstance(t, pa.DataType):
+        return "int64" if pa.types.is_integer(t) else "string"
+    try:
+        return ("int64" if t is not None
+                and np.issubdtype(t, np.integer) else "string")
+    except TypeError:
+        return "string"
+
+
+def _typed_empty_ds(cols: dict[str, str]):
+    import ray.data
+    arrow = {n: pa.array([], pa.int64() if d == "int64" else pa.string())
+             for n, d in cols.items()}
+    return ray.data.from_arrow(pa.table(arrow))
+
+
+def _dedup_sym(edges, src_col: str, dst_col: str, num_buckets: int):
+    """Shared prologue: dedup the edge list, detect emptiness/dtype,
+    return ``(deduped_edges, sym, node_dtype, edge_bytes)`` with the
+    deduped edges materialized (they are reused as anti-join sides and
+    as the symmetrize input)."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+
+    dt = _node_dtype(edges, src_col)
+    ded = drop_duplicate_rows(edges, [src_col, dst_col],
+                              num_buckets=num_buckets).materialize()
+    if ded.schema() is None:        # empty graph
+        return ded, None, dt, 0
+    ebytes = ded.size_bytes() or 0
+    return ded, symmetrize(ded, src_col, dst_col), dt, ebytes
+
+
+def _hex15_plus(salt: str, wids, steps: int, nbrs) -> list[str]:
+    """Per-row deterministic choice key: ``sha256hex(f"{salt}:{wid}:
+    {step}:{nbr}")[:15] + str(nbr)`` — the 60-bit hex prefix compares
+    identically as a string in Python and DuckDB (same fixed length,
+    same alphabet), and the node suffix makes the min an argmin.
+    One C-speed hashlib call per candidate row remains (the hash_split
+    compromise, accepted in ADVICE r4: inputs are unique per row, so
+    no cache applies and the sha256 itself must match the SQL oracle)."""
+    t = str(steps)
+    return [
+        hashlib.sha256(
+            f"{salt}:{w}:{t}:{n}".encode("utf-8")).hexdigest()[:15]
+        + str(n)
+        for w, n in zip(wids, nbrs)
+    ]
+
+
+def random_walks(edges, *, length: int = 4, salt: str = "walk",
+                 src_col: str = "u", dst_col: str = "v",
+                 num_buckets: int = 64):
+    """One deterministic walk of ``length`` steps from EVERY node of the
+    undirected graph (the standard DeepWalk corpus: walks-per-node × 1,
+    extendable by varying ``salt``). Step ``t`` moves from ``cur`` to
+    the neighbor ``n`` minimizing ``sha256(f"{salt}:{walk_id}:{t}:{n}")
+    [:15] + str(n)`` — uniform-ish over neighbors, independent across
+    steps/walks, and EXACTLY reproducible in SQL (recursive CTE +
+    ``arg_min`` over the same concat; see the ``kg_walks`` oracle).
+
+    Returns ``(walk_id, step, node)`` rows, ``step ∈ [0, length]``,
+    ``walk_id`` = the start node. Symmetrized-graph guarantee: every
+    node that appears in an edge has ≥1 neighbor, so walks never
+    dead-end; isolated nodes don't appear (they have no edge row).
+
+    Distributed shape per step: ``sym ⋈ frontier`` (edge table is the
+    streaming probe side; the node-scale frontier is the build side —
+    broadcast under ``adaptive_join``'s byte bound, hash join beyond),
+    then ONE keyed argmin shuffle over Σ deg(frontier) candidate rows.
+    The frontier is materialized per step (node-scale by construction —
+    |V| rows of two ids; never corpus-scale)."""
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               drop_duplicate_rows)
+    from ccnerx_ray.ops.join import adaptive_join
+
+    out_d = {"walk_id": None, "step": "int64", "node": None}
+    ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
+                                           num_buckets)
+    out_d["walk_id"] = out_d["node"] = node_dt
+    if sym is None:
+        return _typed_empty_ds(out_d)
+    sym = sym.materialize()          # reused `length` times
+
+    def starts(batch: pa.Table) -> pa.Table:
+        return pa.table({"walk_id": batch.column(src_col),
+                         "node": batch.column(src_col)})
+
+    frontier = drop_duplicate_rows(
+        sym.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id", "node"], num_buckets=num_buckets).materialize()
+
+    def emit(step: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "walk_id": batch.column("walk_id"),
+                "step": pa.array(np.full(n, step, dtype=np.int64)),
+                "node": batch.column("node")})
+        return fn
+
+    steps_out = [frontier.map_batches(emit(0), batch_format="pyarrow")]
+
+    width = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+    for t in range(1, length + 1):
+        cand = adaptive_join(
+            sym.map_batches(
+                lambda b: pa.table({"node": b.column(src_col),
+                                    "nbr": b.column(dst_col)}),
+                batch_format="pyarrow"),
+            frontier, on="node", build_bytes_hint=frontier.size_bytes())
+
+        def pick(g, _t=t):
+            import pandas as pd
+            key = pd.Series(
+                _hex15_plus(salt, g["walk_id"].tolist(), _t,
+                            g["nbr"].tolist()),
+                index=g.index)
+            best = key.groupby(g["walk_id"], sort=False).min()
+            nodes = best.str.slice(15)
+            if node_dt == "int64":
+                nodes = nodes.astype("int64")
+            return pd.DataFrame({"walk_id": best.index.to_numpy(),
+                                 "node": nodes.to_numpy()})
+
+        frontier = coarse_grouped(
+            cand, ["walk_id"], pick, num_buckets=width,
+            out_dtypes={"walk_id": node_dt, "node": node_dt},
+        ).materialize()
+        steps_out.append(
+            frontier.map_batches(emit(t), batch_format="pyarrow"))
+
+    return steps_out[0].union(*steps_out[1:])
+
+
+def bfs_distances(edges, seeds, *, max_depth: int = 3,
+                  src_col: str = "u", dst_col: str = "v",
+                  seed_col: str = "entity", num_buckets: int = 64):
+    """Multi-source BFS hop distance over the undirected graph: every
+    node reachable from ``seeds`` within ``max_depth`` hops, with its
+    exact minimum distance → ``(entity, dist)``. Seeds not present in
+    the graph still appear at dist 0 (set semantics match the SQL
+    recursive CTE: the anchor rows ARE the seed set).
+
+    Distributed shape: per round, ``sym ⋈ frontier`` (edge table as the
+    streaming probe, node-scale frontier as the build side), neighbor
+    dedup, then ONE anti-join against the visited set — frontiers can
+    only shrink, rounds are capped at ``max_depth``, and the per-round
+    emptiness check is a ``count()`` on an already-materialized
+    node-scale Dataset. ``seeds`` is a Dataset (single ``seed_col``
+    column); duplicates tolerated."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops.join import adaptive_join
+
+    out_d = {"entity": _node_dtype(seeds, seed_col), "dist": "int64"}
+    ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
+                                           num_buckets)
+    out_d["entity"] = node_dt       # graph dtype wins when edges exist
+
+    def as_entity(batch: pa.Table) -> pa.Table:
+        return pa.table({"entity": batch.column(seed_col)})
+
+    frontier = drop_duplicate_rows(
+        seeds.map_batches(as_entity, batch_format="pyarrow"),
+        ["entity"], num_buckets=num_buckets).materialize()
+
+    def with_dist(d: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "entity": batch.column("entity"),
+                "dist": pa.array(np.full(n, d, dtype=np.int64))})
+        return fn
+
+    rounds = [frontier.map_batches(with_dist(0), batch_format="pyarrow")]
+    if sym is None or frontier.schema() is None:
+        return (rounds[0] if frontier.schema() is not None
+                else _typed_empty_ds(out_d))
+    sym = sym.materialize()
+    visited = frontier
+
+    for t in range(1, max_depth + 1):
+        nbrs = adaptive_join(
+            sym.map_batches(
+                lambda b: pa.table({"entity": b.column(src_col),
+                                    "nbr": b.column(dst_col)}),
+                batch_format="pyarrow"),
+            frontier, on="entity",
+            build_bytes_hint=frontier.size_bytes())
+        nxt = drop_duplicate_rows(
+            nbrs.map_batches(
+                lambda b: pa.table({"entity": b.column("nbr")}),
+                batch_format="pyarrow"),
+            ["entity"], num_buckets=num_buckets)
+        new = adaptive_join(
+            nxt, visited, on="entity", join_type="left_anti",
+            build_bytes_hint=visited.size_bytes()).materialize()
+        if new.count() == 0:
+            break
+        rounds.append(
+            new.map_batches(with_dist(t), batch_format="pyarrow"))
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    out = rounds[0].union(*rounds[1:]) if len(rounds) > 1 else rounds[0]
+    # pin the result schema: an int-keyed graph must emit int64 entities
+    # even when a round produced empty blocks (the out_dtypes contract)
+    import ray.data
+    return out.union(ray.data.from_arrow(pa.table({
+        "entity": pa.array([], pa.int64() if out_d["entity"] == "int64"
+                           else pa.string()),
+        "dist": pa.array([], pa.int64())})))
+
+
+def common_neighbor_pairs(edges, *, top_n: int = 25,
+                          max_degree: int | None = None,
+                          src_col: str = "u", dst_col: str = "v",
+                          num_buckets: int = 64):
+    """Link prediction by common-neighbor count (Liben-Nowell &
+    Kleinberg's strongest simple baseline): the ``top_n`` NON-adjacent
+    node pairs sharing the most neighbors → ``(x, y, cn)``, ``x < y``,
+    ordered by ``(cn DESC, x, y)`` — a total order, so the cut is
+    deterministic. The exact-integer count needs no float anywhere.
+
+    Distributed shape: wedge enumeration grouped by the middle node
+    (``two_hop_counts``' stage) emits one ``(x, y)`` row per middle —
+    rows per pair = distinct middles by construction, so a keyed SUM of
+    ones is the exact common-neighbor count; an anti-join against the
+    direct edges (collision-free length-prefixed pair key) removes
+    adjacent pairs; per-block lossless top-n partials merge in one
+    final blocks-scale cut (the ``assoc_top_pairs`` pattern — scoring
+    is per-row, so the global top-n is a subset of the union of block
+    top-ns). ``max_degree`` bounds hub wedge volume explicitly (counted
+    into ``cn_wedges_truncated``; result becomes a lower bound)."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               grouped_reduce)
+    from ccnerx_ray.ops.join import adaptive_join
+
+    ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
+                                           num_buckets)
+    out_d = {"x": node_dt, "y": node_dt, "cn": "int64"}
+    if sym is None:
+        return _typed_empty_ds(out_d)
+    width = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ccnerx_ray.state import metrics
+        xs, ys = [], []
+        truncated = 0
+        for _, grp in g.groupby(src_col, sort=False):
+            ns = np.unique(grp[dst_col].to_numpy())
+            k = len(ns)
+            if max_degree is not None and k > max_degree:
+                truncated += k - max_degree
+                ns = ns[:max_degree]     # smallest ids — deterministic
+                k = max_degree
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            xs.append(ns[iu[0]])
+            ys.append(ns[iu[1]])
+        if truncated:
+            metrics.incr("cn_wedges_truncated", truncated)
+        pd_dt = "int64" if node_dt == "int64" else "string"
+        if not xs:
+            return pd.DataFrame({"x": pd.Series(dtype=pd_dt),
+                                 "y": pd.Series(dtype=pd_dt)})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys)})
+
+    wedges = coarse_grouped(sym, [src_col], wedge_pairs,
+                            num_buckets=width,
+                            out_dtypes={"x": node_dt, "y": node_dt})
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cn", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    counts = grouped_reduce(
+        wedges.map_batches(ones, batch_format="pyarrow"),
+        ["x", "y"], {"cn": "sum"}, num_buckets=width,
+        out_dtypes=out_d, pre_combine=True)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pk", encode_pair_key(batch.column("x"), batch.column("y")))
+
+    def edge_pk(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": encode_pair_key(batch.column(src_col),
+                                               batch.column(dst_col))})
+
+    cand = adaptive_join(
+        counts.map_batches(add_pk, batch_format="pyarrow"),
+        ded.map_batches(edge_pk, batch_format="pyarrow"),
+        on="pk", join_type="left_anti", build_bytes_hint=ebytes)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if "pk" in df.columns:
+            df = df.drop(columns=["pk"])
+        if not len(df):
+            pd_dt = "int64" if node_dt == "int64" else "string"
+            return pd.DataFrame({"x": pd.Series(dtype=pd_dt),
+                                 "y": pd.Series(dtype=pd_dt),
+                                 "cn": pd.Series(dtype="int64")})
+        out = df.sort_values(["cn", "x", "y"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(top_n)
+        return out[["x", "y", "cn"]].astype({"cn": "int64"})
+
+    partials = cand.map_batches(topn, batch_format="pandas")
+    # final cut: blocks-scale rows (n_blocks × top_n) in ONE block
+    return partials.repartition(1).map_batches(
+        lambda df: topn(df).reset_index(drop=True),
+        batch_format="pandas")

@@ -3393,3 +3393,128 @@ def q_pca_embeddings(sf_dir: str):
 ANALYTICS_QUERIES["pca_embeddings"] = q_pca_embeddings
 # no ORACLE entry: rows-only by construction (driver records the weaker
 # check; fit arithmetic is oracle-exact via embedding_cov)
+
+
+# ------------------------------------------------- graph traversal
+# (walks / BFS / link prediction over the materialized KG — the
+# downstream workloads the triple store exists to feed; ops/walks.py)
+def _kg_co_edges(sf_dir: str):
+    """``co_occurs_with`` triples of the flagship pipeline as a (u, v)
+    edge Dataset — the same graph ``kg_two_hop`` queries."""
+    triples = q_kg_triples(sf_dir)
+
+    def co_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(batch.column("pred"), "co_occurs_with")
+        b = batch.filter(keep)
+        return pa.table({"u": b.column("subj"), "v": b.column("obj")})
+
+    return triples.map_batches(co_edges, batch_format="pyarrow")
+
+
+_KG_SYM_SQL = f"""t AS ({{kg}}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM t
+      WHERE pred = 'co_occurs_with'),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"""
+
+
+def q_kg_walks(sf_dir: str):
+    """Deterministic random walks over the KG co-occurrence graph
+    (``ops/walks.py:random_walks``): one 4-step walk from every node,
+    next hop = the neighbor minimizing the sha256 choice key — the
+    DeepWalk training-corpus generator (walks feed skip-gram exactly as
+    ``kg_negatives`` feeds TransE), reproducible bit-for-bit in SQL via
+    a recursive CTE + ``arg_min`` over the identical hash."""
+    from ccnerx_ray.ops.walks import random_walks
+
+    return random_walks(_kg_co_edges(sf_dir), length=4)
+
+
+ORACLE_KG_WALKS = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)}
+SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+  -- the recursive CTE lives in a subquery: DuckDB's WITH RECURSIVE
+  -- binder cannot resolve a nested WITH inside a sibling member (the
+  -- kg CTE), but an inner recursive scope referencing the outer plain
+  -- CTEs resolves fine
+  WITH RECURSIVE walk(walk_id, step, node) AS (
+    SELECT a, 0, a FROM (SELECT DISTINCT a FROM sym)
+    UNION ALL
+    SELECT w.walk_id, w.step + 1,
+           arg_min(s.b, substr(sha256('walk:' || w.walk_id || ':'
+                   || CAST(w.step + 1 AS VARCHAR) || ':' || s.b), 1, 15)
+                   || s.b)
+    FROM walk w JOIN sym s ON s.a = w.node
+    WHERE w.step < 4
+    GROUP BY w.walk_id, w.step
+  )
+  SELECT * FROM walk)
+"""
+
+ANALYTICS_QUERIES["kg_walks"] = q_kg_walks
+ANALYTICS_ORACLE["kg_walks"] = ORACLE_KG_WALKS
+
+
+def q_kg_bfs(sf_dir: str):
+    """Multi-source BFS hop distances over the KG co-occurrence graph
+    (``ops/walks.py:bfs_distances``): every entity within 3 hops of the
+    seed set (entities whose id starts with hex 0–3 — a deterministic
+    ~¼ slice of the id space), with its exact minimum distance. The
+    neighborhood-radius query a KG store serves ("what is near X, and
+    how near?")."""
+    import pyarrow.compute as pc
+
+    from ccnerx_ray.ops.walks import bfs_distances
+
+    edges = _kg_co_edges(sf_dir).materialize()   # two consumers
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            [batch.column("u").combine_chunks(),
+             batch.column("v").combine_chunks()], type=pa.string())
+        keep = pc.less_equal(pc.utf8_slice_codeunits(ent, 0, 1), "3")
+        return pa.table({"entity": ent.filter(keep)})
+
+    seeds = edges.map_batches(nodes, batch_format="pyarrow")
+    return bfs_distances(edges, seeds, max_depth=3)
+
+
+ORACLE_KG_BFS = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)}
+SELECT entity, CAST(min(dist) AS BIGINT) AS dist FROM (
+  WITH RECURSIVE bfs(entity, dist) AS (
+    SELECT DISTINCT a, 0 FROM sym WHERE substr(a, 1, 1) <= '3'
+    UNION
+    SELECT sym.b, bfs.dist + 1 FROM bfs JOIN sym ON sym.a = bfs.entity
+    WHERE bfs.dist < 3
+  )
+  SELECT * FROM bfs) GROUP BY entity
+"""
+
+ANALYTICS_QUERIES["kg_bfs"] = q_kg_bfs
+ANALYTICS_ORACLE["kg_bfs"] = ORACLE_KG_BFS
+
+
+def q_kg_link_pred(sf_dir: str):
+    """Common-neighbor link prediction over the KG co-occurrence graph
+    (``ops/walks.py:common_neighbor_pairs``): the top-25 NON-adjacent
+    entity pairs sharing the most neighbors — the classic KG-completion
+    candidate scorer (Liben-Nowell & Kleinberg), exact-integer counts,
+    deterministic (cn DESC, x, y) cut."""
+    from ccnerx_ray.ops.walks import common_neighbor_pairs
+
+    return common_neighbor_pairs(_kg_co_edges(sf_dir), top_n=25)
+
+
+ORACLE_KG_LINK_PRED = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)},
+w AS (SELECT s1.b AS x, s2.b AS y, CAST(count(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+      GROUP BY 1, 2),
+cand AS (SELECT * FROM w WHERE NOT EXISTS
+         (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y))
+SELECT x, y, cn FROM cand ORDER BY cn DESC, x, y LIMIT 25
+"""
+
+ANALYTICS_QUERIES["kg_link_pred"] = q_kg_link_pred
+ANALYTICS_ORACLE["kg_link_pred"] = ORACLE_KG_LINK_PRED
