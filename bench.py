@@ -133,6 +133,17 @@ EXTRAS = [
     "pmi_pairs",             # PMI collocation mining (r5)
     "user_retention",        # cohort retention matrix (r5)
     "hll_users_by_type",     # per-group HLL register sketches (r5)
+    "embedding_cov",         # exact-integer covariance moment table (r5)
+    "kg_rel_pmi",            # document-level PMI edge weighting (r5)
+    "kg_negatives",          # filtered negative sampling (TransE prep)
+                             # (r5)
+    "embedding_rp",          # signed random projection 64→16 (JL) (r5)
+    "rp_knn",                # two-stage ANN on the projection (r5)
+    "pca_embeddings",        # two-pass corpus PCA fit + project (r5)
+    "kg_walks",              # deterministic DeepWalk corpus (r5)
+    "kg_bfs",                # multi-source BFS hop distances (r5)
+    "kg_link_pred",          # common-neighbor link prediction (r5)
+    "kg_skipgram",           # skip-gram pairs from the walk corpus (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

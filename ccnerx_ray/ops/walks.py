@@ -363,3 +363,61 @@ def common_neighbor_pairs(edges, *, top_n: int = 25,
     return partials.repartition(1).map_batches(
         lambda df: topn(df).reset_index(drop=True),
         batch_format="pandas")
+
+
+def skipgram_pairs(walks, *, window: int = 2, num_buckets: int = 64):
+    """Skip-gram (center, context) training pairs from a walk corpus —
+    the step that turns :func:`random_walks` output into what a
+    word2vec-style node-embedding trainer actually consumes (DeepWalk
+    §4.2: walks are sentences, nodes are words). For every walk, every
+    ordered pair of positions within ``window`` steps of each other
+    (excluding distance 0) contributes one count → aggregated
+    ``(center, context, n_pairs)``.
+
+    Distributed shape: ONE coarse co-group on ``walk_id`` (each walk is
+    ``length+1`` rows — pairs are generated vectorized across the whole
+    coarse frame via sorted shift-compare, never a per-walk python
+    loop), then the standard combiner-backed keyed count. Pair volume
+    is ``≤ 2·window·Σ|walk|`` rows of two ids — linear in the walk
+    corpus, never quadratic."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               grouped_reduce)
+
+    sch = walks.schema()
+    t = dict(zip(sch.names, sch.types)).get("node")
+    node_dt = ("int64" if isinstance(t, pa.DataType)
+               and pa.types.is_integer(t) else "string")
+    out_d = {"center": node_dt, "context": node_dt, "n_pairs": "int64"}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["walk_id", "step"], kind="mergesort")
+        wid = g["walk_id"].to_numpy()
+        node = g["node"].to_numpy()
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            same = wid[d:] == wid[:-d]
+            # within one walk, steps are consecutive after the sort, so
+            # a row and its d-th successor are exactly d steps apart
+            a, b = node[:-d][same], node[d:][same]
+            cs.append(a)
+            xs.append(b)     # forward context
+            cs.append(b)
+            xs.append(a)     # backward context
+        pd_dt = "int64" if node_dt == "int64" else "string"
+        if not cs or not sum(len(c) for c in cs):
+            return pd.DataFrame({"center": pd.Series(dtype=pd_dt),
+                                 "context": pd.Series(dtype=pd_dt),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"center": np.concatenate(cs),
+                           "context": np.concatenate(xs)})
+        return (df.groupby(["center", "context"], sort=False)
+                .size().rename("n_pairs").reset_index())
+
+    partials = coarse_grouped(walks, ["walk_id"], pairs,
+                              num_buckets=num_buckets,
+                              out_dtypes=out_d)
+    return grouped_reduce(partials, ["center", "context"],
+                          {"n_pairs": "sum"}, num_buckets=num_buckets,
+                          out_dtypes=out_d, pre_combine=True)

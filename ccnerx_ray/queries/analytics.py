@@ -3518,3 +3518,46 @@ SELECT x, y, cn FROM cand ORDER BY cn DESC, x, y LIMIT 25
 
 ANALYTICS_QUERIES["kg_link_pred"] = q_kg_link_pred
 ANALYTICS_ORACLE["kg_link_pred"] = ORACLE_KG_LINK_PRED
+
+
+def q_kg_skipgram(sf_dir: str):
+    """Skip-gram training pairs from the walk corpus
+    (``ops/walks.py:skipgram_pairs``): window-2 (center, context)
+    counts over the ``kg_walks`` output — the exact table a
+    word2vec-style node-embedding trainer consumes (DeepWalk: walks are
+    sentences, nodes are words). One walk-keyed co-group + one
+    combiner-backed keyed count; pair volume is linear in the walk
+    corpus."""
+    from ccnerx_ray.ops.walks import random_walks, skipgram_pairs
+
+    return skipgram_pairs(random_walks(_kg_co_edges(sf_dir), length=4),
+                          window=2)
+
+
+ORACLE_KG_SKIPGRAM = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)},
+wk AS (
+  SELECT * FROM (
+    WITH RECURSIVE walk(walk_id, step, node) AS (
+      SELECT a, 0, a FROM (SELECT DISTINCT a FROM sym)
+      UNION ALL
+      SELECT w.walk_id, w.step + 1,
+             arg_min(s.b, substr(sha256('walk:' || w.walk_id || ':'
+                     || CAST(w.step + 1 AS VARCHAR) || ':' || s.b), 1,
+                     15) || s.b)
+      FROM walk w JOIN sym s ON s.a = w.node
+      WHERE w.step < 4
+      GROUP BY w.walk_id, w.step
+    )
+    SELECT * FROM walk)
+)
+SELECT w1.node AS center, w2.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM wk w1 JOIN wk w2 ON w1.walk_id = w2.walk_id
+ AND w2.step BETWEEN w1.step - 2 AND w1.step + 2
+ AND w2.step <> w1.step
+GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["kg_skipgram"] = q_kg_skipgram
+ANALYTICS_ORACLE["kg_skipgram"] = ORACLE_KG_SKIPGRAM

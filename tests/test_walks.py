@@ -210,3 +210,49 @@ def test_cn_empty(ray_session):
 def test_cn_duplicate_edges_ignored(ray_session, dup):
     a = common_neighbor_pairs(_edges_ds(EDGES * dup), top_n=25).to_pandas()
     assert list(map(tuple, a.itertuples(index=False))) == _ref_cn(EDGES, 25)
+
+
+def _ref_skipgram(rows, length, window):
+    from collections import Counter
+    walks = _ref_walks(rows, length)
+    bywalk: dict = {}
+    for wid, step, node in walks:
+        bywalk.setdefault(wid, {})[step] = node
+    cnt: Counter = Counter()
+    for wid, steps in bywalk.items():
+        for i, a in steps.items():
+            for j, b in steps.items():
+                if i != j and abs(i - j) <= window:
+                    cnt[(a, b)] += 1
+    return sorted((c, x, n) for (c, x), n in cnt.items())
+
+
+def test_skipgram_matches_reference(ray_session):
+    from ccnerx_ray.ops.walks import skipgram_pairs
+    w = random_walks(_edges_ds(EDGES), length=4)
+    got = skipgram_pairs(w, window=2).to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_skipgram(EDGES, 4, 2)
+
+
+def test_skipgram_partitioning_invariance(ray_session):
+    from ccnerx_ray.ops.walks import skipgram_pairs
+    a = skipgram_pairs(random_walks(_edges_ds(EDGES, 1), length=3),
+                       window=2).to_pandas()
+    b = skipgram_pairs(
+        random_walks(_edges_ds(EDGES * 2, 5), length=3).repartition(7),
+        window=2).to_pandas()
+    key = ["center", "context"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_skipgram_window_one_is_adjacent_transitions(ray_session):
+    from ccnerx_ray.ops.walks import skipgram_pairs
+    w = random_walks(_edges_ds(EDGES), length=4)
+    got = skipgram_pairs(w, window=1).to_pandas()
+    # window-1 totals = 2 pairs per step transition = 2·L per walk
+    n_nodes = len(_adj(EDGES))
+    assert got["n_pairs"].sum() == 2 * 4 * n_nodes
+    assert got.equals(got.drop_duplicates(["center", "context"]))
