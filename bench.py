@@ -144,6 +144,8 @@ EXTRAS = [
     "kg_bfs",                # multi-source BFS hop distances (r5)
     "kg_link_pred",          # common-neighbor link prediction (r5)
     "kg_skipgram",           # skip-gram pairs from the walk corpus (r5)
+    "kg_ppr",                # exact-integer personalized PageRank (r5)
+    "kg_clustering",         # per-entity triangle participation (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

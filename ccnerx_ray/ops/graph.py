@@ -877,3 +877,312 @@ FROM e e1
 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+
+def ppr_int(edges, seeds, iterations: int = 3, src_col: str = "u",
+            dst_col: str = "v", seed_col: str = "entity",
+            num_buckets: int = 256):
+    """Exact integer PERSONALIZED PageRank: the same order-free
+    micro-unit arithmetic as :func:`pagerank_int`, but mass starts at —
+    and teleports back to — a seed set ``S`` instead of every node (the
+    "what matters around THESE entities?" centrality a KG serves for
+    entity-context ranking and local graph exploration):
+
+        PR_0(v)      = 1_000_000 · [v ∈ S]
+        contrib(u→v) = PR_k(u) // degree(u)
+        PR_{k+1}(v)  = 150_000 · [v ∈ S] + (17 · Σ contrib) // 20
+
+    Returns ``(node, degree, ppr_micro)`` for EVERY node (zeros are
+    meaningful: mass hasn't reached it yet). ``seeds`` is a Dataset
+    (``seed_col`` column, duplicates tolerated); seeds absent from the
+    graph contribute nothing (they have no edges). Same int64 overflow
+    bound as :func:`pagerank_int` (total mass is |S|·1e6 ≤ n·1e6).
+
+    Distributed shape: identical to :func:`pagerank_int` — degree
+    attached to edges ONCE, per iteration one stats-adaptive join + one
+    combiner-backed grouped sum — plus one extra node-scale join per
+    iteration to re-attach the seed teleport base (the base table is
+    built once from a semi/anti split against the seed set, both sides
+    distributed)."""
+    sym = symmetrize(edges, src_col, dst_col).materialize()
+    sch = sym.schema()
+    if sch is None:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "ppr_micro": pa.array([], pa.int64())}))
+    t = dict(zip(sch.names, sch.types)).get(src_col)
+    node_dtype = ("int64" if t is not None and pa.types.is_integer(t)
+                  else "string")
+    num_buckets = int(min(max((sym.size_bytes() or 0) // (64 << 20), 8),
+                          num_buckets))
+    if sym.num_blocks() > 4 * num_buckets:
+        sym = sym.repartition(num_buckets).materialize()
+    deg = degree_counts(sym, src_col, num_buckets=num_buckets,
+                        node_dtype=node_dtype).materialize()
+    sym_deg = adaptive_join(sym, deg, on=src_col, right_on="node",
+                            build_bytes_hint=deg.size_bytes()).materialize()
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column(seed_col)})
+
+    seed_nodes = seeds.map_batches(seed_rows, batch_format="pyarrow")
+    sbytes = None
+    try:
+        sbytes = seed_nodes.size_bytes()
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        pass
+
+    def with_base(b: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column("node"),
+                "base": pa.array(np.full(batch.num_rows, b,
+                                         dtype=np.int64))})
+        return fn
+
+    in_s = adaptive_join(deg, seed_nodes, on="node", join_type="left_semi",
+                         build_bytes_hint=sbytes)
+    out_s = adaptive_join(deg, seed_nodes, on="node", join_type="left_anti",
+                          build_bytes_hint=sbytes)
+    base_tbl = (in_s.map_batches(with_base(150_000), batch_format="pyarrow")
+                .union(out_s.map_batches(with_base(0),
+                                         batch_format="pyarrow"))
+                ).materialize()
+    bbytes = base_tbl.size_bytes()
+
+    def init_pr(batch: pa.Table) -> pa.Table:
+        base = batch.column("base").to_numpy()
+        return pa.table({
+            "node": batch.column("node"),
+            # base ∈ {0, 150000} ⇒ pr0 ∈ {0, 1000000}: the seed
+            # indicator scaled to one full micro-unit of mass
+            "pr": pa.array((base // 150_000) * 1_000_000, pa.int64()),
+        })
+
+    nodes = base_tbl.map_batches(init_pr, batch_format="pyarrow")
+
+    for _ in range(iterations):
+        nodes = nodes.materialize()
+        joined = adaptive_join(sym_deg, nodes, on=src_col,
+                               right_on="node",
+                               build_bytes_hint=nodes.size_bytes())
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            pr = batch.column("pr").to_numpy()
+            d = batch.column("degree").to_numpy()
+            return pa.table({
+                "node": batch.column(dst_col),
+                "s": pa.array(pr // d, pa.int64()),
+            })
+
+        sums = grouped_reduce(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"s": "sum"}, num_buckets=num_buckets,
+            out_dtypes={"node": node_dtype, "s": "int64"},
+            pre_combine=True)
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy()
+            base = batch.column("base").to_numpy()
+            return pa.table({
+                "node": batch.column("node"),
+                "pr": pa.array(base + (17 * s) // 20, pa.int64()),
+            })
+
+        # symmetrize guarantees degree ≥ 1, so `sums` covers ALL nodes
+        # (zero contributions still emit rows) — the base re-attach is a
+        # node-scale join, never a loss of coverage
+        nodes = adaptive_join(sums, base_tbl, on="node",
+                              build_bytes_hint=bbytes
+                              ).map_batches(apply_rank,
+                                            batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "degree": batch.column("degree"),
+            "ppr_micro": batch.column("pr"),
+        })
+
+    nodes = nodes.materialize()
+    return adaptive_join(deg, nodes, on="node",
+                         build_bytes_hint=nodes.size_bytes()
+                         ).map_batches(finish, batch_format="pyarrow")
+
+
+def ppr_oracle_sql(edge_sql: str, seeds_sql: str,
+                   iterations: int = 3) -> str:
+    """DuckDB oracle for :func:`ppr_int`: ``edge_sql`` yields
+    duplicate-free directed ``u, v``; ``seeds_sql`` yields a ``node``
+    column (deduped here); iterations unroll into chained CTEs with the
+    identical integer arithmetic."""
+    parts = [f"""
+WITH e0 AS ({edge_sql}),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e GROUP BY u),
+sd AS (SELECT DISTINCT node FROM ({seeds_sql})),
+p0 AS (SELECT d.node, d.degree,
+              CAST(CASE WHEN sd.node IS NULL THEN 0
+                   ELSE 1000000 END AS BIGINT) AS pr
+       FROM deg d LEFT JOIN sd ON d.node = sd.node)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+s{k} AS (SELECT e.v AS node, SUM(p.pr // p.degree) AS s
+         FROM e JOIN p{k - 1} p ON e.u = p.node GROUP BY e.v),
+p{k} AS (SELECT d.node, d.degree,
+                CAST(CASE WHEN sd.node IS NULL THEN 0
+                     ELSE 150000 END + (17 * s{k}.s) // 20
+                     AS BIGINT) AS pr
+         FROM deg d LEFT JOIN sd ON d.node = sd.node
+         JOIN s{k} ON d.node = s{k}.node)""")
+    parts.append(f"""
+SELECT node, degree, pr AS ppr_micro FROM p{iterations}""")
+    return "".join(parts)
+
+
+def node_triangle_counts(edges, src_col: str = "u", dst_col: str = "v",
+                         num_buckets: int = 64):
+    """Per-node triangle participation over an undirected graph given
+    as canonical (``u < v``) edges: ``(entity, degree, n_triangles)``
+    for every node with at least one edge — the exact-integer
+    numerator/denominator of the local clustering coefficient
+    (``2T / (d·(d−1))``; the division is left to the consumer so the
+    result stays float-free and value-hashable). Duplicate edges are
+    tolerated (deduped here — DISTINCT-neighbor semantics).
+
+    Distributed shape: the degree-ordered wedge enumeration of
+    :func:`triangle_count` (each triangle's wedges emitted at its
+    lowest-(degree, id) corner — O(m^1.5) total wedge volume, hub-safe)
+    with the corner identities CARRIED through the closing-edge
+    semi-join; each closed wedge then explodes to its three corners
+    into one combiner-backed keyed count, and the counts left-join onto
+    the degree table (missing ⇒ 0)."""
+    import pandas as pd
+
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               drop_duplicate_rows,
+                                               semi_join_on)
+
+    edges = drop_duplicate_rows(edges, [src_col, dst_col],
+                                num_buckets=num_buckets).materialize()
+    sch = edges.schema()
+    if sch is None:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64())}))
+    t = dict(zip(sch.names, sch.types)).get(src_col)
+    if isinstance(t, pa.DataType):
+        node_dtype = "int64" if pa.types.is_integer(t) else "string"
+    else:
+        try:
+            node_dtype = ("int64" if t is not None
+                          and np.issubdtype(t, np.integer) else "string")
+        except TypeError:
+            node_dtype = "string"
+    ebytes = edges.size_bytes() or 0
+    num_buckets = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+    sym = symmetrize(edges, src_col, dst_col)
+    deg = degree_counts(sym, src_col, num_buckets=num_buckets,
+                        node_dtype=node_dtype).materialize()
+    dbytes = deg.size_bytes()
+
+    e1 = adaptive_join(edges, deg, on=src_col, right_on="node",
+                       build_bytes_hint=dbytes)
+
+    def tag_u(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column(src_col),
+                         "b": batch.column(dst_col),
+                         "deg_a": batch.column("degree")})
+
+    e2 = adaptive_join(e1.map_batches(tag_u, batch_format="pyarrow"),
+                       deg, on="b", right_on="node",
+                       build_bytes_hint=dbytes)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        a, b = batch.column("a"), batch.column("b")
+        da, db = batch.column("deg_a"), batch.column("degree")
+        swap = pc.or_(pc.less(db, da),
+                      pc.and_(pc.equal(db, da), pc.less(b, a)))
+        return pa.table({"src": pc.if_else(swap, b, a),
+                         "dst": pc.if_else(swap, a, b)})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def _pk(x, y) -> pa.Array:
+        import pyarrow.compute as pc
+        xs = pc.cast(pa.array(x) if not isinstance(
+            x, (pa.Array, pa.ChunkedArray)) else x, pa.string())
+        ys = pc.cast(pa.array(y) if not isinstance(
+            y, (pa.Array, pa.ChunkedArray)) else y, pa.string())
+        lo = pc.min_element_wise(xs, ys)
+        hi = pc.max_element_wise(xs, ys)
+        return encode_pair_key(lo, hi)
+
+    pd_dt = "int64" if node_dtype == "int64" else "string"
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        ms, xs, ys = [], [], []
+        for m, grp in g.groupby("src", sort=False):
+            ns = np.unique(grp["dst"].to_numpy())
+            k = len(ns)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            xs.append(ns[iu[0]])
+            ys.append(ns[iu[1]])
+            ms.append(np.full(len(iu[0]), m, dtype=object)
+                      if node_dtype == "string"
+                      else np.full(len(iu[0]), m, dtype=np.int64))
+        if not xs:
+            return pd.DataFrame({"m": pd.Series(dtype=pd_dt),
+                                 "x": pd.Series(dtype=pd_dt),
+                                 "y": pd.Series(dtype=pd_dt),
+                                 "pk": pd.Series(dtype="string")})
+        X, Y = np.concatenate(xs), np.concatenate(ys)
+        return pd.DataFrame({"m": np.concatenate(ms), "x": X, "y": Y,
+                             "pk": _pk(X, Y).to_pandas()})
+
+    def edge_pk(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": _pk(batch.column(src_col),
+                                   batch.column(dst_col))})
+
+    wedge_d = {"m": node_dtype, "x": node_dtype, "y": node_dtype,
+               "pk": "string"}
+    wedge_ds = coarse_grouped(oriented, ["src"], wedges,
+                              num_buckets=num_buckets,
+                              out_dtypes=wedge_d)
+    closed = semi_join_on(
+        wedge_ds, "pk",
+        edges.map_batches(edge_pk, batch_format="pyarrow"),
+        num_buckets=num_buckets, out_dtypes=wedge_d)
+
+    def corners(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).combine_chunks() for c in ("m", "x", "y")]
+        ent = pa.chunked_array(cols, type=cols[0].type)
+        return pa.table({
+            "entity": ent,
+            "n_triangles": pa.array(np.ones(len(ent), dtype=np.int64))})
+
+    counts = grouped_reduce(
+        closed.map_batches(corners, batch_format="pyarrow"),
+        ["entity"], {"n_triangles": "sum"}, num_buckets=num_buckets,
+        out_dtypes={"entity": node_dtype, "n_triangles": "int64"},
+        pre_combine=True).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nt = pc.fill_null(batch.column("n_triangles"), 0)
+        return pa.table({"entity": batch.column("node"),
+                         "degree": batch.column("degree"),
+                         "n_triangles": nt})
+
+    return adaptive_join(deg, counts, on="node", right_on="entity",
+                         join_type="left_outer",
+                         build_bytes_hint=counts.size_bytes()
+                         ).map_batches(finish, batch_format="pyarrow")

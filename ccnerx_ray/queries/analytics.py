@@ -3561,3 +3561,78 @@ GROUP BY 1, 2
 
 ANALYTICS_QUERIES["kg_skipgram"] = q_kg_skipgram
 ANALYTICS_ORACLE["kg_skipgram"] = ORACLE_KG_SKIPGRAM
+
+
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank around a seed slice of the KG
+    (``ops/graph.py:ppr_int``): exact integer micro-unit arithmetic —
+    mass starts at, and teleports back to, the entities whose id begins
+    with hex 0–3 (the ``kg_bfs`` seed rule) — the "what matters around
+    THESE entities?" centrality a KG store serves for entity-context
+    ranking. Bit-identical across partitionings; the oracle unrolls the
+    iterations into chained integer CTEs."""
+    import pyarrow.compute as pc
+
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops.graph import ppr_int
+
+    # ppr_int's contract (as pagerank_int's): duplicate-free directed
+    # pairs — co_occurs_with triples repeat per supporting document
+    edges = drop_duplicate_rows(_kg_co_edges(sf_dir),
+                                ["u", "v"]).materialize()  # two consumers
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            [batch.column("u").combine_chunks(),
+             batch.column("v").combine_chunks()], type=pa.string())
+        keep = pc.less_equal(pc.utf8_slice_codeunits(ent, 0, 1), "3")
+        return pa.table({"entity": ent.filter(keep)})
+
+    seeds = edges.map_batches(nodes, batch_format="pyarrow")
+    return ppr_int(edges, seeds, iterations=3)
+
+
+def _kg_ppr_oracle() -> str:
+    from ccnerx_ray.ops.graph import ppr_oracle_sql
+
+    edge_sql = (f"WITH t AS ({ORACLE_KG_TRIPLES}) "
+                "SELECT DISTINCT subj AS u, obj AS v FROM t "
+                "WHERE pred = 'co_occurs_with'")
+    # sd may reference the oracle's own symmetrized CTE `e` — every
+    # node appears as e.u there, so this is the same "id prefix ≤ '3'"
+    # slice the Ray side takes
+    seeds_sql = "SELECT u AS node FROM e WHERE substr(u, 1, 1) <= '3'"
+    return ppr_oracle_sql(edge_sql, seeds_sql, iterations=3)
+
+
+ANALYTICS_QUERIES["kg_ppr"] = q_kg_ppr
+ANALYTICS_ORACLE["kg_ppr"] = _kg_ppr_oracle()
+
+
+def q_kg_clustering(sf_dir: str):
+    """Per-entity triangle participation over the KG co-occurrence
+    graph (``ops/graph.py:node_triangle_counts``): ``(entity, degree,
+    n_triangles)`` — the exact-integer numerator/denominator of the
+    local clustering coefficient (how clique-like is each entity's
+    neighborhood?), float-free so the result value-hashes."""
+    from ccnerx_ray.ops.graph import node_triangle_counts
+
+    return node_triangle_counts(_kg_co_edges(sf_dir))
+
+
+ORACLE_KG_CLUSTERING = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)},
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY a),
+tri AS (SELECT s1.a AS m
+        FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        WHERE EXISTS (SELECT 1 FROM e
+                      WHERE e.a = s1.b AND e.b = s2.b)),
+tc AS (SELECT m AS entity, count(*) AS n_triangles FROM tri GROUP BY m)
+SELECT d.node AS entity, d.degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN tc ON d.node = tc.entity
+"""
+
+ANALYTICS_QUERIES["kg_clustering"] = q_kg_clustering
+ANALYTICS_ORACLE["kg_clustering"] = ORACLE_KG_CLUSTERING

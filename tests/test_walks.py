@@ -256,3 +256,111 @@ def test_skipgram_window_one_is_adjacent_transitions(ray_session):
     n_nodes = len(_adj(EDGES))
     assert got["n_pairs"].sum() == 2 * 4 * n_nodes
     assert got.equals(got.drop_duplicates(["center", "context"]))
+
+
+# --- ppr_int / node_triangle_counts (ops/graph.py additions living with
+# the traversal family's fixtures) ---
+
+def _ref_ppr(rows, seeds, iterations):
+    adj = _adj(rows)
+    deg = {n: len(adj[n]) for n in adj}
+    pr = {n: (1_000_000 if n in seeds else 0) for n in adj}
+    for _ in range(iterations):
+        s = {n: 0 for n in adj}
+        for u in adj:
+            c = pr[u] // deg[u]
+            for v in adj[u]:
+                s[v] += c
+        pr = {n: (150_000 if n in seeds else 0) + (17 * s[n]) // 20
+              for n in adj}
+    return sorted((n, deg[n], pr[n]) for n in adj)
+
+
+def _ref_node_triangles(rows):
+    adj = _adj(rows)
+    out = []
+    for v in adj:
+        ns = sorted(adj[v])
+        t = sum(1 for i in range(len(ns)) for j in range(i + 1, len(ns))
+                if ns[j] in adj[ns[i]])
+        out.append((v, len(adj[v]), t))
+    return sorted(out)
+
+
+def test_ppr_matches_integer_reference(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.graph import ppr_int
+    seeds = ray.data.from_arrow(pa.table({"entity": ["a", "g", "zzz"]}))
+    got = ppr_int(_edges_ds(EDGES), seeds, iterations=3).to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_ppr(EDGES, {"a", "g", "zzz"}, 3)
+
+
+def test_ppr_zero_rows_are_meaningful(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.graph import ppr_int
+    # seed in {g,h}: the other component gets rows with ppr_micro == 0
+    seeds = ray.data.from_arrow(pa.table({"entity": ["g"]}))
+    got = ppr_int(_edges_ds(EDGES), seeds, iterations=2).to_pandas()
+    d = dict(zip(got.node, got.ppr_micro))
+    assert d["a"] == 0 and d["g"] > 0 and d["h"] > 0
+    assert len(got) == len(_adj(EDGES))
+
+
+def test_ppr_partitioning_invariance(ray_session):
+    import ray.data
+    from ccnerx_ray.ops.graph import ppr_int
+    seeds = ray.data.from_arrow(pa.table({"entity": ["b", "b", "e"]}))
+    a = ppr_int(_edges_ds(EDGES, 1), seeds, iterations=3).to_pandas()
+    b = ppr_int(_edges_ds(EDGES, 5), seeds, iterations=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("node").reset_index(drop=True),
+        b.sort_values("node").reset_index(drop=True))
+
+
+def test_ppr_oracle_sql_parity(ray_session):
+    import duckdb
+    import ray.data
+    from ccnerx_ray.ops.graph import ppr_int, ppr_oracle_sql
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}', '{v}')" for u, v in EDGES)
+    edge_sql = f"SELECT u, v FROM (VALUES {vals}) AS t(u, v)"
+    seeds_sql = "SELECT 'a' AS node UNION ALL SELECT 'g'"
+    exp = con.execute(ppr_oracle_sql(edge_sql, seeds_sql, 3)).df()
+    seeds = ray.data.from_arrow(pa.table({"entity": ["a", "g"]}))
+    got = ppr_int(_edges_ds(EDGES), seeds, iterations=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        exp.sort_values("node").reset_index(drop=True))
+
+
+def test_node_triangles_match_reference(ray_session):
+    from ccnerx_ray.ops.graph import node_triangle_counts
+    got = node_triangle_counts(_edges_ds(EDGES)).to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_node_triangles(EDGES)
+
+
+def test_node_triangles_clique_and_dups(ray_session):
+    from ccnerx_ray.ops.graph import node_triangle_counts
+    k5 = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    got = node_triangle_counts(_edges_ds(k5 * 3, 4)).to_pandas()
+    # K5: every node sits in C(4,2) = 6 triangles, degree 4
+    assert set(got.n_triangles) == {6} and set(got.degree) == {4}
+    assert len(got) == 5
+
+
+def test_node_triangles_global_consistency(ray_session):
+    from ccnerx_ray.ops.graph import node_triangle_counts, triangle_count
+    got = node_triangle_counts(_edges_ds(EDGES)).to_pandas()
+    total = triangle_count(_edges_ds(EDGES))
+    assert got.n_triangles.sum() == 3 * total   # each tri has 3 corners
+
+
+def test_node_triangles_int_keys(ray_session):
+    from ccnerx_ray.ops.graph import node_triangle_counts
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = node_triangle_counts(_edges_ds(rows)).to_pandas()
+    assert got["entity"].dtype == "int64"
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_node_triangles(rows)
