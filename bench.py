@@ -146,6 +146,7 @@ EXTRAS = [
     "kg_skipgram",           # skip-gram pairs from the walk corpus (r5)
     "kg_ppr",                # exact-integer personalized PageRank (r5)
     "kg_clustering",         # per-entity triangle participation (r5)
+    "kg_degree_dist",        # graph-health degree distribution (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -3636,3 +3636,41 @@ FROM deg d LEFT JOIN tc ON d.node = tc.entity
 
 ANALYTICS_QUERIES["kg_clustering"] = q_kg_clustering
 ANALYTICS_ORACLE["kg_clustering"] = ORACLE_KG_CLUSTERING
+
+
+def q_kg_degree_dist(sf_dir: str):
+    """Degree distribution of the KG co-occurrence graph — the one-look
+    graph-health profile (hub skew, isolated-entity mass) every KG
+    build report carries: ``(degree, n_nodes)``. One edge dedup, the
+    standard combiner-backed degree reduce
+    (``ops/graph.py:degree_counts``), one node-scale re-count."""
+    from ccnerx_ray.functions.grouping import (drop_duplicate_rows,
+                                               grouped_reduce)
+    from ccnerx_ray.ops.graph import degree_counts, symmetrize
+
+    edges = drop_duplicate_rows(_kg_co_edges(sf_dir), ["u", "v"])
+    deg = degree_counts(symmetrize(edges), "u", num_buckets=16)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "degree": batch.column("degree"),
+            "n_nodes": pa.array(np.ones(batch.num_rows,
+                                        dtype=np.int64))})
+
+    return grouped_reduce(deg.map_batches(ones, batch_format="pyarrow"),
+                          ["degree"], {"n_nodes": "sum"}, num_buckets=8,
+                          out_dtypes={"degree": "int64",
+                                      "n_nodes": "int64"},
+                          pre_combine=True)
+
+
+ORACLE_KG_DEGREE_DIST = f"""
+WITH {_KG_SYM_SQL.format(kg=ORACLE_KG_TRIPLES)},
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY a)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+ANALYTICS_QUERIES["kg_degree_dist"] = q_kg_degree_dist
+ANALYTICS_ORACLE["kg_degree_dist"] = ORACLE_KG_DEGREE_DIST
