@@ -153,10 +153,17 @@ def all_queries() -> dict:
 
 
 def all_oracles() -> dict:
+    from ccnerx_ray.queries.analytics import code_oracles_resolved
+
     o = {}
     o.update(RELATIONAL_ORACLE)
     o.update(RELATIONAL2_ORACLE)
     o.update(RELATIONAL3_ORACLE)
     o.update(RELATIONAL4_ORACLE)
     o.update(ANALYTICS_ORACLE)
+    # the code-family literal-VALUES oracles are EXPENSIVE to build
+    # (intent corpora + BPE merges); they resolve lazily here — once,
+    # driver-side — instead of at module import, where every fresh Ray
+    # worker would pay them as cold-start tax (see analytics.py note)
+    o.update(code_oracles_resolved())
     return o

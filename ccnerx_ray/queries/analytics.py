@@ -1716,7 +1716,21 @@ def _code_oracles() -> dict[str, str]:
     }
 
 
-ORACLE_CODE = _code_oracles()
+# LAZY on purpose: building these literal-VALUES oracles generates the
+# intent corpora + BPE merge tables (~5 s of pure python). Evaluated at
+# module import, that cost was paid by EVERY fresh Ray worker unpickling
+# any closure from this module tree — a ~5 s per-task-cold-start tax
+# that showed up as the hll_custkey 1.3 s → 6 s bench regression this
+# round (bisected to the code-oracle commits). ``all_oracles()``
+# resolves this once, DRIVER-side, cached; workers never touch it.
+_CODE_ORACLE_CACHE: dict[str, str] | None = None
+
+
+def code_oracles_resolved() -> dict[str, str]:
+    global _CODE_ORACLE_CACHE
+    if _CODE_ORACLE_CACHE is None:
+        _CODE_ORACLE_CACHE = _code_oracles()
+    return _CODE_ORACLE_CACHE
 
 
 # ------------------------------------------------------------- KG flagship
@@ -2108,7 +2122,8 @@ ANALYTICS_ORACLE = {
     "media_headers": ORACLE_MEDIA_HEADERS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
-    **ORACLE_CODE,
+    # the code-family oracles join in all_oracles() via
+    # code_oracles_resolved() — see the lazy-evaluation note above
     # ivf_knn / ivf_knn_store (approximate by construction; their
     # machinery is oracle-checked via ivf_knn_full / ivf_knn_store_full)
     # are the only rows-only queries
