@@ -18,9 +18,18 @@ from ccnerx_ray.queries.analytics import ANALYTICS_ORACLE, ANALYTICS_QUERIES
 # bottom of all_queries() guards against drift.
 _PRIORITY = [
     # KG flagship family
+    # (session-3 hygiene swaps — the VERDICT r3/r4 #8 rule: new
+    # first-class ops displace rows whose oracles are SHARED with
+    # siblings that remain in the window. kg_triples_ckpt — r4-gate-
+    # verified, oracle ≡ kg_triples which stays, checkpoint path
+    # additionally pytest-pinned (roundtrip + torch adapter) — yields
+    # its slot; kg_triples_lebert — r4-gate-verified, its fusion stack
+    # gate-covered end-to-end through kg_triples_attn which stays,
+    # numpy↔torch parity pytest-pinned — yields its slot; both join
+    # the tail and stay swept at both scales)
     "kg_triples", "kg_mentions", "kg_mentions_join", "kg_entities",
-    "kg_entities_store", "kg_label_dist", "kg_aliases", "kg_triples_ckpt",
-    "kg_triples_lebert", "kg_triples_attn", "prompt_corpus",
+    "kg_entities_store", "kg_label_dist", "kg_aliases",
+    "kg_triples_attn", "prompt_corpus",
     # dedup family (dup_ngrams NEW r5: within-corpus repeated-span
     # exposure — heavy_hitters, r3+r4-verified and unchanged, yields
     # its window slot)
@@ -38,8 +47,12 @@ _PRIORITY = [
     # broadcast-matrix baseline unchanged and its cosine-threshold
     # formulation still gate-exercised THROUGH semantic_dedup's oracle —
     # yields its slot and joins the tail)
-    "exact_dedup", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
-    "winnow_pairs", "minhash_dedup_keepers", "semantic_dedup",
+    # (session-3 hygiene swaps: simhash_pairs and winnow_pairs — BOTH
+    # r3-AND-r4-gate-verified, their fingerprint machinery unchanged
+    # all round — yield their slots to the graph-traversal family and
+    # join the tail, still swept at both scales)
+    "exact_dedup", "minhash_pairs", "jaccard_pairs",
+    "minhash_dedup_keepers", "semantic_dedup",
     "dup_ngrams", "passage_dedup",
     # embeddings / ANN / clustering (ivf_knn AND ivf_knn_store are
     # rows-only — their machinery is gate-checked through the
@@ -65,12 +78,21 @@ _PRIORITY = [
     # ivf_knn_full — r4-gate-verified, ops/similarity.py unchanged all
     # round, its ANN machinery still gate-exercised through
     # ivf_knn_store_full which shares its oracle — yields its slot)
+    # (session-3 hygiene swap: sq_knn_store — r5-swept, bit-identical
+    # to sq_knn BY CONSTRUCTION (one shared oracle, store≡direct
+    # pytest-pinned) — yields its slot; sq_knn stays)
     "rag_chunk_knn", "rag_rerank",
-    "ivf_knn_store_full", "sq_knn", "sq_knn_store",
+    "ivf_knn_store_full", "sq_knn",
     "doc_lm2_score",
-    # graph
+    # graph + traversal (kg_walks / kg_skipgram / kg_ppr /
+    # kg_link_pred / kg_clustering NEW session 3: the DeepWalk corpus +
+    # skip-gram pairs, personalized PageRank, common-neighbor link
+    # prediction and per-entity triangle participation over the KG —
+    # the five slots freed above; kg_bfs and kg_degree_dist share the
+    # family's machinery and live in the tail, swept at both scales)
     "graph_pagerank", "graph_components", "supplier_triangles",
-    "kg_two_hop",
+    "kg_two_hop", "kg_walks", "kg_skipgram", "kg_ppr",
+    "kg_link_pred", "kg_clustering",
     # code analysis (the north-star corpus IS source code: import scan,
     # symbol index, call sites, cross-repo dependency edges —
     # ops/code.py; embedding_dim_stats — r3+r4-verified, unchanged —
