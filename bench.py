@@ -147,6 +147,7 @@ EXTRAS = [
     "kg_ppr",                # exact-integer personalized PageRank (r5)
     "kg_clustering",         # per-entity triangle participation (r5)
     "kg_degree_dist",        # graph-health degree distribution (r5)
+    "kg_walks_weighted",     # weight-biased walks (inverse-CDF) (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

@@ -97,16 +97,45 @@ def _hex15_plus(salt: str, wids, steps: int, nbrs) -> list[str]:
     ]
 
 
+def symmetrize_weighted(edges, src_col: str, dst_col: str,
+                        weight_col: str):
+    """Weighted sibling of :func:`ccnerx_ray.ops.graph.symmetrize`:
+    each (u, v, w) also emitted as (v, u, w)."""
+    def both(batch: pa.Table) -> pa.Table:
+        u, v = batch.column(src_col), batch.column(dst_col)
+        w = batch.column(weight_col)
+        return pa.concat_tables([
+            pa.table({src_col: u, dst_col: v, weight_col: w}),
+            pa.table({src_col: v, dst_col: u, weight_col: w})])
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
 def random_walks(edges, *, length: int = 4, salt: str = "walk",
                  src_col: str = "u", dst_col: str = "v",
+                 weight_col: str | None = None,
                  num_buckets: int = 64):
     """One deterministic walk of ``length`` steps from EVERY node of the
     undirected graph (the standard DeepWalk corpus: walks-per-node × 1,
-    extendable by varying ``salt``). Step ``t`` moves from ``cur`` to
+    extendable by varying ``salt``).
+
+    UNWEIGHTED (``weight_col=None``): step ``t`` moves from ``cur`` to
     the neighbor ``n`` minimizing ``sha256(f"{salt}:{walk_id}:{t}:{n}")
     [:15] + str(n)`` — uniform-ish over neighbors, independent across
     steps/walks, and EXACTLY reproducible in SQL (recursive CTE +
     ``arg_min`` over the same concat; see the ``kg_walks`` oracle).
+
+    WEIGHTED (``weight_col`` names a positive-int64 edge column): the
+    next hop is drawn ∝ edge weight by exact integer inverse-CDF —
+    ``r = sha256(f"{salt}:{walk_id}:{t}")[:15-hex] % Σw(cur)``, then the
+    first neighbor (ordered by id) whose cumulative weight exceeds
+    ``r``. One hash per (walk, step) — not per candidate — and every
+    operation is integer, so the SQL mirror (window cumsum in a
+    correlated subquery; see the ``kg_walks_weighted`` oracle) is
+    bit-exact. Duplicate (u, v) rows are aggregated by SUMMING weights
+    (the natural construction when weight = co-occurrence support
+    count); weights must be ≥ 1 — a zero-total node would make the
+    modulus undefined (asserted loudly).
 
     Returns ``(walk_id, step, node)`` rows, ``step ∈ [0, length]``,
     ``walk_id`` = the start node. Symmetrized-graph guarantee: every
@@ -116,16 +145,31 @@ def random_walks(edges, *, length: int = 4, salt: str = "walk",
     Distributed shape per step: ``sym ⋈ frontier`` (edge table is the
     streaming probe side; the node-scale frontier is the build side —
     broadcast under ``adaptive_join``'s byte bound, hash join beyond),
-    then ONE keyed argmin shuffle over Σ deg(frontier) candidate rows.
+    then ONE keyed choice shuffle over Σ deg(frontier) candidate rows.
     The frontier is materialized per step (node-scale by construction —
     |V| rows of two ids; never corpus-scale)."""
     from ccnerx_ray.functions.grouping import (coarse_grouped,
-                                               drop_duplicate_rows)
+                                               drop_duplicate_rows,
+                                               grouped_reduce)
     from ccnerx_ray.ops.join import adaptive_join
 
     out_d = {"walk_id": None, "step": "int64", "node": None}
-    ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
-                                           num_buckets)
+    if weight_col is None:
+        ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
+                                               num_buckets)
+    else:
+        node_dt = _node_dtype(edges, src_col)
+        ded = grouped_reduce(
+            edges.select_columns([src_col, dst_col, weight_col]),
+            [src_col, dst_col], {weight_col: "sum"},
+            num_buckets=num_buckets,
+            out_dtypes={src_col: node_dt, dst_col: node_dt,
+                        weight_col: "int64"},
+            pre_combine=True).materialize()
+        sym = (None if ded.schema() is None
+               else symmetrize_weighted(ded, src_col, dst_col,
+                                        weight_col))
+        ebytes = 0 if sym is None else (ded.size_bytes() or 0)
     out_d["walk_id"] = out_d["node"] = node_dt
     if sym is None:
         return _typed_empty_ds(out_d)
@@ -150,21 +194,24 @@ def random_walks(edges, *, length: int = 4, salt: str = "walk",
 
     steps_out = [frontier.map_batches(emit(0), batch_format="pyarrow")]
 
+    def edge_view(batch: pa.Table) -> pa.Table:
+        cols = {"node": batch.column(src_col),
+                "nbr": batch.column(dst_col)}
+        if weight_col is not None:
+            cols["w"] = batch.column(weight_col)
+        return pa.table(cols)
+
     width = int(min(max(ebytes // (64 << 20), 8), num_buckets))
     for t in range(1, length + 1):
         cand = adaptive_join(
-            sym.map_batches(
-                lambda b: pa.table({"node": b.column(src_col),
-                                    "nbr": b.column(dst_col)}),
-                batch_format="pyarrow"),
+            sym.map_batches(edge_view, batch_format="pyarrow"),
             frontier, on="node", build_bytes_hint=frontier.size_bytes())
 
         def pick(g, _t=t):
             import pandas as pd
-            key = pd.Series(
-                _hex15_plus(salt, g["walk_id"].tolist(), _t,
-                            g["nbr"].tolist()),
-                index=g.index)
+            best = _hex15_plus(salt, g["walk_id"].tolist(), _t,
+                               g["nbr"].tolist())
+            key = pd.Series(best, index=g.index)
             best = key.groupby(g["walk_id"], sort=False).min()
             nodes = best.str.slice(15)
             if node_dt == "int64":
@@ -172,8 +219,32 @@ def random_walks(edges, *, length: int = 4, salt: str = "walk",
             return pd.DataFrame({"walk_id": best.index.to_numpy(),
                                  "node": nodes.to_numpy()})
 
+        def pick_weighted(g, _t=t):
+            import pandas as pd
+            g = g.sort_values(["walk_id", "nbr"], kind="mergesort")
+            w = g["w"].to_numpy(np.int64)
+            assert (w >= 1).all(), \
+                "weighted walks require positive integer edge weights"
+            grp = g.groupby("walk_id", sort=False)
+            cum = grp["w"].cumsum().to_numpy(np.int64)
+            tot = grp["w"].transform("sum").to_numpy(np.int64)
+            # one 60-bit draw per (walk, step) — not per candidate
+            wids = grp.size().index
+            t_s = str(_t)
+            rs = {wid: (int.from_bytes(
+                hashlib.sha256(
+                    f"{salt}:{wid}:{t_s}".encode("utf-8")).digest()[:8],
+                "big") >> 4) for wid in wids}
+            r = g["walk_id"].map(rs).to_numpy(np.int64) % tot
+            hit = g[cum > r]
+            first = hit.groupby("walk_id", sort=False).head(1)
+            return pd.DataFrame({"walk_id": first["walk_id"].to_numpy(),
+                                 "node": first["nbr"].to_numpy()})
+
         frontier = coarse_grouped(
-            cand, ["walk_id"], pick, num_buckets=width,
+            cand, ["walk_id"],
+            pick if weight_col is None else pick_weighted,
+            num_buckets=width,
             out_dtypes={"walk_id": node_dt, "node": node_dt},
         ).materialize()
         steps_out.append(

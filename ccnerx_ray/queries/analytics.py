@@ -3689,3 +3689,57 @@ FROM deg GROUP BY degree
 
 ANALYTICS_QUERIES["kg_degree_dist"] = q_kg_degree_dist
 ANALYTICS_ORACLE["kg_degree_dist"] = ORACLE_KG_DEGREE_DIST
+
+
+def q_kg_walks_weighted(sf_dir: str):
+    """WEIGHTED random walks over the KG co-occurrence graph
+    (``ops/walks.py:random_walks(weight_col=...)``): edge weight = the
+    pair's co-occurrence support (triple rows per (subj, obj)), next
+    hop drawn ∝ weight by exact integer inverse-CDF — one sha256 draw
+    per (walk, step), window-cumsum selection — so frequently
+    co-occurring entities attract the walk (the node2vec-style biased
+    corpus), reproducible bit-for-bit in SQL."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+    from ccnerx_ray.ops.walks import random_walks
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "w", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    weighted = grouped_reduce(
+        _kg_co_edges(sf_dir).map_batches(ones, batch_format="pyarrow"),
+        ["u", "v"], {"w": "sum"}, num_buckets=16,
+        out_dtypes={"u": "string", "v": "string", "w": "int64"},
+        pre_combine=True)
+    return random_walks(weighted, length=4, salt="wwalk",
+                        weight_col="w")
+
+
+ORACLE_KG_WALKS_WEIGHTED = f"""
+WITH t AS ({ORACLE_KG_TRIPLES}),
+e AS (SELECT subj AS a, obj AS b, CAST(count(*) AS BIGINT) AS w
+      FROM t WHERE pred = 'co_occurs_with' GROUP BY 1, 2),
+sym AS (SELECT a, b, w FROM e
+        UNION ALL SELECT b AS a, a AS b, w FROM e)
+SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+  WITH RECURSIVE walk(walk_id, step, node) AS (
+    SELECT a, 0, a FROM (SELECT DISTINCT a FROM sym)
+    UNION ALL
+    SELECT w2.walk_id, w2.step + 1,
+           (SELECT s.b FROM (
+              SELECT s0.b,
+                     sum(s0.w) OVER (ORDER BY s0.b
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(s0.w) OVER () AS tot
+              FROM sym s0 WHERE s0.a = w2.node) s
+            WHERE s.cum > (('0x' || substr(sha256('wwalk:' || w2.walk_id
+                  || ':' || CAST(w2.step + 1 AS VARCHAR)), 1, 15))
+                  ::UBIGINT % s.tot)
+            ORDER BY s.b LIMIT 1)
+    FROM walk w2 WHERE w2.step < 4
+  )
+  SELECT * FROM walk)
+"""
+
+ANALYTICS_QUERIES["kg_walks_weighted"] = q_kg_walks_weighted
+ANALYTICS_ORACLE["kg_walks_weighted"] = ORACLE_KG_WALKS_WEIGHTED

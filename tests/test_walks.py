@@ -393,3 +393,87 @@ def test_walks_scale_shape(ray_session):
     # per-step completeness without collecting the corpus: group sizes
     per_step = walks.groupby("step").count().to_pandas()
     assert sorted(per_step["count()"]) == [n] * (L + 1)
+
+
+def _ref_weighted_walks(rows, length, salt="wwalk"):
+    adj: dict = {}
+    for u, v, w in rows:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    for k in adj:
+        adj[k] = sorted(adj[k])
+
+    def nxt(wid, t, cur):
+        ns = adj[cur]
+        tot = sum(w for _, w in ns)
+        r = (int.from_bytes(hashlib.sha256(
+            f"{salt}:{wid}:{t}".encode()).digest()[:8], "big") >> 4) % tot
+        cum = 0
+        for n, w in ns:
+            cum += w
+            if cum > r:
+                return n
+        raise AssertionError("unreachable")
+
+    out = []
+    for s0 in sorted(adj):
+        cur = s0
+        out.append((s0, 0, s0))
+        for t in range(1, length + 1):
+            cur = nxt(s0, t, cur)
+            out.append((s0, t, cur))
+    return sorted(out)
+
+
+WEDGES = [("a", "b", 3), ("b", "c", 1), ("a", "c", 5), ("c", "d", 2),
+          ("d", "e", 7), ("b", "e", 4)]
+
+
+def _wedges_ds(rows, parallelism=1):
+    import ray.data
+    t = pa.table({"u": [r[0] for r in rows], "v": [r[1] for r in rows],
+                  "w": [r[2] for r in rows]})
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(parallelism) if parallelism > 1 else ds
+
+
+def test_weighted_walks_match_reference(ray_session):
+    got = random_walks(_wedges_ds(WEDGES), length=4, salt="wwalk",
+                       weight_col="w").to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_weighted_walks(WEDGES, 4)
+
+
+def test_weighted_walks_duplicate_rows_sum(ray_session):
+    # (a,b,2)+(a,b,1) must equal (a,b,3): duplicates aggregate by SUM
+    split = [("a", "b", 2), ("a", "b", 1)] + WEDGES[1:]
+    a = random_walks(_wedges_ds(WEDGES), length=3, salt="wwalk",
+                     weight_col="w").to_pandas()
+    b = random_walks(_wedges_ds(split, 4), length=3, salt="wwalk",
+                     weight_col="w").to_pandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_weighted_walks_heavy_edge_dominates(ray_session):
+    # star with one overwhelming edge: h—big has weight 10_000, the
+    # 9 others weight 1 → the step-1 hop from h lands on 'big' unless
+    # the 60-bit draw falls in the tiny 9/10009 tail; check the exact
+    # inverse-CDF choice matches the reference (which may BE the tail)
+    rows = [("h", "big", 10_000)] + [("h", f"s{i}", 1) for i in range(9)]
+    got = random_walks(_wedges_ds(rows), length=1, salt="wwalk",
+                       weight_col="w").to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_weighted_walks(rows, 1)
+    step1 = got[(got.walk_id == "h") & (got.step == 1)]["node"].iloc[0]
+    assert step1 == "big"     # deterministic for this salt/graph
+
+
+def test_weighted_walks_rejects_nonpositive(ray_session):
+    import pytest as _pytest
+    rows = [("a", "b", 0), ("b", "c", 1)]
+    with _pytest.raises(Exception):
+        random_walks(_wedges_ds(rows), length=1,
+                     weight_col="w").materialize()
