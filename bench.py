@@ -148,6 +148,8 @@ EXTRAS = [
     "kg_clustering",         # per-entity triangle participation (r5)
     "kg_degree_dist",        # graph-health degree distribution (r5)
     "kg_walks_weighted",     # weight-biased walks (inverse-CDF) (r5)
+    "kg_node2vec",           # second-order biased walks (r5)
+    "component_sizes",       # component-size distribution (r5)
 ]
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))

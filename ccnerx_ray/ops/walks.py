@@ -492,3 +492,158 @@ def skipgram_pairs(walks, *, window: int = 2, num_buckets: int = 64):
     return grouped_reduce(partials, ["center", "context"],
                           {"n_pairs": "sum"}, num_buckets=num_buckets,
                           out_dtypes=out_d, pre_combine=True)
+
+
+def node2vec_walks(edges, *, length: int = 4, w_return: int = 1,
+                   w_common: int = 4, w_far: int = 2,
+                   salt: str = "n2v", src_col: str = "u",
+                   dst_col: str = "v", num_buckets: int = 64):
+    """SECOND-ORDER biased walks (node2vec, Grover & Leskovec 2016):
+    the transition out of ``cur`` depends on the PREVIOUS node — each
+    candidate neighbor is classed by its distance to ``prev`` (0 →
+    ``w_return`` ≙ 1/p, 1 → ``w_common``, 2 → ``w_far`` ≙ 1/q; pass
+    positive INTEGER class weights — any rational p/q scales to one)
+    and drawn by the same exact integer inverse-CDF as the weighted
+    first-order walk: ONE sha256 draw per (walk, step), id-ordered
+    cumulative sum. Step 1 has no ``prev`` — every neighbor weighs 1
+    (uniform, same rule as the SQL mirror's ``prev IS NULL`` branch).
+    Edges must be canonical (``u < v``); duplicates tolerated.
+
+    Distributed shape per step: the weighted walk's join + keyed choice
+    shuffle, plus TWO membership joins (semi / anti against the
+    canonical edge-pair keys) that class each candidate by whether
+    ``(prev, nbr)`` is an edge — all on Σ deg(frontier) candidate rows,
+    node-scale. Walk state carries ``(walk_id, prev, cur)``."""
+    import pyarrow.compute as pc
+
+    from ccnerx_ray.functions.grouping import (coarse_grouped,
+                                               drop_duplicate_rows)
+    from ccnerx_ray.ops.join import adaptive_join
+
+    for name, w in (("w_return", w_return), ("w_common", w_common),
+                    ("w_far", w_far)):
+        if not (isinstance(w, int) and w >= 1):
+            raise ValueError(f"{name} must be a positive integer")
+
+    out_d = {"walk_id": None, "step": "int64", "node": None}
+    ded, sym, node_dt, ebytes = _dedup_sym(edges, src_col, dst_col,
+                                           num_buckets)
+    out_d["walk_id"] = out_d["node"] = node_dt
+    if sym is None:
+        return _typed_empty_ds(out_d)
+    sym = sym.materialize()
+    pa_node = pa.int64() if node_dt == "int64" else pa.string()
+
+    def canon_pk(x, y) -> pa.Array:
+        xs = pc.cast(x, pa.string())
+        ys = pc.cast(y, pa.string())
+        return encode_pair_key(pc.min_element_wise(xs, ys),
+                               pc.max_element_wise(xs, ys))
+
+    edge_pks = ded.map_batches(
+        lambda b: pa.table({"pk": canon_pk(b.column(src_col),
+                                           b.column(dst_col))}),
+        batch_format="pyarrow").materialize()
+    pkbytes = edge_pks.size_bytes()
+
+    def starts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"walk_id": batch.column(src_col),
+                         "prev": pa.nulls(n, pa_node),
+                         "node": batch.column(src_col)})
+
+    frontier = drop_duplicate_rows(
+        sym.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id", "node"], num_buckets=num_buckets).materialize()
+
+    def emit(step: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "walk_id": batch.column("walk_id"),
+                "step": pa.array(np.full(n, step, dtype=np.int64)),
+                "node": batch.column("node")})
+        return fn
+
+    steps_out = [frontier.map_batches(emit(0), batch_format="pyarrow")]
+    width = int(min(max(ebytes // (64 << 20), 8), num_buckets))
+
+    def with_w(w: int, drop_pk: bool = False):
+        def fn(batch: pa.Table) -> pa.Table:
+            if drop_pk and "pk" in batch.column_names:
+                batch = batch.drop_columns(["pk"])
+            return batch.append_column(
+                "w", pa.array(np.full(batch.num_rows, w,
+                                      dtype=np.int64)))
+        return fn
+
+    for t in range(1, length + 1):
+        cand = adaptive_join(
+            sym.map_batches(
+                lambda b: pa.table({"node": b.column(src_col),
+                                    "nbr": b.column(dst_col)}),
+                batch_format="pyarrow"),
+            frontier, on="node", build_bytes_hint=frontier.size_bytes())
+
+        def split_null(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_null(batch.column("prev")))
+
+        def split_ret(batch: pa.Table) -> pa.Table:
+            keep = pc.fill_null(pc.equal(batch.column("nbr"),
+                                         batch.column("prev")), False)
+            return batch.filter(keep)
+
+        def split_rest(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(batch.column("prev")),
+                           pc.fill_null(pc.not_equal(
+                               batch.column("nbr"),
+                               batch.column("prev")), True))
+            b = batch.filter(keep)
+            return b.append_column(
+                "pk", canon_pk(b.column("prev"), b.column("nbr")))
+
+        rest = cand.map_batches(split_rest, batch_format="pyarrow")
+        weighted = (
+            cand.map_batches(split_null, batch_format="pyarrow")
+            .map_batches(with_w(1), batch_format="pyarrow")
+            .union(
+                cand.map_batches(split_ret, batch_format="pyarrow")
+                .map_batches(with_w(w_return), batch_format="pyarrow"),
+                adaptive_join(rest, edge_pks, on="pk",
+                              join_type="left_semi",
+                              build_bytes_hint=pkbytes)
+                .map_batches(with_w(w_common, drop_pk=True),
+                             batch_format="pyarrow"),
+                adaptive_join(rest, edge_pks, on="pk",
+                              join_type="left_anti",
+                              build_bytes_hint=pkbytes)
+                .map_batches(with_w(w_far, drop_pk=True),
+                             batch_format="pyarrow")))
+
+        def pick(g, _t=t):
+            import pandas as pd
+            g = g.sort_values(["walk_id", "nbr"], kind="mergesort")
+            grp = g.groupby("walk_id", sort=False)
+            cum = grp["w"].cumsum().to_numpy(np.int64)
+            tot = grp["w"].transform("sum").to_numpy(np.int64)
+            t_s = str(_t)
+            rs = {wid: (int.from_bytes(
+                hashlib.sha256(
+                    f"{salt}:{wid}:{t_s}".encode("utf-8")).digest()[:8],
+                "big") >> 4) for wid in grp.size().index}
+            r = g["walk_id"].map(rs).to_numpy(np.int64) % tot
+            first = g[cum > r].groupby("walk_id", sort=False).head(1)
+            return pd.DataFrame({
+                "walk_id": first["walk_id"].to_numpy(),
+                "prev": first["node"].to_numpy(),    # cur becomes prev
+                "node": first["nbr"].to_numpy()})
+
+        frontier = coarse_grouped(
+            weighted, ["walk_id"], pick, num_buckets=width,
+            out_dtypes={"walk_id": node_dt, "prev": node_dt,
+                        "node": node_dt},
+        ).materialize()
+        steps_out.append(
+            frontier.map_batches(emit(t), batch_format="pyarrow"))
+
+    return steps_out[0].union(*steps_out[1:])

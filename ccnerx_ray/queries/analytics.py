@@ -3743,3 +3743,58 @@ SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
 
 ANALYTICS_QUERIES["kg_walks_weighted"] = q_kg_walks_weighted
 ANALYTICS_ORACLE["kg_walks_weighted"] = ORACLE_KG_WALKS_WEIGHTED
+
+
+def q_kg_node2vec(sf_dir: str):
+    """SECOND-ORDER biased walks over the KG co-occurrence graph
+    (``ops/walks.py:node2vec_walks``, Grover & Leskovec's node2vec):
+    the transition out of ``cur`` depends on the previous node — return
+    / common-neighbor / far class weights 1 / 4 / 2 (≙ p = 4, q = 2
+    scaled integer) — the exploration-tunable walk corpus that
+    completes the embedding-prep family (uniform `kg_walks`, weighted
+    `kg_walks_weighted`, second-order here). Exact integer inverse-CDF
+    per step; membership of (prev, nbr) in the edge set decided by two
+    distributed semi/anti joins on the canonical pair key."""
+    from ccnerx_ray.functions.grouping import drop_duplicate_rows
+    from ccnerx_ray.ops.walks import node2vec_walks
+
+    edges = drop_duplicate_rows(_kg_co_edges(sf_dir), ["u", "v"])
+    return node2vec_walks(edges, length=4, w_return=1, w_common=4,
+                          w_far=2)
+
+
+ORACLE_KG_NODE2VEC = f"""
+WITH t AS ({ORACLE_KG_TRIPLES}),
+ed AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+       FROM t WHERE pred = 'co_occurs_with'),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed)
+SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+  WITH RECURSIVE walk(walk_id, step, prev, node) AS (
+    SELECT a, 0, CAST(NULL AS VARCHAR), a
+    FROM (SELECT DISTINCT a FROM sym)
+    UNION ALL
+    SELECT w2.walk_id, w2.step + 1, w2.node,
+           (SELECT s.b FROM (
+              SELECT s0.b,
+                     sum(s0.cw) OVER (ORDER BY s0.b
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(s0.cw) OVER () AS tot
+              FROM (SELECT s1.b,
+                           CASE WHEN w2.prev IS NULL THEN 1
+                                WHEN s1.b = w2.prev THEN 1
+                                WHEN EXISTS (SELECT 1 FROM ed
+                                     WHERE ed.a = least(w2.prev, s1.b)
+                                       AND ed.b = greatest(w2.prev, s1.b))
+                                THEN 4 ELSE 2 END AS cw
+                    FROM sym s1 WHERE s1.a = w2.node) s0) s
+            WHERE s.cum > (('0x' || substr(sha256('n2v:' || w2.walk_id
+                  || ':' || CAST(w2.step + 1 AS VARCHAR)), 1, 15))
+                  ::UBIGINT % s.tot)
+            ORDER BY s.b LIMIT 1)
+    FROM walk w2 WHERE w2.step < 4
+  )
+  SELECT * FROM walk)
+"""
+
+ANALYTICS_QUERIES["kg_node2vec"] = q_kg_node2vec
+ANALYTICS_ORACLE["kg_node2vec"] = ORACLE_KG_NODE2VEC

@@ -363,3 +363,49 @@ RELATIONAL3_ORACLE = {
     "hll_users_by_type": ORACLE_HLL_USERS_BY_TYPE,
     "graph_components": _components_oracle(),
 }
+
+
+def q_component_sizes(sf_dir: str):
+    """Component-size distribution over the co-purchase graph —
+    ``(size, n_components)`` — the one-look fragmentation profile a
+    dedup/clustering report carries next to ``kg_degree_dist``'s hub
+    profile: how many near-dup groups exist at each size, and how giant
+    the giant component is. Composes the proven
+    ``connected_components`` with two node-scale keyed counts."""
+    from ccnerx_ray.functions.grouping import grouped_reduce
+
+    labels = q_graph_components(sf_dir)
+
+    def ones(col_in: str, col_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            return pa.table({
+                col_in: batch.column(col_in),
+                col_out: pa.array(np.ones(batch.num_rows,
+                                          dtype=np.int64))})
+        return fn
+
+    sizes = grouped_reduce(
+        labels.map_batches(ones("component", "size"),
+                           batch_format="pyarrow"),
+        ["component"], {"size": "sum"}, num_buckets=16,
+        out_dtypes={"component": "string", "size": "int64"},
+        pre_combine=True)
+    return grouped_reduce(
+        sizes.map_batches(ones("size", "n_components"),
+                          batch_format="pyarrow"),
+        ["size"], {"n_components": "sum"}, num_buckets=8,
+        out_dtypes={"size": "int64", "n_components": "int64"},
+        pre_combine=True)
+
+
+def _component_sizes_oracle() -> str:
+    return (f"WITH comp AS ({_components_oracle()}),\n"
+            "sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size\n"
+            "       FROM comp GROUP BY component)\n"
+            "SELECT size, CAST(count(*) AS BIGINT) AS n_components\n"
+            "FROM sz GROUP BY size")
+
+
+RELATIONAL3_QUERIES["component_sizes"] = q_component_sizes
+RELATIONAL3_ORACLE["component_sizes"] = _component_sizes_oracle()

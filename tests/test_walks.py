@@ -477,3 +477,89 @@ def test_weighted_walks_rejects_nonpositive(ray_session):
     with _pytest.raises(Exception):
         random_walks(_wedges_ds(rows), length=1,
                      weight_col="w").materialize()
+
+
+def _ref_node2vec(rows, length, wp, w1, wq, salt="n2v"):
+    adj: dict = {}
+    E = set()
+    for u, v in rows:
+        E.add((min(u, v), max(u, v)))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def nxt(wid, t, prev, cur):
+        ns = sorted(adj[cur])
+        ws = []
+        for n in ns:
+            if prev is None:
+                w = 1
+            elif n == prev:
+                w = wp
+            elif (min(prev, n), max(prev, n)) in E:
+                w = w1
+            else:
+                w = wq
+            ws.append(w)
+        tot = sum(ws)
+        r = (int.from_bytes(hashlib.sha256(
+            f"{salt}:{wid}:{t}".encode()).digest()[:8], "big") >> 4) % tot
+        cum = 0
+        for n, w in zip(ns, ws):
+            cum += w
+            if cum > r:
+                return n
+        raise AssertionError("unreachable")
+
+    out = []
+    for s0 in sorted(adj):
+        prev, cur = None, s0
+        out.append((s0, 0, s0))
+        for t in range(1, length + 1):
+            nn = nxt(s0, t, prev, cur)
+            out.append((s0, t, nn))
+            prev, cur = cur, nn
+    return sorted(out)
+
+
+N2V_EDGES = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+             ("b", "e")]
+
+
+def test_node2vec_matches_reference(ray_session):
+    from ccnerx_ray.ops.walks import node2vec_walks
+    got = node2vec_walks(_edges_ds(N2V_EDGES), length=4, w_return=1,
+                         w_common=4, w_far=2).to_pandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        _ref_node2vec(N2V_EDGES, 4, 1, 4, 2)
+
+
+def test_node2vec_weights_change_paths(ray_session):
+    from ccnerx_ray.ops.walks import node2vec_walks
+    a = node2vec_walks(_edges_ds(N2V_EDGES), length=4, w_return=1,
+                       w_common=4, w_far=2).to_pandas()
+    b = node2vec_walks(_edges_ds(N2V_EDGES), length=4, w_return=9,
+                       w_common=1, w_far=1).to_pandas()
+    # strongly-returning walks differ from exploring ones somewhere,
+    # and BOTH match their own exact references
+    assert sorted(map(tuple, b.itertuples(index=False))) == \
+        _ref_node2vec(N2V_EDGES, 4, 9, 1, 1)
+    assert not a.sort_values(["walk_id", "step"]).reset_index(drop=True) \
+        .equals(b.sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+
+def test_node2vec_partitioning_invariance(ray_session):
+    from ccnerx_ray.ops.walks import node2vec_walks
+    a = node2vec_walks(_edges_ds(N2V_EDGES, 1), length=3).to_pandas()
+    b = node2vec_walks(_edges_ds(N2V_EDGES * 3, 5), length=3).to_pandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_node2vec_rejects_bad_weights(ray_session):
+    from ccnerx_ray.ops.walks import node2vec_walks
+    with pytest.raises(ValueError):
+        node2vec_walks(_edges_ds(N2V_EDGES), w_return=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(_edges_ds(N2V_EDGES), w_far=-1)
